@@ -1,0 +1,127 @@
+"""Connected components — alternating large-star / small-star (SURVEY G3).
+
+Replaces ``nx.connected_components`` (reference __main__.py:204-208 and the
+GN shortcuts at reference algorithms/girvan_newman_wrapper.py:158-241).
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — alternate
+
+* **large-star**: every neighbor ``v > u`` of ``u`` is re-linked to
+  ``m = min(N(u) ∪ {u})``;
+* **small-star**: every neighbor ``v <= u`` (and ``u``) is linked to the
+  minimum of that closed set;
+
+until the edge set reaches a fixpoint (O(log n) rounds), at which point
+every vertex is directly linked to its component's minimum vertex id.
+
+Scale notes: each round is two shuffles (groupBy(u) min + re-emit,
+distinct).  The working edge set shrinks monotonically toward a star
+forest.  Every round ends in ``localCheckpoint`` to truncate lineage —
+without it the iterative plan grows unboundedly (the classic iterative-
+DataFrame pitfall).  Convergence is detected via a cheap (count,
+sum-of-ids) signature followed by an exact subtract check only when the
+signature is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+
+
+def _sym(pairs: DataFrame) -> DataFrame:
+    return pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    nbrs = _sym(pairs)
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    # orient edges high -> low so each node groups its smaller neighbors
+    lo = pairs.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = lo.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = lo.join(m, "u")
+    relink = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_link = joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    graph: Graph, max_iterations: int = 50, use_reliable_checkpoint: bool = False
+) -> DataFrame:
+    """Return ``(vertex_id long, comp_id long)``; comp_id = min vertex id.
+
+    Isolated vertices get their own component (comp_id = vertex_id),
+    matching ``nx.connected_components`` semantics.
+    """
+    pairs = (
+        graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        pairs_new = _small_star(_large_star(pairs))
+        pairs_new = (
+            pairs_new.checkpoint(eager=True)
+            if use_reliable_checkpoint
+            else pairs_new.localCheckpoint(eager=True)
+        )
+        sig_row = pairs_new.agg(
+            F.count(F.lit(1)).alias("c"), F.sum(F.col("u") + F.col("v")).alias("s")
+        ).collect()[0]
+        sig = (sig_row["c"], sig_row["s"])
+        if sig == prev_sig and pairs_new.subtract(pairs).isEmpty():
+            pairs = pairs_new
+            break
+        prev_sig = sig
+        pairs = pairs_new
+
+    # at fixpoint: every (u, v) has v = component min < u
+    membership = pairs.groupBy(F.col("u").alias("vertex_id")).agg(
+        F.min("v").alias("comp_id")
+    )
+    roots_and_isolates = graph.vertices.select("vertex_id").join(
+        membership.select("vertex_id"), "vertex_id", "left_anti"
+    ).select("vertex_id", F.col("vertex_id").alias("comp_id"))
+    return membership.unionByName(roots_and_isolates)
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    return components.groupBy("comp_id").agg(F.count(F.lit(1)).alias("size"))
+
+
+def largest_component(graph: Graph, components: DataFrame) -> Graph:
+    """Focus on the biggest CC (reference girvan_newman_wrapper.py:187-193)."""
+    top = (
+        component_sizes(components)
+        .orderBy(F.desc("size"), F.asc("comp_id"))
+        .limit(1)
+        .select("comp_id")
+    )
+    keep = components.join(F.broadcast(top), "comp_id").select("vertex_id")
+    vertices = graph.vertices.join(keep, "vertex_id", "left_semi")
+    edges = graph.edges.join(
+        keep.withColumnRenamed("vertex_id", "src"), "src", "left_semi"
+    )
+    return Graph(vertices=vertices, edges=edges)

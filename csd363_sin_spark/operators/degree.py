@@ -1,0 +1,70 @@
+"""Degree / density / graph-structure analysis (SURVEY.md §2.2 G1-G2, §2.4 M10).
+
+Replaces the reference's ``analyze_graph_structure`` (reference
+__main__.py:185-244): node/edge counts, density, degree stats, isolated
+nodes, component stats.  Everything is one or two hash aggregations; no
+driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+
+
+def degree_stats(graph: Graph) -> DataFrame:
+    """One-row DataFrame: n, m, avg/max/min degree, isolated count, density."""
+    deg = graph.degrees()
+    n = graph.vertices.count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("num_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("num_edges"),
+        F.avg("degree").alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+        F.min("degree").alias("min_degree"),
+        F.sum((F.col("degree") == 0).cast("long")).alias("isolated_nodes"),
+    )
+    dens = F.when(
+        F.col("num_nodes") > 1,
+        2.0 * F.col("num_edges") / (F.col("num_nodes") * (F.col("num_nodes") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    _ = n  # n computed via the same agg; kept for API symmetry
+    return stats.withColumn("density", dens)
+
+
+def density(graph: Graph) -> float:
+    """``nx.density`` equivalent (reference __main__.py:201)."""
+    row = degree_stats(graph).collect()[0]
+    return float(row["density"])
+
+
+def analyze_graph(graph: Graph, components: DataFrame | None = None) -> dict:
+    """Reference ``analyze_graph_structure`` (__main__.py:185-244) as a dict.
+
+    ``components`` — optional precomputed (vertex_id, comp_id) to include
+    component stats (reference :204-208) without recomputing.
+    """
+    row = degree_stats(graph).collect()[0]
+    out = {
+        "num_nodes": int(row["num_nodes"]),
+        "num_edges": int(row["num_edges"]),
+        "density": float(row["density"]),
+        "avg_degree": float(row["avg_degree"]),
+        "max_degree": float(row["max_degree"]),
+        "min_degree": float(row["min_degree"]),
+        "isolated_nodes": int(row["isolated_nodes"]),
+    }
+    if components is not None:
+        comp_sizes = components.groupBy("comp_id").count()
+        crow = comp_sizes.agg(
+            F.count(F.lit(1)).alias("num_components"),
+            F.max("count").alias("largest"),
+        ).collect()[0]
+        out["num_components"] = int(crow["num_components"])
+        out["largest_component_size"] = int(crow["largest"])
+        out["largest_component_pct"] = (
+            100.0 * crow["largest"] / out["num_nodes"] if out["num_nodes"] else 0.0
+        )
+    return out

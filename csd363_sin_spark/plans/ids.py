@@ -1,0 +1,51 @@
+"""Deterministic dense id assignment without a global single-partition sort.
+
+The reference uses raw Python ints as node ids (reference data_io.py:104).
+We dictionary-encode actor strings to dense longs.  ``row_number`` over a
+global window would funnel everything through one partition; instead we
+
+1. range-repartition by the key (Spark samples split points — deterministic
+   for a fixed input),
+2. rank within each partition (parallel window),
+3. add per-partition offsets computed from a tiny collected count table.
+
+This scales to billions of keys: step 3 collects only one row per
+partition.  Ids are dense, start at 0, and follow the global sort order of
+the key, so the mapping is reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(df: DataFrame, key: str, id_col: str = "vertex_id", num_partitions: int | None = None) -> DataFrame:
+    """Return ``df[key]`` (distinct) with a dense ``id_col`` in key order."""
+    distinct = df.select(key).distinct()
+    if num_partitions is None:
+        num_partitions = max(1, distinct.sparkSession.sparkContext.defaultParallelism)
+    parted = distinct.repartitionByRange(num_partitions, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # cache: the count pass and the rank pass must see identical partitioning
+    parted = parted.persist()
+    counts = parted.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_df = parted.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    out = (
+        parted.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(offset_df), "_pid")
+        .select(key, (F.col("_rn") + F.col("_offset")).alias(id_col))
+    )
+    out = out.persist()
+    out.count()
+    parted.unpersist()
+    return out
