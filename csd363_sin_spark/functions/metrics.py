@@ -1,0 +1,267 @@
+"""Community-quality metrics (SURVEY.md §2.4 M1-M8).
+
+All metrics reduce to ONE shared aggregation: join the symmetric edge view
+with the assignment on both endpoints, then compute per-community
+half-edge statistics (volume, cut, internal).  Every metric below is a
+scalar combine over that one shuffled aggregate — no sampling needed at
+any scale (the reference samples conductance >50k nodes and estimates
+coverage >100k edges purely because it is single-threaded; see reference
+evaluation.py:455-459, :471-493 — exact is cheap for us).
+
+Semantics matched to the reference:
+* modularity  — reference evaluation.py:11-47 (python-louvain formula
+  Q = sum_c [ L_c/m - (d_c/2m)^2 ]);
+* conductance — reference evaluation.py:49-128 (cut counted once per
+  inside endpoint, min-volume denominator, 0/1 degenerate cases, clamped);
+* coverage    — reference evaluation.py:469-506 (intra-edge fraction);
+* description length — reference evaluation.py:187-248 (map-equation
+  approximation with visit rates deg/2m);
+* NMI         — reference evaluation.py:250-289 (sklearn
+  normalized_mutual_info_score, arithmetic-mean normalization, computed
+  on the overlap of partition and ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+
+
+def _labeled_half_edges(graph: Graph, assign: DataFrame, weighted: bool) -> DataFrame:
+    """(c1, c2, w) for every directed half-edge, labeled by endpoint comms."""
+    w = F.col("weight") if weighted else F.lit(1.0)
+    a_src = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
+    a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
+    return (
+        graph.edges_sym()
+        .join(a_src, "src")
+        .join(a_dst, "dst")
+        .select("c1", "c2", w.alias("w"))
+    )
+
+
+def community_edge_stats(graph: Graph, assign: DataFrame, weighted: bool = False) -> DataFrame:
+    """Per-community half-edge stats: (comm, vol, cut, internal).
+
+    vol      = sum of degrees of members (weighted: strengths)
+    cut      = boundary half-edges leaving the community
+    internal = internal half-edges (= 2 * intra-community edges)
+
+    The single shuffle behind every metric.  Isolated-member communities
+    appear with zeros via the assignment-side left join.
+    """
+    he = _labeled_half_edges(graph, assign, weighted)
+    stats = he.groupBy(F.col("c1").alias("comm")).agg(
+        F.sum("w").alias("vol"),
+        F.sum(F.when(F.col("c1") != F.col("c2"), F.col("w")).otherwise(F.lit(0.0))).alias("cut"),
+        F.sum(F.when(F.col("c1") == F.col("c2"), F.col("w")).otherwise(F.lit(0.0))).alias(
+            "internal"
+        ),
+    )
+    all_comms = assign.select("comm").distinct()
+    return (
+        all_comms.join(stats, "comm", "left")
+        .fillna({"vol": 0.0, "cut": 0.0, "internal": 0.0})
+    )
+
+
+def _total_edge_weight(graph: Graph, weighted: bool) -> float:
+    if weighted:
+        row = graph.edges.agg(F.sum("weight").alias("m")).collect()[0]
+        return float(row["m"] or 0.0)
+    return float(graph.edges.count())
+
+
+def modularity(
+    graph: Graph, assign: DataFrame, weighted: bool = False, stats: DataFrame | None = None
+) -> float:
+    """Q = sum_c [ (internal_c/2)/m - (vol_c/(2m))^2 ] (reference evaluation.py:31)."""
+    m = _total_edge_weight(graph, weighted)
+    if m == 0:
+        return 0.0
+    if stats is None:
+        stats = community_edge_stats(graph, assign, weighted)
+    row = stats.agg(
+        F.sum(F.col("internal") / 2.0).alias("intra"),
+        F.sum(F.col("vol") * F.col("vol")).alias("vol_sq"),
+    ).collect()[0]
+    return float(row["intra"]) / m - float(row["vol_sq"]) / (4.0 * m * m)
+
+
+def conductance(
+    graph: Graph, assign: DataFrame, weighted: bool = False, stats: DataFrame | None = None
+) -> tuple[DataFrame, float]:
+    """Per-community conductance + average (reference evaluation.py:49-128).
+
+    Returns ``(per_comm_df(comm, conductance), avg)``.
+    """
+    if stats is None:
+        stats = community_edge_stats(graph, assign, weighted)
+    m2 = 2.0 * _total_edge_weight(graph, weighted)  # total volume
+    cond = (
+        F.when(
+            F.least(F.col("vol"), F.lit(m2) - F.col("vol")) > 0,
+            F.col("cut") / F.least(F.col("vol"), F.lit(m2) - F.col("vol")),
+        )
+        .when(F.col("cut") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+    )
+    per = stats.select(
+        "comm", F.least(F.lit(1.0), F.greatest(F.lit(0.0), cond)).alias("conductance")
+    )
+    avg_row = per.agg(F.avg("conductance").alias("a")).collect()[0]
+    return per, float(avg_row["a"] or 0.0)
+
+
+def coverage(
+    graph: Graph, assign: DataFrame, weighted: bool = False, stats: DataFrame | None = None
+) -> float:
+    """Fraction of edges intra-community (reference evaluation.py:469-506).
+
+    Always exact — a single mean over the labeled edge table; the
+    reference's >100k-edge sampling estimate is unnecessary in Spark.
+    """
+    m = _total_edge_weight(graph, weighted)
+    if m == 0:
+        return 0.0
+    if stats is None:
+        stats = community_edge_stats(graph, assign, weighted)
+    row = stats.agg(F.sum(F.col("internal") / 2.0).alias("intra")).collect()[0]
+    return float(row["intra"]) / m
+
+
+def description_length(
+    graph: Graph, assign: DataFrame, stats: DataFrame | None = None
+) -> tuple[float, DataFrame]:
+    """Map-equation approximation (reference evaluation.py:187-248).
+
+    visit rate p_v = deg(v)/2m  =>  p_comm = vol_c/2m;
+    p_exit = cut_c/(cut_c + internal_c);
+    H = sum_c -p_comm * (p_exit log2 p_exit + (1-p_exit) log2 (1-p_exit)),
+    terms with p_exit in {0,1} skipped, matching the reference's guard.
+    Unweighted degree counts, as in the reference.
+    """
+    m = float(graph.edges.count())
+    if m == 0:
+        empty = assign.sparkSession.createDataFrame([], "comm long, entropy double")
+        return 0.0, empty
+    if stats is None:
+        stats = community_edge_stats(graph, assign, weighted=False)
+    p_comm = F.col("vol") / (2.0 * m)
+    denom = F.col("cut") + F.col("internal")
+    p_exit = F.col("cut") / denom
+    term = -p_comm * (
+        p_exit * F.log2(p_exit) + (1.0 - p_exit) * F.log2(1.0 - p_exit)
+    )
+    per = (
+        stats.filter((denom > 0) & (F.col("cut") > 0) & (F.col("cut") < denom))
+        .filter(p_comm > 0)
+        .select("comm", term.alias("entropy"))
+    )
+    row = per.agg(F.sum("entropy").alias("h")).collect()[0]
+    return float(row["h"] or 0.0), per
+
+
+def nmi(assign: DataFrame, ground_truth: DataFrame) -> float:
+    """Normalized mutual information, sklearn-compatible
+    (arithmetic-mean normalization; reference evaluation.py:250-289).
+
+    ``assign``: (vertex_id, comm); ``ground_truth``: (vertex_id, comm).
+    Computed on the overlap only, fully distributed: a contingency
+    aggregation plus three marginal aggregations.
+    """
+    pred = assign.select("vertex_id", F.col("comm").alias("pred"))
+    true = ground_truth.select("vertex_id", F.col("comm").alias("true"))
+    joined = pred.join(true, "vertex_id")
+    cont = joined.groupBy("pred", "true").agg(F.count(F.lit(1)).alias("n_ij"))
+    cont = cont.persist()
+    n = cont.agg(F.sum("n_ij")).collect()[0][0]
+    if not n:
+        cont.unpersist()
+        return 0.0
+    n = float(n)
+    a = cont.groupBy("pred").agg(F.sum("n_ij").alias("a_i"))
+    b = cont.groupBy("true").agg(F.sum("n_ij").alias("b_j"))
+
+    mi_row = (
+        cont.join(a, "pred")
+        .join(b, "true")
+        .agg(
+            F.sum(
+                (F.col("n_ij") / n)
+                * F.log((F.lit(n) * F.col("n_ij")) / (F.col("a_i") * F.col("b_j")))
+            ).alias("mi")
+        )
+        .collect()[0]
+    )
+    hu_row = a.agg(F.sum(-(F.col("a_i") / n) * F.log(F.col("a_i") / n)).alias("h")).collect()[0]
+    hv_row = b.agg(F.sum(-(F.col("b_j") / n) * F.log(F.col("b_j") / n)).alias("h")).collect()[0]
+    cont.unpersist()
+    mi = max(0.0, float(mi_row["mi"] or 0.0))
+    h_u, h_v = float(hu_row["h"] or 0.0), float(hv_row["h"] or 0.0)
+    if h_u == 0.0 and h_v == 0.0:
+        return 1.0  # both single-cluster: sklearn special case
+    denom = (h_u + h_v) / 2.0
+    if denom == 0.0 or mi == 0.0:
+        return 0.0
+    return min(1.0, mi / denom)
+
+
+def evaluate_all(
+    graph: Graph,
+    assign: DataFrame,
+    ground_truth: DataFrame | None = None,
+    algorithm_type: str | None = None,
+    weighted: bool = False,
+) -> dict:
+    """Full evaluation bundle (reference evaluation.py:368-559).
+
+    Size stats use exact percentile/stddev_pop to match numpy's
+    median/std (population std, reference :424-431).
+    """
+    stats = community_edge_stats(graph, assign, weighted).persist()
+    m = _total_edge_weight(graph, weighted)
+
+    sizes = assign.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
+    srow = sizes.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("size").alias("mn"),
+        F.max("size").alias("mx"),
+        F.avg("size").alias("mean"),
+        F.expr("percentile(size, 0.5)").alias("median"),
+        F.stddev_pop("size").alias("std"),
+        F.sum("size").alias("n_assigned"),
+    ).collect()[0]
+
+    q = modularity(graph, assign, weighted, stats=stats)
+    per_cond, avg_cond = conductance(graph, assign, weighted, stats=stats)
+    cov = coverage(graph, assign, weighted, stats=stats)
+    intra = cov * m
+    avg_internal_degree = (
+        2.0 * intra / float(srow["n_assigned"]) if srow["n_assigned"] else 0.0
+    )
+
+    out = {
+        "num_communities": int(srow["k"]),
+        "size_stats": {
+            "min": int(srow["mn"]),
+            "max": int(srow["mx"]),
+            "mean": float(srow["mean"]),
+            "median": float(srow["median"]),
+            "std": float(srow["std"] or 0.0),
+        },
+        "modularity": q,
+        "avg_conductance": avg_cond,
+        "coverage": cov,
+        "avg_internal_degree": avg_internal_degree,
+        "nmi": None,
+    }
+    if ground_truth is not None:
+        out["nmi"] = nmi(assign, ground_truth)
+    if algorithm_type == "infomap":
+        h, _ = description_length(graph, assign, stats=stats)
+        out["description_length"] = h
+    stats.unpersist()
+    return out

@@ -1,0 +1,110 @@
+"""Distributed PageRank over the symmetric edge table (SURVEY G10).
+
+The reference only has degree-proportional visit rates (reference
+evaluation.py:204-207); the north rule requires full PageRank with scores
+matching a trusted implementation to ``allclose(1e-6)``.  Semantics are
+pinned to ``networkx.pagerank`` so the oracle test is exact:
+
+* x0 = 1/n; out-strength = (weighted) degree;
+* dangling vertices (isolates, for an undirected graph) redistribute
+  their mass uniformly;
+* x' = (1-a)/n + a * (M^T x + dangling/n);
+* converge when sum_v |x'_v - x_v| < n * tol.
+
+Scale notes: one shuffle per iteration (contribs groupBy dst) plus a
+broadcast-sized scalar for the dangling mass.  The static "share" edge
+view (weight / out-strength, precomputed once) is persisted so each
+iteration only shuffles the rank vector.  Ranks are localCheckpoint-ed
+every iteration to truncate lineage.  Hub-vertex skew on the gather side
+is absorbed by map-side partial aggregation of contributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    weighted: bool = True,
+) -> DataFrame:
+    """Return ``(vertex_id long, rank double)`` summing to 1."""
+    spark = graph.edges.sparkSession
+    n = graph.vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex_id long, rank double")
+
+    w = F.col("weight") if weighted else F.lit(1.0)
+    sym = graph.edges_sym().select("src", "dst", w.alias("w"))
+    out_str = sym.groupBy("src").agg(F.sum("w").alias("out_w"))
+    shares = (
+        sym.join(out_str, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .persist()
+    )
+    shares.count()
+
+    degs = graph.degrees()
+    dangling = degs.filter(F.col("degree") == 0).select("vertex_id").persist()
+    has_dangling = not dangling.isEmpty()
+
+    ranks = graph.vertices.select(
+        "vertex_id", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        contribs = (
+            shares.join(
+                ranks.withColumnRenamed("vertex_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("in_mass"))
+        )
+        if has_dangling:
+            d_row = (
+                ranks.join(dangling, "vertex_id", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            )
+            dangling_mass = float(d_row or 0.0)
+        else:
+            dangling_mass = 0.0
+        base = (1.0 - alpha) / n + alpha * dangling_mass / n
+        new_ranks = (
+            graph.vertices.select("vertex_id")
+            .join(contribs, "vertex_id", "left")
+            .fillna({"in_mass": 0.0})
+            .select(
+                "vertex_id",
+                (F.lit(base) + F.lit(alpha) * F.col("in_mass")).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+
+        err = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "old"), "vertex_id"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if err < n * tol:
+            break
+    shares.unpersist()
+    dangling.unpersist()
+    return ranks
+
+
+def visit_rates(graph: Graph) -> DataFrame:
+    """Degree-proportional stationary distribution p_v = deg(v)/2m —
+    the reference's random-walker visit rates (evaluation.py:204-207)."""
+    m2 = 2.0 * graph.edges.count()
+    return graph.degrees().select(
+        "vertex_id", (F.col("degree") / F.lit(m2)).alias("rate")
+    )

@@ -1,0 +1,49 @@
+"""Triangle counting via edge-ordered two-hop join (SURVEY G9).
+
+Not present in the reference; required by the north rule's supporting-
+operator list.  Classic Cohen / "MapReduce triangle" plan on the
+canonical (src < dst) edge table:
+
+    wedges  = e1(a,b) JOIN e2(b,c)      -- a < b < c by canonicality
+    closed  = wedges JOIN e3(a,c)
+
+Every triangle {a<b<c} is emitted exactly once.  Catalyst picks
+sort-merge joins; AQE splits skewed hub keys.  Per-vertex counts explode
+each closed wedge to its three corners and hash-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+
+
+def _closed_wedges(graph: Graph) -> DataFrame:
+    e = graph.edges.select("src", "dst").distinct()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
+def triangle_count(graph: Graph) -> int:
+    """Total number of triangles in the graph."""
+    return _closed_wedges(graph).count()
+
+
+def triangles_per_vertex(graph: Graph) -> DataFrame:
+    """(vertex_id, triangles) for every vertex — matches nx.triangles."""
+    tri = _closed_wedges(graph)
+    corners = (
+        tri.select(F.col("a").alias("vertex_id"))
+        .unionAll(tri.select(F.col("b").alias("vertex_id")))
+        .unionAll(tri.select(F.col("c").alias("vertex_id")))
+    )
+    counts = corners.groupBy("vertex_id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        graph.vertices.select("vertex_id")
+        .join(counts, "vertex_id", "left")
+        .fillna({"triangles": 0})
+    )

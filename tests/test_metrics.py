@@ -1,0 +1,139 @@
+"""Metric operators vs reference-formula oracles + networkx cross-check."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.metrics import (
+    conductance,
+    coverage,
+    description_length,
+    evaluate_all,
+    modularity,
+    nmi,
+)
+from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_ground_truth, synth_transcripts
+
+from tests.conftest import graph_to_networkx
+from tests.oracles import (
+    oracle_conductance,
+    oracle_coverage,
+    oracle_description_length,
+    oracle_modularity,
+    oracle_nmi,
+)
+
+TWO_TRI = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+SPLIT = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def _assign_df(spark, partition):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in partition.items()], "vertex_id long, comm long"
+    )
+
+
+@pytest.fixture(scope="module")
+def medium(spark):
+    """Induced graph (~80 vertices) + a few partitions to test against."""
+    t = synth_transcripts(spark, n_convs=80, n_tools=16, n_clusters=4, seed=42)
+    g = induce_graph(t, binarize=True)
+    for df in (g.vertices, g.edges):
+        df.persist().count()
+    nxg = graph_to_networkx(g)
+    partitions = {
+        "all_one": {v: 0 for v in nxg.nodes()},
+        "mod4": {v: v % 4 for v in nxg.nodes()},
+        "louvain": {
+            v: i
+            for i, cc in enumerate(nx.community.louvain_communities(nxg, seed=7))
+            for v in cc
+        },
+    }
+    return g, nxg, partitions
+
+
+def test_modularity_micro(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    nxg = graph_to_networkx(g)
+    q = modularity(g, _assign_df(spark, SPLIT))
+    assert q == pytest.approx(oracle_modularity(nxg, SPLIT), abs=1e-12)
+    # cross-check against networkx's own modularity
+    nx_q = nx.community.modularity(nxg, [{0, 1, 2}, {3, 4, 5}])
+    assert q == pytest.approx(nx_q, abs=1e-12)
+    # hand value: m=7, intra=3+3, degs: [2,2,3,3,2,2] per side -> 7 each
+    assert q == pytest.approx(6 / 7 - 2 * (7 / 14) ** 2, abs=1e-12)
+
+
+@pytest.mark.parametrize("pname", ["all_one", "mod4", "louvain"])
+def test_metrics_vs_oracles(spark, medium, pname):
+    g, nxg, partitions = medium
+    part = partitions[pname]
+    assign = _assign_df(spark, part)
+
+    assert modularity(g, assign) == pytest.approx(oracle_modularity(nxg, part), abs=1e-9)
+
+    per_df, avg = conductance(g, assign)
+    o_per, o_avg = oracle_conductance(nxg, part)
+    got_per = {r["comm"]: r["conductance"] for r in per_df.collect()}
+    assert avg == pytest.approx(o_avg, abs=1e-9)
+    for c, v in o_per.items():
+        assert got_per[c] == pytest.approx(v, abs=1e-9)
+
+    assert coverage(g, assign) == pytest.approx(oracle_coverage(nxg, part), abs=1e-9)
+
+    h, per = description_length(g, assign)
+    o_h, o_per_dl = oracle_description_length(nxg, part)
+    assert h == pytest.approx(o_h, abs=1e-9)
+    got_dl = {r["comm"]: r["entropy"] for r in per.collect()}
+    assert got_dl == pytest.approx(o_per_dl, abs=1e-9)
+
+
+def test_nmi_against_oracle_and_planted(spark, medium):
+    g, nxg, partitions = medium
+    pred = partitions["louvain"]
+    true = partitions["mod4"]
+    a = _assign_df(spark, pred)
+    b = _assign_df(spark, true)
+    assert nmi(a, b) == pytest.approx(oracle_nmi(pred, true), abs=1e-9)
+    # identity => 1, single-cluster vs itself => 1, independence-ish < 1
+    assert nmi(a, a) == pytest.approx(1.0, abs=1e-12)
+    ones = _assign_df(spark, {v: 0 for v in pred})
+    assert nmi(ones, ones) == pytest.approx(1.0)
+    assert nmi(a, ones) == pytest.approx(0.0)
+
+
+def test_nmi_partial_overlap(spark):
+    pred = {0: 0, 1: 0, 2: 1, 3: 1}
+    true = {2: 5, 3: 5, 4: 6}
+    a = _assign_df(spark, pred)
+    b = _assign_df(spark, true)
+    assert nmi(a, b) == pytest.approx(oracle_nmi(pred, true), abs=1e-12)
+
+
+def test_evaluate_all_bundle(spark, medium):
+    g, nxg, partitions = medium
+    part = partitions["louvain"]
+    assign = _assign_df(spark, part)
+    gt = synth_ground_truth(spark, n_convs=80, n_tools=16, n_clusters=4, seed=42)
+    gt_ids = g.vertices.join(gt, "actor").select("vertex_id", "comm")
+    out = evaluate_all(g, assign, ground_truth=gt_ids, algorithm_type="infomap")
+    assert out["num_communities"] == len(set(part.values()))
+    assert out["modularity"] == pytest.approx(oracle_modularity(nxg, part), abs=1e-9)
+    o_h, _ = oracle_description_length(nxg, part)
+    assert out["description_length"] == pytest.approx(o_h, abs=1e-9)
+    sizes = sorted(
+        len([v for v in part if part[v] == c]) for c in set(part.values())
+    )
+    assert out["size_stats"]["min"] == sizes[0]
+    assert out["size_stats"]["max"] == sizes[-1]
+    import numpy as np
+
+    assert out["size_stats"]["median"] == pytest.approx(float(np.median(sizes)))
+    assert out["size_stats"]["std"] == pytest.approx(float(np.std(sizes)), abs=1e-9)
+    assert 0.0 <= out["nmi"] <= 1.0
+    # louvain on the planted-cluster graph should recover structure well
+    assert out["nmi"] > 0.5

@@ -1,0 +1,97 @@
+"""PageRank allclose(1e-6) vs networkx; triangle counts exact vs networkx."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from csd363_sin_spark.operators.pagerank import pagerank, visit_rates
+from csd363_sin_spark.operators.triangles import triangle_count, triangles_per_vertex
+from csd363_sin_spark.plans.induce import Graph, graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+from tests.conftest import graph_to_networkx
+
+
+def _nx_pagerank(nxg, weighted):
+    # nx.pagerank delegates to scipy (absent in this env); use networkx's
+    # pure-python power iteration, which implements identical semantics
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    return _pagerank_python(
+        nxg, alpha=0.85, tol=1e-6, weight="weight" if weighted else None
+    )
+
+
+def _check_pagerank(graph, nxg, weighted=True, **kw):
+    got = {r["vertex_id"]: r["rank"] for r in pagerank(graph, weighted=weighted, **kw).collect()}
+    expected = _nx_pagerank(nxg, weighted)
+    assert set(got) == set(expected)
+    g_arr = np.array([got[v] for v in sorted(got)])
+    e_arr = np.array([expected[v] for v in sorted(got)])
+    assert np.allclose(g_arr, e_arr, atol=1e-6)
+    assert abs(g_arr.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star(spark):
+    # closed form check territory: hub + 8 leaves
+    g = graph_from_edges(spark, [(0, i) for i in range(1, 9)])
+    _check_pagerank(g, graph_to_networkx(g))
+
+
+def test_pagerank_with_isolates_dangling(spark):
+    g = graph_from_edges(spark, [(0, 1), (1, 2)])
+    iso = spark.createDataFrame(
+        [(10, "v:10", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    nxg = graph_to_networkx(g)
+    _check_pagerank(g, nxg)
+
+
+def test_pagerank_weighted_induced(spark):
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=42)
+    g = induce_graph(t)  # weighted co-occurrence
+    _check_pagerank(g, graph_to_networkx(g), weighted=True)
+
+
+def test_pagerank_unweighted_induced(spark):
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=43)
+    g = induce_graph(t, binarize=True)
+    _check_pagerank(g, graph_to_networkx(g), weighted=False)
+
+
+def test_visit_rates(spark):
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    nxg = graph_to_networkx(g)
+    got = {r["vertex_id"]: r["rate"] for r in visit_rates(g).collect()}
+    m2 = 2 * nxg.number_of_edges()
+    for v in nxg.nodes():
+        assert got[v] == pytest.approx(nxg.degree(v) / m2, abs=1e-12)
+
+
+def test_triangles_k4(spark):
+    g = graph_from_edges(
+        spark, [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    )
+    assert triangle_count(g) == 4
+    per = {r["vertex_id"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    assert per == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_vs_networkx(spark):
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=42)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    expected = nx.triangles(nxg)
+    assert triangle_count(g) == sum(expected.values()) // 3
+    per = {r["vertex_id"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    assert per == expected
+
+
+def test_triangles_triangle_free(spark):
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(6)])
+    assert triangle_count(g) == 0
+    per = triangles_per_vertex(g)
+    assert per.filter(per.triangles > 0).isEmpty()
