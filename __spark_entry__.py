@@ -221,19 +221,196 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_labels(named_assign: DataFrame) -> DataFrame:
+    """(actor, comm) -> (actor, comm_actor) with comm_actor = min actor in
+    the community — id-scheme-independent canonical labeling."""
+    roots = named_assign.groupBy("comm").agg(F.min("actor").alias("comm_actor"))
+    return named_assign.join(roots, "comm").select("actor", "comm_actor")
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative; exactness vs spec oracle in tests/test_louvain)."""
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    res = louvain(g, weighted=True)
+    named = res.assign.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_gn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Louvain -> GN refinement of communities > 100 members."""
+    from csd363_sin_spark.operators.gn import refine_girvan_newman
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    base = louvain(g, weighted=True).assign
+    refined = refine_girvan_newman(
+        g, base, size_threshold=100, target_subcommunities=5,
+        max_iterations=10, betweenness_sources=64,
+    )
+    named = refined.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_infomap_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Louvain -> Infomap enhancement (map-equation kernel)."""
+    from csd363_sin_spark.operators.infomap import enhance_infomap
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    base = louvain(g, weighted=True).assign
+    out = enhance_infomap(g, base, modularity_threshold=0.3, min_size=10)
+    named = out.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: top-20 edges by sampled-source Brandes betweenness."""
+    from csd363_sin_spark.operators.betweenness import edge_betweenness
+
+    g = _graph(spark, sf_dir)
+    bet = edge_betweenness(g, k_sources=64)
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    return (
+        bet.join(va, "src")
+        .join(vb, "dst")
+        .orderBy(F.desc("betweenness"), F.asc("src_actor"), F.asc("dst_actor"))
+        .limit(20)
+        .select("src_actor", "dst_actor", F.round("betweenness", 4).alias("betweenness"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.text import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csd363_sin_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=None
+    )
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed candidates, exact-verified (no false
+    positives; subset property tested in tests/test_datapipeline)."""
+    from csd363_sin_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 64-bit simhash banding, hamming <= 3."""
+    from csd363_sin_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, n=1)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for probe vectors (vec_id < 3).
+
+    Integer-only output (probe_id, vec_id, rank) so float32 arithmetic
+    differences between engines cannot flip the value hash."""
+    from csd363_sin_spark.functions.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return cosine_topk(emb, probes, k=5).select("probe_id", "vec_id", "rank")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.99 (pairs only, no float column)."""
+    from csd363_sin_spark.functions.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        _embeddings(spark, sf_dir), threshold=0.99, exact=True
+    ).select("id_a", "id_b")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH approximate top-5 (scale path)."""
+    from csd363_sin_spark.functions.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return lsh_topk(emb, probes, dim=64, k=5, num_planes=6, num_tables=4).select(
+        "probe_id", "vec_id", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # graph core (SURVEY §2.1/2.2)
         "induce_edges": q_induce_edges,
         "vertex_degrees": q_vertex_degrees,
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
         "connected_components": q_connected_components,
+        # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
         "conductance_fixed_partition": q_conductance_fixed_partition,
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
         "nmi_fixed_partitions": q_nmi_fixed_partitions,
+        # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
+        "louvain": q_louvain,
+        "gn_refine": q_gn_refine,
+        "infomap_enhance": q_infomap_enhance,
+        "betweenness_topk": q_betweenness_topk,
+        # training-data pipeline ops
+        "doc_token_stats": q_doc_token_stats,
+        "doc_language_id": q_doc_language_id,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk": q_lsh_topk,
     }
 
 
@@ -273,6 +450,33 @@ def _stats_cte(part_sql: str) -> str:
         part_v=part_sql.replace("actor", "s.v"),
         part=part_sql,
     )
+
+
+# --- documents-side oracle plumbing: generated from the SAME python
+# constants as the Spark operators (csd363_sin_spark/functions/text.py)
+# so the two tokenizers cannot drift.
+from csd363_sin_spark.functions.text import _EN_STOPWORDS, LANG_MARKERS  # noqa: E402
+
+_DOC_PRELUDE = r"""
+WITH toksrc AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'
+    ) AS toks
+  FROM documents
+)
+"""
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANG_SCORE_SQL = ",\n    ".join(
+    f"len(list_intersect(list_distinct(toks), {_sql_list(words)})) AS score_{lang}"
+    for lang, words in sorted(LANG_MARKERS.items())
+)
+_SW_SQL = _sql_list(_EN_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -366,6 +570,107 @@ SELECT round(CASE
   WHEN ((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0 = 0 OR (SELECT mi FROM mi) = 0 THEN 0.0
   ELSE LEAST(1.0, (SELECT mi FROM mi) / (((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0))
 END, 6) AS nmi
+""",
+        "doc_token_stats": _DOC_PRELUDE
+        + """
+SELECT doc_id,
+  length(text) AS n_chars,
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+  (len(regexp_split_to_array(text, '[A-Za-z]+')) - 1
+   + len(regexp_split_to_array(text, '[0-9]+')) - 1) AS n_pieces,
+  CASE WHEN length(text) > 0
+       THEN round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE), 6)
+       ELSE 0.0 END AS punct_ratio
+FROM toksrc
+""",
+        "doc_language_id": _DOC_PRELUDE
+        + f"""
+, scored AS (
+  SELECT doc_id,
+    {_LANG_SCORE_SQL}
+  FROM toksrc
+)
+SELECT doc_id,
+  CASE
+    WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+    WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) AND score_en > 0 THEN 'en'
+    WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) AND score_es > 0 THEN 'es'
+    WHEN score_fr = GREATEST(score_de, score_en, score_es, score_fr) AND score_fr > 0 THEN 'fr'
+    ELSE 'und' END AS pred_lang
+FROM scored
+""",
+        "doc_quality": _DOC_PRELUDE
+        + f"""
+, q AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 50 THEN 1.0 ELSE 0.0 END AS len_ok,
+    CASE WHEN (CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.3
+         THEN 1.0 ELSE 0.0 END AS punct_ok,
+    LEAST(1.0, len(list_intersect(list_distinct(toks), {_SW_SQL})) / 4.0) AS sw_score
+  FROM toksrc
+)
+SELECT doc_id, round((len_ok + punct_ok + sw_score) / 3.0, 6) AS quality FROM q
+""",
+        "doc_fingerprint": _DOC_PRELUDE
+        + """
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+       length(array_to_string(toks, ' ')) AS norm_len
+FROM toksrc
+""",
+        "dedup_exact": _DOC_PRELUDE
+        + """
+, keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)
+SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp
+""",
+        "ngram_jaccard_dups": _DOC_PRELUDE
+        + """
+, sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3
+           THEN array_to_string(toks[i:i+2], ' ')
+           ELSE array_to_string(toks, ' ') END AS shingle
+    FROM toksrc, LATERAL (
+      SELECT unnest(range(1, GREATEST(len(toks) - 1, 2))) AS i
+    )
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+""",
+        "embedding_topk": """
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT pr.probe_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, pr.p), 6) AS cosine
+  FROM embeddings e CROSS JOIN probes pr
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """,
         # pagerank: intentionally omitted -> rows-only check (iterative
         # fixpoint; exactness covered by pytest oracle at 1e-6)

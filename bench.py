@@ -67,17 +67,42 @@ def main() -> None:
     )
     timed("evaluate_all", lambda: evaluate_all(g, assign))
 
-    # optional heavier stages land here as they are implemented (louvain,
-    # gn refinement, infomap) — bench stays runnable at every milestone
-    try:
-        from csd363_sin_spark.operators.louvain import louvain
+    from csd363_sin_spark.operators.infomap import enhance_infomap
+    from csd363_sin_spark.operators.louvain import louvain
 
-        timed("louvain", lambda: louvain(g).assign.count())
-    except ImportError:
-        pass
+    res = timed("louvain", lambda: louvain(g))
+    louvain_assign = res.assign.persist()
+    louvain_assign.count()
+    timed(
+        "infomap_enhance",
+        lambda: enhance_infomap(
+            g, louvain_assign, modularity_threshold=0.3, min_size=10
+        ).count(),
+    )
+
+    # training-data pipeline ops over documents/embeddings
+    from csd363_sin_spark.functions.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from csd363_sin_spark.functions.similarity import cosine_topk
+    from csd363_sin_spark.functions.text import language_id, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    timed("doc_language_id", lambda: language_id(docs).count())
+    timed("doc_quality", lambda: quality_score(docs).count())
+    timed("minhash_lsh_dups", lambda: minhash_lsh_pairs(docs, n=3, threshold=0.5).count())
+    timed("simhash_dups", lambda: simhash_near_pairs(docs, max_hamming=3).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    probes = emb.limit(8).selectExpr("vec_id as probe_id", "embedding as probe_vec")
+    timed("embedding_topk", lambda: cosine_topk(emb, probes, k=10).count())
 
     total = round(time.time() - t_all, 3)
     pr_eps = n_edges * 2 / timings["pagerank"] if timings.get("pagerank") else 0
+    louvain_eps = (
+        n_edges * 2 * max(1, res.supersteps) / timings["louvain"]
+        if timings.get("louvain")
+        else 0
+    )
     print(
         json.dumps(
             {
@@ -89,6 +114,9 @@ def main() -> None:
                 "extra": {
                     "edges": n_edges,
                     "pagerank_edges_per_sec": round(pr_eps),
+                    "louvain_superstep_edges_per_sec": round(louvain_eps),
+                    "louvain_modularity": round(res.modularity, 4),
+                    "louvain_supersteps": res.supersteps,
                     "cpus": int(cpus),
                 },
             }

@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup over ``documents`` / ``embeddings`` tables.
+
+Scale design:
+* exact dedup is one hash aggregation (map-side combined);
+* n-gram Jaccard goes through a shingle-inverted-index join — the
+  classic quadratic-blowup risk is capped by dropping ultra-frequent
+  shingles (``max_shingle_freq``), the standard trick since they carry
+  no discriminative signal;
+* MinHash banding turns candidate generation into an equi-join on
+  (band_id, band_hash) — linear shuffle, no all-pairs compare; survivors
+  are verified with the exact Jaccard;
+* SimHash reduces a document to 64 bits; near-dups are found by banding
+  the bits (pigeonhole: hamming distance <= 3 with 4 bands guarantees an
+  exact band match) and verifying hamming distance;
+* embedding near-dup = cosine >= threshold via the similarity module.
+
+Everything is built-in expressions + joins; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.text import _tokens
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    ``(fingerprint, canonical_doc_id, dup_doc_id)`` for every duplicate
+    beyond the keeper (lowest doc_id)."""
+    keyed = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", _tokens(F.col("text")))).alias("fp")
+    )
+    keeper = keyed.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        keyed.join(keeper, "fp")
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(F.col("fp").alias("fingerprint"), "canonical_doc_id", F.col("doc_id").alias("dup_doc_id"))
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep one representative (lowest doc_id) per normalized content."""
+    keyed = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", _tokens(F.col("text")))).alias("fp")
+    )
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def _shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the normalized tokens."""
+    toks = _tokens(F.col("text"))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs:
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b and jaccard >= t.
+
+    Inverted-index join; ``max_shingle_freq`` drops shingles occurring in
+    more than that many docs (hub-shingle blowup guard — set None for the
+    fully exact small-scale/oracle mode).
+    """
+    sh = _shingles(docs, n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig array<long>) — MinHash signature over word shingles.
+
+    Hash family: xxhash64(shingle, seed=i), i = 0..num_hashes-1; the min
+    over a document's shingles per seed.  One explode + one aggregation.
+    """
+    sh = _shingles(docs, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-verified.
+
+    Signatures are cut into ``bands`` bands; docs sharing any full band
+    become candidates (equi-join on band hash — the scale path); exact
+    n-gram Jaccard then filters to >= threshold, so the output has no
+    false positives (only possible false negatives, tuned by bands/rows).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_shingle_freq=None)
+    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, n: int = 1) -> DataFrame:
+    """(doc_id, simhash long) — 64-bit SimHash over token (n-)shingles.
+
+    Bit b of the hash is 1 iff the majority of the document's shingle
+    hashes have bit b set.  Pure expressions: per-bit vote via
+    ``shiftright & 1`` aggregation.
+    """
+    sh = _shingles(docs, n).withColumn("h", F.xxhash64("shingle"))
+    votes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    bit_terms = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") * 2 > F.col("cnt"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        bit_terms = term if bit_terms is None else bit_terms.bitwiseOR(term)
+    return votes.select("doc_id", bit_terms.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, n: int = 1, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with ``bands`` 16-bit bands, any pair within
+    hamming <= bands-1 shares at least one exact band — candidates come
+    from an equi-join on (band, 16-bit chunk), then exact hamming filters.
+    """
+    sh = simhash(docs, n)
+    width = 64 // bands
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

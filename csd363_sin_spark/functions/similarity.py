@@ -1,0 +1,235 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+Brute-force cosine top-k as the exact baseline, and a deterministic
+random-hyperplane LSH bucketing as the scale path (probe only matching
+buckets; recall tunable by number of tables/bits).
+
+Embeddings are ``array<float/double>`` columns; all math is built-in
+(``F.zip_with`` + ``F.aggregate`` dot products, JVM-side) — no Python in
+the hot path.  Hyperplane coefficients are derived from ``xxhash64`` of
+(table, plane, dim), so plans are reproducible with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity expression between two array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for every probe vector, the k
+    nearest corpus vectors.  Deterministic ties -> lowest corpus id.
+
+    Scale note: cost is |probes| x |corpus| similarity evaluations; the
+    corpus side streams (no shuffle) when probes broadcast.  Use
+    :func:`lsh_topk` when both sides are large.
+    """
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), cast(vec_col).alias("v")
+    )
+    ps = probes.select(
+        F.col(probe_id_col).alias("probe_id"), cast(probe_vec_col).alias("p")
+    )
+    scored = corpus.crossJoin(F.broadcast(ps)).select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("v"), F.col("p")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col, dim: int, num_planes: int = 8, table: int = 0):
+    """Deterministic LSH bucket id: sign bits of ``num_planes``
+    pseudo-random hyperplane projections.  Coefficient for (plane p,
+    dimension d) = xxhash64(table, p, d) scaled to [-1, 1]."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(table), F.lit(p), F.lit(d)), F.lit(2000003)
+                    ).cast("double")
+                    / F.lit(1000001.5)
+                    - F.lit(1.0)
+                )
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: probe only corpus vectors sharing an LSH
+    bucket in any of ``num_tables`` tables, then exact-rank the candidates.
+    The scale path — candidate generation is an equi-join on (table,
+    bucket), never an all-pairs compare."""
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    ps = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(probe_vec_col).alias("p")
+    )
+    c_buckets = corpus.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("v"), dim, num_planes, t).alias("bkt"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    p_buckets = ps.select(
+        "probe_id",
+        "p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("p"), dim, num_planes, t).alias("bkt"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("probe_id", "p", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    cands = (
+        c_buckets.join(p_buckets, ["tbl", "bkt"])
+        .select("probe_id", "vec_id", "v", "p")
+        .distinct()
+    )
+    scored = cands.select(
+        "probe_id",
+        "vec_id",
+        F.round(
+            cosine_similarity_col(
+                F.transform("v", lambda x: x.cast("double")),
+                F.transform("p", lambda x: x.cast("double")),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    ``exact=True`` compares all pairs (oracle/small mode); otherwise LSH
+    buckets bound the candidate set."""
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    e = embeddings.select(F.col(id_col).alias("id"), cast(vec_col).alias("v"))
+    if exact:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        assert dim is not None, "dim required for LSH mode"
+        bucketed = e.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_bucket(F.col("v"), dim, num_planes, t).alias(
+                                "bkt"
+                            ),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        pairs = (
+            bucketed.alias("x")
+            .join(bucketed.alias("y"), ["tbl", "bkt"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.v").alias("va"),
+                F.col("y.v").alias("vb"),
+            )
+            .distinct()
+        )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import materialize
 
 
 def _sym(pairs: DataFrame) -> DataFrame:
@@ -77,7 +78,7 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = materialize(pairs)
 
     prev_sig = None
     for _ in range(max_iterations):
@@ -85,7 +86,7 @@ def connected_components(
         pairs_new = (
             pairs_new.checkpoint(eager=True)
             if use_reliable_checkpoint
-            else pairs_new.localCheckpoint(eager=True)
+            else materialize(pairs_new)
         )
         sig_row = pairs_new.agg(
             F.count(F.lit(1)).alias("c"), F.sum(F.col("u") + F.col("v")).alias("s")

@@ -1,0 +1,180 @@
+"""Girvan-Newman refinement of large communities (SURVEY C2-C4, G5).
+
+Reference behavior (detection.py:44-142): for every Louvain community
+larger than ``size_threshold`` — extract its subgraph, run GN until
+``target = max(2, min(target_subcommunities, n//10))`` subcommunities
+(best-modularity split tracked, girvan_newman_wrapper.py:13-129), splice
+the winning sub-partition back with fresh community ids.  The reference
+loops communities sequentially in Python; we process ALL large communities
+in parallel — each community's intra-edge set is one group of an
+``applyInPandas`` kernel running the deterministic local GN
+(csd363_sin_spark/functions/brandes.py).
+
+For a community too large for one task, the same split can be driven by
+the distributed Brandes kernel (operators/betweenness.py) + batch edge
+removal (``remove_edges``) + connected components — the
+``girvan_newman_distributed`` helper below; the grouped path is the
+default because refined communities are bounded by the Louvain community
+size distribution (reference run: 3 communities of ~10-40k nodes).
+
+Splice id rule (reference detection.py:121-130 uses a driver counter):
+deterministic instead — new id = max(comm) + 1 + dense_rank(parent_comm,
+sub_comm), identical under any execution order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.brandes import girvan_newman_local
+from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import materialize
+
+
+def remove_edges(edges: DataFrame, to_remove: DataFrame) -> DataFrame:
+    """Immutable edge removal (reference girvan_newman_wrapper.py:224):
+    anti-join on both orientations of (src, dst)."""
+    canon = to_remove.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return edges.join(canon, ["src", "dst"], "left_anti")
+
+
+def refine_girvan_newman(
+    graph: Graph,
+    assign: DataFrame,
+    size_threshold: int,
+    target_subcommunities: int = 5,
+    max_iterations: int | None = None,
+    betweenness_sources: int | None = None,
+) -> DataFrame:
+    """Refine communities with > ``size_threshold`` members; returns a new
+    ``(vertex_id, comm)`` assignment."""
+    spark = graph.edges.sparkSession
+    sizes = assign.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
+    large = sizes.filter(F.col("size") > size_threshold).select("comm")
+    if large.isEmpty():
+        return assign
+
+    a_src = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
+    a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
+    intra = (
+        graph.edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .select(F.col("c1").alias("comm"), "src", "dst")
+        .join(large, "comm", "left_semi")
+    )
+    members = assign.join(large, "comm", "left_semi").select(
+        "comm", F.col("vertex_id").alias("src"), F.lit(None).cast("long").alias("dst")
+    )
+    grouped = intra.unionByName(members)
+
+    max_iter = max_iterations
+    target_cap = target_subcommunities
+    k_sources = betweenness_sources
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        comm = int(pdf["comm"].iloc[0])
+        edge_mask = pdf["dst"].notna()
+        edges = list(
+            zip(
+                pdf.loc[edge_mask, "src"].astype("int64"),
+                pdf.loc[edge_mask, "dst"].astype("int64"),
+            )
+        )
+        verts = set(pdf["src"].astype("int64"))
+        verts.update(v for e in edges for v in e)
+        n = len(verts)
+        # reference detection.py:88-99: skip tiny; target by size
+        if n < 3 or len(set(map(tuple, map(sorted, edges)))) < 2:
+            sub = {v: 0 for v in verts}
+        else:
+            target = max(2, min(target_cap, n // 10))
+            sub = girvan_newman_local(
+                edges,
+                sorted(verts),
+                max_communities=target,
+                max_iterations=max_iter,
+                betweenness_sources=k_sources,
+            )
+        return pd.DataFrame(
+            {
+                "vertex_id": list(sub.keys()),
+                "parent": [comm] * len(sub),
+                "sub": [int(sub[v]) for v in sub],
+            }
+        )
+
+    refined = grouped.groupBy("comm").applyInPandas(
+        kernel, "vertex_id long, parent long, sub long"
+    )
+    refined = materialize(refined)
+
+    # only splice parents that actually split (reference detection.py:118-136)
+    multi = (
+        refined.groupBy("parent")
+        .agg(F.countDistinct("sub").alias("k"))
+        .filter(F.col("k") > 1)
+        .select("parent")
+    )
+    refined = refined.join(multi, "parent", "left_semi")
+    if refined.isEmpty():
+        return assign
+
+    max_comm = assign.agg(F.max("comm")).collect()[0][0] or 0
+    pairs = refined.select("parent", "sub").distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("parent", "sub")  # tiny: one row per new subcommunity
+    id_map = pairs.withColumn(
+        "new_comm", F.lit(int(max_comm)) + F.dense_rank().over(w)
+    )
+    new_assign = (
+        refined.join(F.broadcast(id_map), ["parent", "sub"])
+        .select("vertex_id", F.col("new_comm").alias("comm"))
+    )
+    return (
+        assign.join(new_assign.select("vertex_id"), "vertex_id", "left_anti")
+        .unionByName(new_assign)
+    )
+
+
+def girvan_newman_distributed(
+    graph: Graph,
+    max_communities: int,
+    max_iterations: int = 50,
+    k_sources: int | None = None,
+    batch_remove: int = 1,
+) -> DataFrame:
+    """Whole-graph GN split via the distributed Brandes kernel — the scale
+    path for a community too large for one grouped task (reference
+    run_optimized_girvan_newman, girvan_newman_wrapper.py:131-276, incl.
+    its batch removal of the top-k betweenness edges per round :220-224).
+
+    Returns (vertex_id, comm) where comm = component min-vertex label.
+    """
+    from csd363_sin_spark.operators.betweenness import edge_betweenness
+    from csd363_sin_spark.operators.components import connected_components
+
+    edges = graph.edges
+    for _ in range(max_iterations):
+        g = Graph(vertices=graph.vertices, edges=edges)
+        comp = connected_components(g)
+        n_comp = comp.select("comp_id").distinct().count()
+        if n_comp >= max_communities:
+            return comp.select("vertex_id", F.col("comp_id").alias("comm"))
+        bet = edge_betweenness(g, k_sources=k_sources)
+        top = (
+            bet.orderBy(F.desc("betweenness"), F.asc("src"), F.asc("dst"))
+            .limit(batch_remove)
+            .select("src", "dst")
+        )
+        edges = materialize(remove_edges(edges, top))
+        if edges.isEmpty():
+            break
+    g = Graph(vertices=graph.vertices, edges=edges)
+    comp = connected_components(g)
+    return comp.select("vertex_id", F.col("comp_id").alias("comm"))

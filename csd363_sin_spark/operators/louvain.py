@@ -1,0 +1,327 @@
+"""Distributed Louvain community detection (SURVEY C1).
+
+Replaces the reference's call into python-louvain ``best_partition``
+(reference detection.py:11-42).  python-louvain is inherently sequential
+(one node moved at a time with immediate updates), which cannot scale;
+this module implements a **deterministic synchronous Louvain variant**
+whose spec is pinned precisely so that a sequential oracle
+(tests/louvain_oracle.py) reproduces it bit-for-bit — the exact-assignment
+requirement of the north rule is checked against that spec oracle, and
+solution *quality* (modularity) is checked against networkx's Louvain.
+
+Spec (level = local-move phase + contraction, as in classic Louvain):
+
+* ``m``     = total edge weight of the current level graph (self-loops
+  counted once).
+* ``k_v``   = strength of v (self-loops counted twice).
+* ``S(c)``  = sum of strengths of members of c; ``S'(c)`` = S(c) with
+  v's contribution removed when c is v's current community.
+* ``k_in(v,c)`` = weight from v to neighbors (excluding v itself) in c.
+* score(v,c) = 2m * k_in(v,c) - k_v * S'(c)   — the modularity gain
+  times the positive constant 4m^2, so with integer edge weights every
+  score is integer-valued and argmax comparisons are EXACT in doubles
+  (no cross-engine FP ambiguity up to |score| < 2^53).
+* target(v) = argmax over c in {neighbor comms} ∪ {current comm};
+  ties broken by smallest community id; v moves only if
+  score(target) > score(current) strictly.
+* **Monotone down-only gating**: a vertex may only move to a community
+  with a SMALLER id than its current one.  The sum of community ids then
+  strictly decreases on every superstep that moves anything, so the phase
+  PROVABLY terminates (no synchronous-Louvain swap/oscillation is
+  possible), one zero-move superstep certifies convergence, and the
+  schedule is reproducible at any parallelism.  Upward merges happen in
+  reverse (members of the higher-id community move down) and across
+  levels via contraction; measured quality matches networkx's sequential
+  Louvain on planted-partition graphs.
+* Local-move phase ends at the first zero-move superstep (or
+  ``max_supersteps``).  Levels repeat while the composed partition's
+  modularity (measured on the ORIGINAL graph) improves by > ``min_gain``.
+* Contraction: new vertex ids = community ids; edge (c1, c2) weight =
+  sum of inter-community weights (c1==c2 rows are the self-loops).
+
+Scale notes: one superstep = one shuffle for neighbor-community weights
+(map-side combined), one broadcastable community-totals aggregate, one
+join to apply moves.  ``assign`` passes through
+:func:`csd363_sin_spark.plans.lineage.materialize` every superstep —
+truncating both lineage and the compounding size estimates that otherwise
+melt Catalyst's stats visitor (see plans/lineage.py).  Hub-vertex
+aggregation skew is absorbed by partial aggregation; AQE splits skewed
+join partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import materialize
+
+
+@dataclass
+class LouvainResult:
+    assign: DataFrame  # (vertex_id long, comm long) on the ORIGINAL graph
+    modularity: float
+    levels: int
+    supersteps: int
+    history: list = field(default_factory=list)  # per-level modularity
+
+
+def _strengths(edges: DataFrame) -> DataFrame:
+    """(vertex_id, k) strength incl. self-loops twice.  ``edges`` canonical
+    (src <= dst, one row per edge)."""
+    contrib = edges.select(
+        F.col("src").alias("vertex_id"),
+        F.when(F.col("src") == F.col("dst"), 2.0 * F.col("weight")).otherwise(
+            F.col("weight")
+        ).alias("k"),
+    ).unionAll(
+        edges.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("vertex_id"), F.col("weight").alias("k")
+        )
+    )
+    return contrib.groupBy("vertex_id").agg(F.sum("k").alias("k"))
+
+
+def _local_move_phase(
+    edges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_supersteps: int,
+) -> tuple[DataFrame, int]:
+    """Run down-only-gated synchronous local moves on one level graph.
+
+    ``edges`` canonical (src <= dst); ``vertices`` single column vertex_id.
+    Returns (assign, supersteps_used).
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .persist()
+    )
+    strengths = _strengths(edges).persist()
+    strengths.count()
+
+    assign = materialize(
+        vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    )
+
+    step = 0
+    for step in range(max_supersteps):
+        a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
+        k_in = (
+            sym.join(a_dst, "dst")
+            .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
+            .agg(F.sum("weight").alias("k_in"))
+        )
+        comm_tot = (
+            assign.join(strengths, "vertex_id")
+            .groupBy("comm")
+            .agg(F.sum("k").alias("S"))
+        )
+        # candidate set = neighbor comms ∪ current comm (k_in 0 if absent)
+        stay = assign.select("vertex_id", F.col("comm").alias("c_nbr"), F.lit(0.0).alias("k_in0"))
+        cands = (
+            stay.join(k_in, ["vertex_id", "c_nbr"], "left")
+            .select("vertex_id", "c_nbr", F.coalesce("k_in", "k_in0").alias("k_in"))
+            .unionByName(
+                k_in.join(
+                    assign.withColumnRenamed("comm", "c_cur"), "vertex_id"
+                )
+                .filter(F.col("c_nbr") != F.col("c_cur"))
+                .select("vertex_id", "c_nbr", "k_in")
+            )
+        )
+        scored = (
+            cands.join(assign, "vertex_id")
+            .join(strengths, "vertex_id")
+            .join(comm_tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
+            .select(
+                "vertex_id",
+                "comm",
+                "c_nbr",
+                (
+                    2.0 * m * F.col("k_in")
+                    - F.col("k")
+                    * (
+                        F.col("S")
+                        - F.when(F.col("c_nbr") == F.col("comm"), F.col("k")).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        # argmax score, ties -> smallest community id (negate id inside max)
+        best = scored.groupBy("vertex_id", "comm").agg(
+            F.max(F.struct(F.col("score"), (-F.col("c_nbr")).alias("nc"))).alias("b")
+        )
+        cur = scored.filter(F.col("c_nbr") == F.col("comm")).select(
+            "vertex_id", F.col("score").alias("cur_score")
+        )
+        decided = (
+            best.join(cur, "vertex_id")
+            .select(
+                "vertex_id",
+                "comm",
+                (-F.col("b.nc")).alias("target"),
+                (F.col("b.score") > F.col("cur_score")).alias("improves"),
+            )
+            .withColumn(
+                "next_comm",
+                F.when(
+                    F.col("improves") & (F.col("target") < F.col("comm")),
+                    F.col("target"),
+                ).otherwise(F.col("comm")),
+            )
+        )
+        decided = materialize(decided)
+        moves = decided.filter(F.col("next_comm") != F.col("comm")).count()
+        assign = decided.select("vertex_id", F.col("next_comm").alias("comm"))
+        if moves == 0:
+            # monotone schedule: an idle superstep is a fixpoint
+            break
+    sym.unpersist()
+    strengths.unpersist()
+    return assign, step + 1
+
+
+def _contract(edges: DataFrame, assign: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Contract communities into vertices; returns (edges2, vertices2)."""
+    a1 = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
+    a2 = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
+    edges2 = (
+        edges.join(a1, "src")
+        .join(a2, "dst")
+        .select(
+            F.least("c1", "c2").alias("src"),
+            F.greatest("c1", "c2").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    vertices2 = assign.select(F.col("comm").alias("vertex_id")).distinct()
+    return edges2, vertices2
+
+
+def louvain(
+    graph: Graph,
+    weighted: bool = True,
+    min_gain: float = 1.0e-7,
+    max_levels: int = 10,
+    max_supersteps: int = 64,
+    store=None,
+    stage: str = "louvain",
+) -> LouvainResult:
+    """Run deterministic distributed Louvain; returns composed assignment
+    on the original graph plus the final modularity.
+
+    ``store`` (a :class:`csd363_sin_spark.checkpoint.CheckpointStore`)
+    enables mid-algorithm resume: every level's contracted graph +
+    composed assignment is snapshotted, and a relaunched call continues
+    from the newest complete level (per-superstep lineage rows recorded).
+    """
+    from csd363_sin_spark.functions.metrics import modularity
+
+    spark = graph.edges.sparkSession
+    w = F.col("weight") if weighted else F.lit(1.0)
+    edges = materialize(graph.edges.select("src", "dst", w.alias("weight")))
+    vertices = materialize(graph.vertices.select("vertex_id"))
+
+    # composed: original vertex -> current community label
+    composed = vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    q_prev = None
+    total_steps = 0
+    history: list[float] = []
+    levels = 0
+    start_level = 0
+
+    meta_key = f"{stage}_state"
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        composed = materialize(store.load_df(spark, f"{stage}_composed"))
+        if meta.get("done"):
+            return LouvainResult(
+                assign=composed,
+                modularity=meta["history"][-1] if meta["history"] else 0.0,
+                levels=meta["levels"],
+                supersteps=meta["total_steps"],
+                history=meta["history"],
+            )
+        edges = materialize(store.load_df(spark, f"{stage}_edges"))
+        vertices = materialize(store.load_df(spark, f"{stage}_vertices"))
+        start_level = meta["level"]
+        q_prev = meta["q_prev"]
+        history = list(meta["history"])
+        total_steps = meta["total_steps"]
+        levels = meta["levels"]
+
+    def _snapshot(level_next: int, done: bool) -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_composed", composed)
+        if not done:
+            store.save_df(f"{stage}_edges", edges)
+            store.save_df(f"{stage}_vertices", vertices)
+        store.save_meta(
+            meta_key,
+            {
+                "level": level_next,
+                "q_prev": q_prev,
+                "history": history,
+                "total_steps": total_steps,
+                "levels": levels,
+                "done": done,
+            },
+        )
+        store.lineage(stage, level_next, composed)
+
+    for level in range(start_level, max_levels):
+        m_row = edges.agg(F.sum("weight")).collect()[0][0]
+        m = float(m_row or 0.0)
+        if m == 0.0:
+            break
+        assign, steps = _local_move_phase(edges, vertices, m, max_supersteps)
+        total_steps += steps
+
+        new_composed = materialize(
+            composed.join(
+                assign.select(
+                    F.col("vertex_id").alias("comm"), F.col("comm").alias("new_comm")
+                ),
+                "comm",
+            ).select("vertex_id", F.col("new_comm").alias("comm"))
+        )
+        q = modularity(graph, new_composed, weighted=weighted)
+        levels = level + 1
+        if q_prev is not None and q - q_prev <= min_gain:
+            if q > q_prev:
+                composed, history = new_composed, history + [q]
+            break
+        composed = new_composed
+        history.append(q)
+        q_prev = q
+
+        edges, vertices = _contract(edges, assign)
+        edges = materialize(edges)
+        vertices = materialize(vertices)
+        if vertices.count() <= 1:
+            break
+        _snapshot(level + 1, done=False)
+
+    _snapshot(levels, done=True)
+    return LouvainResult(
+        assign=composed,
+        modularity=history[-1] if history else 0.0,
+        levels=levels,
+        supersteps=total_steps,
+        history=history,
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import materialize
 
 
 def pagerank(
@@ -54,9 +55,9 @@ def pagerank(
     dangling = degs.filter(F.col("degree") == 0).select("vertex_id").persist()
     has_dangling = not dangling.isEmpty()
 
-    ranks = graph.vertices.select(
+    ranks = materialize(graph.vertices.select(
         "vertex_id", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
+    ))
 
     for _ in range(max_iter):
         contribs = (
@@ -76,7 +77,7 @@ def pagerank(
         else:
             dangling_mass = 0.0
         base = (1.0 - alpha) / n + alpha * dangling_mass / n
-        new_ranks = (
+        new_ranks = materialize(
             graph.vertices.select("vertex_id")
             .join(contribs, "vertex_id", "left")
             .fillna({"in_mass": 0.0})
@@ -84,7 +85,7 @@ def pagerank(
                 "vertex_id",
                 (F.lit(base) + F.lit(alpha) * F.col("in_mass")).alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        )
 
         err = (
             new_ranks.join(

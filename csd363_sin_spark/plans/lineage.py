@@ -1,0 +1,40 @@
+"""Lineage truncation for iterative DataFrames (the engine's superstep cut).
+
+Spark >= 3.4's ``localCheckpoint`` keeps the *origin plan's estimated
+statistics* on the resulting LogicalRDD (to help AQE).  In an iterative
+algorithm those estimates COMPOUND: every superstep's plan multiplies the
+previous checkpoint's sizeInBytes through its joins, so after k supersteps
+the BigInt estimate has ~c^k digits and Catalyst's stats visitor grinds
+BigInteger arithmetic for minutes — the job appears to hang (observed:
+1000+-digit sizes after 3 supersteps of the Louvain local-move, unbounded
+growth by level 2).
+
+:func:`materialize` truncates BOTH lineage and statistics:
+
+* local mode (default): ``localCheckpoint`` then re-wrap the checkpointed
+  RDD via ``createDataFrame(rdd, schema)`` — a fresh LogicalRDD with
+  default stats (constant digits, forever);
+* ``reliable=True``: round-trip through parquet in the checkpoint dir —
+  real file-based stats, survives executor loss; the right mode for long
+  cluster runs (swap the path for object storage / an Iceberg table).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Materialize ``df`` and return a stats-clean, lineage-free frame."""
+    spark = df.sparkSession
+    if reliable:
+        ckpt_dir = spark.sparkContext.getCheckpointDir()
+        path = os.path.join(ckpt_dir or "/tmp", "df_ckpt", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    jdf = df._jdf.localCheckpoint(True)
+    jdf2 = spark._jsparkSession.createDataFrame(jdf.toJavaRDD(), jdf.schema())
+    return DataFrame(jdf2, spark)

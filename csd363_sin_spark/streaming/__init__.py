@@ -1,0 +1,5 @@
+from csd363_sin_spark.streaming.ingest import (  # noqa: F401
+    stream_transcripts,
+    streaming_edge_counts,
+    run_incremental_induction,
+)

@@ -1,0 +1,163 @@
+"""Edge betweenness (distributed + local kernel) and GN refinement tests."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.brandes import (
+    components_local,
+    edge_betweenness_local,
+    girvan_newman_local,
+)
+from csd363_sin_spark.operators.betweenness import edge_betweenness
+from csd363_sin_spark.operators.gn import (
+    girvan_newman_distributed,
+    refine_girvan_newman,
+    remove_edges,
+)
+from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+from tests.conftest import graph_to_networkx
+
+BARBELL = (
+    [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    + [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    + [(4, 5)]
+)
+TWO_TRI = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+
+
+def _nx_adj(edges):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [BARBELL, TWO_TRI, [(i, i + 1) for i in range(9)], [(0, i) for i in range(1, 9)]],
+)
+def test_local_brandes_vs_networkx(edges):
+    nxg = nx.Graph(edges)
+    expected = nx.edge_betweenness_centrality(nxg, normalized=False)
+    got = edge_betweenness_local(_nx_adj(edges))
+    assert set(got) == {tuple(sorted(e)) for e in expected}
+    for e, val in expected.items():
+        assert got[tuple(sorted(e))] == pytest.approx(val, abs=1e-9)
+
+
+@pytest.mark.parametrize("edges", [BARBELL, TWO_TRI, [(i, i + 1) for i in range(9)]])
+def test_distributed_betweenness_vs_networkx(spark, edges):
+    g = graph_from_edges(spark, edges)
+    nxg = graph_to_networkx(g)
+    expected = nx.edge_betweenness_centrality(nxg, normalized=False)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g).collect()
+    }
+    for e, val in expected.items():
+        assert got[tuple(sorted(e))] == pytest.approx(val, abs=1e-6)
+    # bridge edge dominates on the barbell
+    if edges is BARBELL:
+        assert max(got, key=got.get) == (4, 5)
+
+
+def test_distributed_betweenness_disconnected_and_induced(spark):
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    nxg = graph_to_networkx(g)
+    expected = nx.edge_betweenness_centrality(nxg, normalized=False)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"] for r in edge_betweenness(g).collect()
+    }
+    arr_g = np.array([got[tuple(sorted(e))] for e in expected])
+    arr_e = np.array(list(expected.values()))
+    assert np.allclose(arr_g, arr_e, atol=1e-6)
+
+
+def test_sampled_betweenness_matches_local_kernel(spark):
+    g = graph_from_edges(spark, BARBELL)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g, k_sources=4).collect()
+    }
+    local = edge_betweenness_local(_nx_adj(BARBELL), sources=[0, 1, 2, 3])
+    for e, val in local.items():
+        assert got[e] == pytest.approx(val, abs=1e-9)
+
+
+def test_remove_edges(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    rm = spark.createDataFrame([(3, 2)], "src long, dst long")  # reversed orientation
+    left = remove_edges(g.edges, rm)
+    assert left.count() == 6
+    assert left.filter((F.col("src") == 2) & (F.col("dst") == 3)).isEmpty()
+
+
+def test_gn_local_kernel_barbell():
+    part = girvan_newman_local(BARBELL, list(range(10)), max_communities=2)
+    assert len(set(part.values())) == 2
+    assert {part[v] for v in range(5)} == {0}
+    assert {part[v] for v in range(5, 10)} == {5}
+
+
+def test_gn_local_disconnected_input():
+    # already-disconnected input: like the reference generator
+    # (girvan_newman_wrapper.py:53), GN yields only after the NEXT split —
+    # max-betweenness edge (0,1) is removed, giving 3 components
+    edges = [(0, 1), (1, 2), (5, 6)]
+    part = girvan_newman_local(edges, [0, 1, 2, 5, 6], max_communities=2)
+    assert part == {0: 0, 1: 1, 2: 1, 5: 5, 6: 5}
+    # components_local is the shortcut primitive used by the distributed
+    # path (reference :162-185)
+    comp = components_local(_nx_adj(edges))
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_refine_girvan_newman_splits_merged_community(spark):
+    g = graph_from_edges(spark, BARBELL)
+    assign = g.vertices.select("vertex_id", F.lit(0).cast("long").alias("comm"))
+    out = refine_girvan_newman(g, assign, size_threshold=5, target_subcommunities=2)
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(5, 10)}) == 1
+    assert min(got.values()) > 0  # fresh ids beyond old max
+
+
+def test_refine_noop_below_threshold(spark):
+    g = graph_from_edges(spark, BARBELL)
+    assign = g.vertices.select("vertex_id", F.lit(0).cast("long").alias("comm"))
+    out = refine_girvan_newman(g, assign, size_threshold=50)
+    assert {r["comm"] for r in out.collect()} == {0}
+
+
+def test_refine_multiple_communities_in_parallel(spark):
+    # two separate barbells, both assigned one community each -> both split
+    shift = 100
+    edges = BARBELL + [(u + shift, v + shift) for u, v in BARBELL]
+    g = graph_from_edges(spark, edges)
+    assign = g.vertices.select(
+        "vertex_id",
+        F.when(F.col("vertex_id") < shift, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("comm"),
+    )
+    out = refine_girvan_newman(g, assign, size_threshold=5, target_subcommunities=2)
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert len(set(got.values())) == 4
+    for base in (0, 5, shift, shift + 5):
+        assert len({got[base + i] for i in range(5)}) == 1
+
+
+def test_gn_distributed_two_triangles(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    out = girvan_newman_distributed(g, max_communities=2, max_iterations=5)
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]

@@ -1,0 +1,63 @@
+"""CSR block layer + Arrow-kernel PageRank tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.operators.pagerank import pagerank
+from csd363_sin_spark.plans.csr import blocks_stats, build_blocks, pagerank_csr
+from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+
+def test_blocks_cover_all_edges(spark):
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t)
+    blocks = build_blocks(g, num_blocks=4)
+    stats = blocks_stats(blocks).collect()
+    assert sum(r["num_edges"] for r in stats) == g.edges_sym().count()
+    # every source in a block hashes to that block
+    for row in blocks.collect():
+        for s in row["src_sorted"]:
+            assert s % 4 == row["part_id"]
+        assert len(row["offsets"]) == len(row["src_sorted"]) + 1
+        assert row["offsets"][-1] == len(row["dst"])
+
+
+def test_blocks_salting_splits_hubs(spark):
+    g = graph_from_edges(spark, [(0, i) for i in range(1, 21)])  # hub deg 20
+    blocks = build_blocks(g, num_blocks=2, salt_threshold=6)
+    rows = blocks.collect()
+    hub_rows = [r for r in rows if r["src_sorted"] == [0]]
+    assert len(hub_rows) == 4  # ceil(20/6)
+    assert sum(len(r["dst"]) for r in hub_rows) == 20
+    # all edges still present overall
+    assert sum(len(r["dst"]) for r in rows) == g.edges_sym().count()
+
+
+def _compare_pageranks(graph, **kw):
+    a = {r["vertex_id"]: r["rank"] for r in pagerank(graph).collect()}
+    b = {r["vertex_id"]: r["rank"] for r in pagerank_csr(graph, **kw).collect()}
+    assert set(a) == set(b)
+    av = np.array([a[k] for k in sorted(a)])
+    bv = np.array([b[k] for k in sorted(a)])
+    assert np.allclose(av, bv, atol=1e-9)
+
+
+def test_pagerank_csr_matches_join_version(spark):
+    t = synth_transcripts(spark, n_convs=50, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t)
+    _compare_pageranks(g, num_blocks=4)
+
+
+def test_pagerank_csr_with_salting_and_isolates(spark):
+    from csd363_sin_spark.plans.induce import Graph
+
+    g = graph_from_edges(spark, [(0, i) for i in range(1, 15)] + [(1, 2), (3, 4)])
+    iso = spark.createDataFrame(
+        [(99, "v:99", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    _compare_pageranks(g, num_blocks=3, salt_threshold=4)

@@ -1,0 +1,218 @@
+"""Dedup / text-analysis / similarity / multimodal operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from csd363_sin_spark.functions.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+from csd363_sin_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from csd363_sin_spark.functions.multimodal import (
+    decode_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # case dup of 0
+        (2, "The quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "Der Hund ist nicht mit der Katze und das ist gut"),
+        (4, "completely different text about spark engines and scale"),
+        (5, "!!! ??? ... ###"),  # junk
+        (6, ""),  # empty
+        (7, "the  quick   brown fox jumps over the lazy dog  "),  # ws dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.persist().count()
+    return df
+
+
+def test_token_stats(spark, docs):
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[6]["n_tokens"] == 0
+    assert got[5]["punct_ratio"] > 0.5
+    assert got[0]["punct_ratio"] == 0.0
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[5] == "und"
+    assert got[6] == "und"
+
+
+def test_quality_score(spark, docs):
+    got = {r["doc_id"]: r["quality"] for r in quality_score(docs, min_chars=40).collect()}
+    assert got[0] > got[5]
+    assert got[0] > 0.6
+    assert got[6] < 0.5
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_fingerprint_normalization(spark, docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert got[0] == got[1] == got[7]  # case/whitespace insensitive
+    assert got[0] != got[2]
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert 0 in kept and 1 not in kept and 7 not in kept
+    dups = exact_duplicates(docs).collect()
+    # 5 ("!!! ??? ...") and 6 ("") both normalize to empty -> dup pair
+    assert {(r["canonical_doc_id"], r["dup_doc_id"]) for r in dups} == {(0, 1), (0, 7), (5, 6)}
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 7)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(4 in p for p in pairs)
+    # oracle recount for (0, 2)
+    def shingles(t):
+        toks = [w for w in t.lower().replace(",", " ").split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    a = shingles("The quick brown fox jumps over the lazy dog")
+    b = shingles("The quick brown fox jumps over the lazy cat")
+    expected = len(a & b) / len(a | b)
+    assert pairs[(0, 2)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 7) in pairs
+    # verified against exact jaccard: no false positives
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs <= exact
+    sigs = minhash_signatures(docs, n=3, num_hashes=16).collect()
+    assert all(len(r["sig"]) == 16 for r in sigs)
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=1).collect()}
+    assert sh[0] == sh[1] == sh[7]  # identical token multisets
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=8, n=1).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # hamming verified manually
+    for (a, b), hm in pairs.items():
+        assert bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") == hm
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = []
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    for i in range(20):
+        if i < 10:
+            v = base + 0.01 * np.array([0, (i % 3), ((i + 1) % 3), 1]) * (i % 5)
+        else:
+            v = np.array([0.0, 1.0, float(i % 3), 0.5])
+        rows.append((i, [float(x) for x in v], i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    df.persist().count()
+    return df
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "probe_id long, probe_vec array<double>"
+    )
+    got = cosine_topk(embeddings, probes, k=5).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == pytest.approx(1.0)
+    # numpy oracle
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in embeddings.collect()}
+    p = np.array([1.0, 0.0, 0.0, 0.0])
+    sims = {
+        i: float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
+        for i, v in vecs.items()
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [r["vec_id"] for r in got] == [i for i, _ in expected]
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0, 0.5])],
+        "probe_id long, probe_vec array<double>",
+    )
+    exact = cosine_topk(embeddings, probes, k=3).collect()
+    approx = lsh_topk(embeddings, probes, dim=4, k=3, num_planes=4, num_tables=8).collect()
+    exact_top1 = {r["probe_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_top1 = {r["probe_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    # with 8 tables of 4 planes recall@1 should hold on this easy set
+    assert approx_top1 == exact_top1
+
+
+def test_embedding_near_dups_exact_mode(spark, embeddings):
+    pairs = embedding_near_dups(embeddings, threshold=0.999, exact=True).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 5) in got  # i=0 and i=5 are both exactly `base`
+    for r in pairs:
+        assert r["cosine"] >= 0.999
+
+
+def test_multimodal_pipeline(spark):
+    media = synth_media(spark, n=30)
+    feats = decode_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert 0.0 <= r["mean_intensity"] <= 255.0
+        assert len(r["histogram8"]) == 8
+        assert sum(r["histogram8"]) > 0
+    # deterministic across runs
+    feats2 = decode_features(synth_media(spark, n=30)).collect()
+    key = lambda r: r["media_id"]
+    assert sorted(feats, key=key) == sorted(feats2, key=key)
+
+    resized = resize_images(media, out_w=2, out_h=2).collect()
+    assert all(len(bytes(r["payload"])) == 4 + 6 + 4 for r in resized)
+
+    frames = sample_frames(media, every_k=2).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len({r["media_id"] for r in frames}) == vids
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    media = synth_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        decode_features(media, decoder="real")

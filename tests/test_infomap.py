@@ -1,0 +1,115 @@
+"""Infomap kernel + enhancement tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.operators.infomap import (
+    enhance_infomap,
+    infomap_local,
+    infomap_multi_trial,
+    local_modularity_screen,
+    map_equation_codelength,
+    map_equation_codelength_df,
+)
+from csd363_sin_spark.plans.induce import graph_from_edges
+
+TWO_TRI = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+BARBELL = (
+    [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    + [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    + [(4, 5)]
+)
+# two K6 cliques + bridge: both >= 10 nodes merged as one community
+K6A = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+K6B = [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+TWO_K6 = K6A + K6B + [(5, 6)]
+
+
+def test_codelength_hand_check():
+    """One-module partition: q = 0, L = -sum plogp(p_v) + plogp(1)."""
+    part = {v: 0 for v in range(6)}
+    L = map_equation_codelength(TWO_TRI, part)
+    degs = {0: 2, 1: 2, 2: 3, 3: 3, 4: 2, 5: 2}
+    m2 = 14.0
+    expected = -sum((d / m2) * math.log2(d / m2) for d in degs.values()) + 0.0
+    # plus plogp(q_m + p_m) with q_m=0, p_m=1 -> plogp(1) = 0
+    assert L == pytest.approx(expected, abs=1e-12)
+
+
+def test_codelength_split_beats_one_module_on_barbell():
+    one = {v: 0 for v in range(10)}
+    split = {v: 0 if v < 5 else 1 for v in range(10)}
+    assert map_equation_codelength(BARBELL, split) < map_equation_codelength(
+        BARBELL, one
+    )
+
+
+def test_codelength_df_matches_local(spark):
+    g = graph_from_edges(spark, BARBELL)
+    split = {v: 0 if v < 5 else 1 for v in range(10)}
+    assign = spark.createDataFrame(
+        [(v, c) for v, c in split.items()], "vertex_id long, comm long"
+    )
+    L_df = map_equation_codelength_df(g, assign)
+    L_local = map_equation_codelength(BARBELL, split)
+    assert L_df == pytest.approx(L_local, abs=1e-9)
+
+
+def test_infomap_local_finds_modules():
+    part, L = infomap_local(BARBELL, list(range(10)))
+    assert {part[v] for v in range(5)} == {0}
+    assert {part[v] for v in range(5, 10)} == {5}
+    assert L == pytest.approx(
+        map_equation_codelength(BARBELL, part), abs=1e-12
+    )
+    part2, _ = infomap_local(TWO_K6, list(range(12)))
+    assert len({part2[v] for v in range(6)}) == 1
+    assert len({part2[v] for v in range(6, 12)}) == 1
+    assert part2[0] != part2[11]
+
+
+def test_infomap_local_multi_trial_deterministic():
+    p1, l1 = infomap_local(TWO_K6, list(range(12)), num_trials=5)
+    p2, l2 = infomap_local(TWO_K6, list(range(12)), num_trials=5)
+    assert p1 == p2 and l1 == l2
+
+
+def test_screen_and_enhance(spark):
+    g = graph_from_edges(spark, TWO_K6)
+    assign = g.vertices.select("vertex_id", F.lit(0).cast("long").alias("comm"))
+    sel = local_modularity_screen(g, assign, modularity_threshold=0.3, min_size=10)
+    assert [r["comm"] for r in sel.collect()] == [0]
+    # threshold <= 0 selects nothing (local modularity is exactly 0.0)
+    sel0 = local_modularity_screen(g, assign, modularity_threshold=0.0, min_size=10)
+    assert sel0.isEmpty()
+
+    out = enhance_infomap(g, assign, modularity_threshold=0.3, min_size=10)
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[v] for v in range(6)}) == 1
+    assert len({got[v] for v in range(6, 12)}) == 1
+    assert min(got.values()) >= 1  # fresh ids beyond old max (0)
+
+
+def test_enhance_skips_small_communities(spark):
+    g = graph_from_edges(spark, TWO_TRI)  # 6 nodes < min_size
+    assign = g.vertices.select("vertex_id", F.lit(0).cast("long").alias("comm"))
+    out = enhance_infomap(g, assign, modularity_threshold=0.3, min_size=10)
+    assert {r["comm"] for r in out.collect()} == {0}
+
+
+def test_infomap_multi_trial_standalone(spark):
+    g = graph_from_edges(spark, TWO_K6 + [(100, 101)])
+    out, L = infomap_multi_trial(g, num_trials=2)
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    # bridge component splits into the two K6s; tiny component intact
+    assert len({got[v] for v in range(6)}) == 1
+    assert len({got[v] for v in range(6, 12)}) == 1
+    assert got[100] == got[101]
+    assert L == pytest.approx(
+        map_equation_codelength(TWO_K6 + [(100, 101)], got), abs=1e-9
+    )

@@ -1,0 +1,63 @@
+"""Structured Streaming incremental induction tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from csd363_sin_spark.plans.induce import induce_actor_edges
+from csd363_sin_spark.sources.synth import synth_transcripts
+from csd363_sin_spark.streaming.ingest import (
+    read_edge_store,
+    run_incremental_induction,
+)
+
+
+def test_incremental_induction_matches_batch(spark):
+    t = synth_transcripts(spark, n_convs=30, n_tools=8, n_clusters=2, seed=42)
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        out = os.path.join(d, "out")
+        t.write.mode("overwrite").parquet(inp)
+        run_incremental_induction(spark, inp, out)
+        got = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in read_edge_store(spark, out).collect()
+        }
+        expected = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in induce_actor_edges(t).collect()
+        }
+        assert got == expected
+
+
+def test_incremental_induction_two_batches_idempotent_restart(spark):
+    t = synth_transcripts(spark, n_convs=20, n_tools=8, n_clusters=2, seed=43)
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        out = os.path.join(d, "out")
+        # batch 1: first half of conversations
+        half1 = t.filter(t.conv_id < "conv_00000010")
+        half2 = t.filter(t.conv_id >= "conv_00000010")
+        half1.write.mode("overwrite").parquet(inp)
+        run_incremental_induction(spark, inp, out)
+        # batch 2: more files arrive; same checkpoint -> only new files read
+        half2.write.mode("append").parquet(inp)
+        run_incremental_induction(spark, inp, out)
+        got = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in read_edge_store(spark, out).collect()
+        }
+        expected = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in induce_actor_edges(t).collect()
+        }
+        # conversations are wholly inside one half => exact equality
+        assert got == expected
+        # re-running with nothing new must not change the store
+        run_incremental_induction(spark, inp, out)
+        again = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in read_edge_store(spark, out).collect()
+        }
+        assert again == expected
