@@ -333,10 +333,13 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 64-bit simhash banding, hamming <= 3."""
+    """Rows-only: 64-bit simhash banding, hamming <= 3.
+
+    Bigram shingles: the synthetic docs draw from a tiny vocabulary, so
+    unigram token SETS overlap heavily; bigrams restore discrimination."""
     from csd363_sin_spark.functions.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, n=1)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, n=2)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

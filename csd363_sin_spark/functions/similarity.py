@@ -63,9 +63,25 @@ def cosine_topk(
         "vec_id",
         F.round(cosine_similarity_col(F.col("v"), F.col("p")), 6).alias("cosine"),
     )
+    return _topk(scored, k)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k per probe: a window partitioned only by probe_id
+    caps parallelism at #probes, so first take the top-k WITHIN each input
+    partition (parallelism = #probes x #partitions), then rank the
+    surviving k x P rows globally — the scale-correct plan."""
+    local_w = Window.partitionBy("probe_id", "_pid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cosine", "rank")
     )
@@ -167,12 +183,7 @@ def lsh_topk(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_dups(

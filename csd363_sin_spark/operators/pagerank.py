@@ -59,7 +59,8 @@ def pagerank(
         "vertex_id", F.lit(1.0 / n).alias("rank")
     ))
 
-    for _ in range(max_iter):
+    check_convergence = tol > 0.0
+    for it in range(max_iter):
         contribs = (
             shares.join(
                 ranks.withColumnRenamed("vertex_id", "src"), "src"
@@ -77,7 +78,7 @@ def pagerank(
         else:
             dangling_mass = 0.0
         base = (1.0 - alpha) / n + alpha * dangling_mass / n
-        new_ranks = materialize(
+        new_ranks = (
             graph.vertices.select("vertex_id")
             .join(contribs, "vertex_id", "left")
             .fillna({"in_mass": 0.0})
@@ -86,17 +87,24 @@ def pagerank(
                 (F.lit(base) + F.lit(alpha) * F.col("in_mass")).alias("rank"),
             )
         )
+        # lineage/stats cut every few iterations is enough (plan depth
+        # stays bounded); cutting every iteration doubles serialization
+        if check_convergence or it % 3 == 2 or it == max_iter - 1:
+            new_ranks = materialize(new_ranks)
 
-        err = (
-            new_ranks.join(
-                ranks.withColumnRenamed("rank", "old"), "vertex_id"
+        if check_convergence:
+            err = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "old"), "vertex_id"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if err < n * tol:
-            break
+            ranks = new_ranks
+            if err < n * tol:
+                break
+        else:
+            ranks = new_ranks
     shares.unpersist()
     dangling.unpersist()
     return ranks

@@ -1,0 +1,122 @@
+"""Structure helpers, ground-truth ladder, compare/tracking tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.compare import (
+    calculate_improvement,
+    compare_algorithms,
+    track_algorithm_metrics,
+)
+from csd363_sin_spark.operators.structure import (
+    community_subgraph,
+    inter_community_edges,
+    remove_isolates,
+    subgraph,
+)
+from csd363_sin_spark.plans.induce import Graph, graph_from_edges
+from csd363_sin_spark.sources.groundtruth import (
+    filter_ground_truth,
+    ground_truth_from_components,
+    load_ground_truth,
+    synthetic_ground_truth,
+)
+
+from tests.conftest import graph_to_networkx
+from tests.oracles import oracle_modularity
+
+TWO_TRI = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+
+
+def _assign(spark, part):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in part.items()], "vertex_id long, comm long"
+    )
+
+
+def test_subgraph_and_community_subgraph(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    assign = _assign(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    sub = community_subgraph(g, assign, 0)
+    assert sorted(r["vertex_id"] for r in sub.vertices.collect()) == [0, 1, 2]
+    assert sub.edges.count() == 3  # bridge 2-3 excluded
+    sub2 = subgraph(g, _assign(spark, {2: 0, 3: 0}).select("vertex_id"))
+    assert sub2.edges.count() == 1
+
+
+def test_remove_isolates(spark):
+    g = graph_from_edges(spark, [(0, 1)])
+    iso = spark.createDataFrame(
+        [(9, "v:9", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    out = remove_isolates(g)
+    assert sorted(r["vertex_id"] for r in out.vertices.collect()) == [0, 1]
+
+
+def test_inter_community_edges(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    assign = _assign(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    rows = inter_community_edges(g, assign).collect()
+    assert len(rows) == 1
+    assert (rows[0]["comm_a"], rows[0]["comm_b"], rows[0]["num_edges"]) == (0, 1, 1)
+
+
+def test_ground_truth_ladder(spark):
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (5, 6)])
+    cc_gt = {r["vertex_id"]: r["comm"] for r in ground_truth_from_components(g).collect()}
+    assert cc_gt == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+    rand = synthetic_ground_truth(g, mode="random", num_communities=3)
+    vals = {r["comm"] for r in rand.collect()}
+    assert vals <= {0, 1, 2}
+    rand2 = synthetic_ground_truth(g, mode="random", num_communities=3)
+    assert sorted(rand.collect()) == sorted(rand2.collect())  # deterministic
+
+    lv = synthetic_ground_truth(g, mode="louvain")
+    assert lv.count() == 5
+
+    # filter-to-sample: labels for unknown vertices dropped
+    gt_big = _assign(spark, {0: 1, 1: 1, 99: 7})
+    assert filter_ground_truth(gt_big, g).count() == 2
+
+    # dispatch default = components
+    default = {r["vertex_id"]: r["comm"] for r in load_ground_truth(spark, g).collect()}
+    assert default == cc_gt
+
+
+def test_ground_truth_pair_file_roundtrip(spark):
+    g = graph_from_edges(spark, [(0, 1), (1, 2)])
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "gt.txt")
+        with open(p, "w") as f:
+            f.write("# node comm\n0 7\n1 7\n2 8\n")
+        gt = load_ground_truth(spark, g, pairs_path=p)
+        got = {r["vertex_id"]: r["comm"] for r in gt.collect()}
+        assert got == {0: 7, 1: 7, 2: 8}
+
+
+def test_track_and_compare(spark):
+    g = graph_from_edges(spark, TWO_TRI)
+    nxg = graph_to_networkx(g)
+    good = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    bad = {v: v % 2 for v in range(6)}
+    tracked = track_algorithm_metrics(
+        g, [_assign(spark, bad), _assign(spark, good)], algorithm_type="girvan_newman"
+    )
+    assert tracked["num_steps"] == 2
+    assert tracked["steps"][1]["modularity"] == pytest.approx(
+        oracle_modularity(nxg, good), abs=1e-9
+    )
+    cmp = compare_algorithms(
+        g, {"good": _assign(spark, good), "bad": _assign(spark, bad)}
+    )
+    assert cmp["best"]["modularity"] == "good"
+    imp = calculate_improvement(cmp["metrics"]["bad"], cmp["metrics"]["good"])
+    assert imp["modularity"] > 0
