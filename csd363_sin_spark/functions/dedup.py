@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.functions.text import _tokens
+from csd363_sin_spark.plans.lineage import materialize
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -53,7 +54,13 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams of the normalized tokens."""
+    """(doc_id, shingle) distinct word n-grams of the normalized tokens.
+
+    Repartitions the input first: a small parquet often arrives as ONE
+    partition, which would single-thread the explode + wide signature
+    aggregations downstream."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
     toks = _tokens(F.col("text"))
     sh = F.when(
         F.size(toks) >= n,
@@ -165,6 +172,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # materialize: the self-join below would otherwise evaluate the whole
+    # signature pipeline once per alias
+    banded = materialize(banded)
     cands = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -172,8 +182,40 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_shingle_freq=None)
-    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # exact verification on CANDIDATES ONLY (shingle sets joined onto the
+    # candidate pairs — cost proportional to |candidates|, not all pairs);
+    # shingle only the docs that appear in some candidate pair
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        _shingles(docs.join(cand_ids, "doc_id", "left_semi"), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    verified = (
+        cands.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def simhash(docs: DataFrame, n: int = 1) -> DataFrame:
@@ -228,6 +270,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    banded = materialize(banded)  # avoid double evaluation in the self-join
     cands = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "chunk"])

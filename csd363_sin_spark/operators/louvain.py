@@ -115,37 +115,22 @@ def _local_move_phase(
 
     step = 0
     for step in range(max_supersteps):
+        # state: vertex -> (current comm, strength)
+        state = assign.join(strengths, "vertex_id")
+        comm_tot = state.groupBy("comm").agg(F.sum("k").alias("S"))
         a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
         k_in = (
             sym.join(a_dst, "dst")
             .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
             .agg(F.sum("weight").alias("k_in"))
         )
-        comm_tot = (
-            assign.join(strengths, "vertex_id")
-            .groupBy("comm")
-            .agg(F.sum("k").alias("S"))
-        )
-        # candidate set = neighbor comms ∪ current comm (k_in 0 if absent)
-        stay = assign.select("vertex_id", F.col("comm").alias("c_nbr"), F.lit(0.0).alias("k_in0"))
-        cands = (
-            stay.join(k_in, ["vertex_id", "c_nbr"], "left")
-            .select("vertex_id", "c_nbr", F.coalesce("k_in", "k_in0").alias("k_in"))
-            .unionByName(
-                k_in.join(
-                    assign.withColumnRenamed("comm", "c_cur"), "vertex_id"
-                )
-                .filter(F.col("c_nbr") != F.col("c_cur"))
-                .select("vertex_id", "c_nbr", "k_in")
-            )
-        )
         scored = (
-            cands.join(assign, "vertex_id")
-            .join(strengths, "vertex_id")
+            k_in.join(state, "vertex_id")
             .join(comm_tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
             .select(
                 "vertex_id",
                 "comm",
+                "k",
                 "c_nbr",
                 (
                     2.0 * m * F.col("k_in")
@@ -159,32 +144,50 @@ def _local_move_phase(
                 ).alias("score"),
             )
         )
-        # argmax score, ties -> smallest community id (negate id inside max)
-        best = scored.groupBy("vertex_id", "comm").agg(
-            F.max(F.struct(F.col("score"), (-F.col("c_nbr")).alias("nc"))).alias("b")
+        # one aggregation decides each vertex: global argmax over neighbor
+        # comms (ties -> smallest id via negated id in the struct) plus the
+        # stay score when the current comm is among the neighbors
+        agg = scored.groupBy("vertex_id").agg(
+            F.first("comm").alias("comm"),
+            F.first("k").alias("k"),
+            F.max(F.struct(F.col("score"), (-F.col("c_nbr")).alias("nc"))).alias("b"),
+            F.max(F.when(F.col("c_nbr") == F.col("comm"), F.col("score"))).alias(
+                "cur_opt"
+            ),
         )
-        cur = scored.filter(F.col("c_nbr") == F.col("comm")).select(
-            "vertex_id", F.col("score").alias("cur_score")
-        )
+        # stay score when current comm had no neighbor row: k_in(cur)=0 =>
+        # score = -k * (S_cur - k).  Equivalence to the spec's full-candidate
+        # argmax: a strict b.score > cur_score makes b.c the argmax; on ties
+        # the strict-improvement rule keeps the vertex anyway.
         decided = (
-            best.join(cur, "vertex_id")
-            .select(
-                "vertex_id",
-                "comm",
-                (-F.col("b.nc")).alias("target"),
-                (F.col("b.score") > F.col("cur_score")).alias("improves"),
+            agg.join(comm_tot, "comm")
+            .withColumn(
+                "cur_score",
+                F.coalesce(
+                    F.col("cur_opt"), -F.col("k") * (F.col("S") - F.col("k"))
+                ),
             )
+            .withColumn("target", -F.col("b.nc"))
             .withColumn(
                 "next_comm",
                 F.when(
-                    F.col("improves") & (F.col("target") < F.col("comm")),
+                    (F.col("b.score") > F.col("cur_score"))
+                    & (F.col("target") < F.col("comm")),
                     F.col("target"),
                 ).otherwise(F.col("comm")),
             )
+            .select("vertex_id", F.col("next_comm"))
         )
-        decided = materialize(decided)
-        moves = decided.filter(F.col("next_comm") != F.col("comm")).count()
-        assign = decided.select("vertex_id", F.col("next_comm").alias("comm"))
+        # vertices with no neighbors keep their community
+        next_assign = materialize(
+            assign.join(decided, "vertex_id", "left").select(
+                "vertex_id",
+                F.coalesce("next_comm", "comm").alias("comm"),
+                (F.coalesce("next_comm", "comm") != F.col("comm")).alias("_moved"),
+            )
+        )
+        moves = next_assign.filter(F.col("_moved")).count()
+        assign = next_assign.select("vertex_id", "comm")
         if moves == 0:
             # monotone schedule: an idle superstep is a fixpoint
             break
