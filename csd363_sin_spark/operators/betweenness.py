@@ -33,6 +33,54 @@ from csd363_sin_spark.plans.induce import Graph
 from csd363_sin_spark.plans.lineage import materialize
 
 
+def edge_betweenness_batched(
+    graph: Graph,
+    batch_size: int = 256,
+    k_sources: int | None = None,
+    normalized: bool = False,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Exact (or k-sampled) edge betweenness with sources sharded into
+    batches of ``batch_size`` — bounds the O(|sources| x |V|) frontier
+    state, the memory knob for large graphs.  Per-edge sums across
+    batches equal the single-batch result exactly."""
+    from pyspark.sql import functions as _F
+
+    verts = graph.vertices.select("vertex_id").orderBy("vertex_id")
+    if k_sources is not None:
+        verts = verts.limit(int(k_sources))
+    all_sources = [r["vertex_id"] for r in verts.collect()]
+    spark = graph.edges.sparkSession
+    total = None
+    for i in range(0, len(all_sources), batch_size):
+        chunk = spark.createDataFrame(
+            [(int(v),) for v in all_sources[i : i + batch_size]], "vertex_id long"
+        )
+        part = edge_betweenness(graph, source_batch=chunk, max_depth=max_depth)
+        part = part.withColumnRenamed("betweenness", "b_part")
+        total = (
+            part.withColumnRenamed("b_part", "b_acc")
+            if total is None
+            else materialize(
+                total.join(part, ["src", "dst"], "outer")
+                .fillna({"b_acc": 0.0, "b_part": 0.0})
+                .select(
+                    "src", "dst", (_F.col("b_acc") + _F.col("b_part")).alias("b_acc")
+                )
+            )
+        )
+    if total is None:
+        return spark.createDataFrame([], "src long, dst long, betweenness double")
+    out = total.withColumnRenamed("b_acc", "betweenness")
+    if normalized:
+        n = graph.vertices.count()
+        scale = 2.0 / (n * (n - 1)) if n > 1 else 1.0
+        out = out.select(
+            "src", "dst", (_F.col("betweenness") * scale).alias("betweenness")
+        )
+    return out
+
+
 def edge_betweenness(
     graph: Graph,
     k_sources: int | None = None,

@@ -113,3 +113,18 @@ def test_infomap_multi_trial_standalone(spark):
     assert L == pytest.approx(
         map_equation_codelength(TWO_K6 + [(100, 101)], got), abs=1e-9
     )
+
+
+def test_infomap_karate_club_anchor():
+    """External anchor: Zachary's karate club. Published Infomap result:
+    3 modules, codelength ~4.311 bits — our multilevel optimizer must
+    land there (the flat greedy stuck at 8 modules / 4.58 bits)."""
+    import networkx as nx
+
+    g = nx.karate_club_graph()
+    part, L = infomap_local(list(g.edges()), list(g.nodes()), num_trials=8)
+    assert len(set(part.values())) == 3
+    assert L == pytest.approx(4.311, abs=5e-3)
+    assert L == pytest.approx(
+        map_equation_codelength(list(g.edges()), part), abs=1e-9
+    )
