@@ -90,6 +90,7 @@ def _local_move_phase(
     vertices: DataFrame,
     m: float,
     max_supersteps: int,
+    on_superstep=None,
 ) -> tuple[DataFrame, int]:
     """Run down-only-gated synchronous local moves on one level graph.
 
@@ -188,6 +189,8 @@ def _local_move_phase(
         )
         moves = next_assign.filter(F.col("_moved")).count()
         assign = next_assign.select("vertex_id", "comm")
+        if on_superstep is not None:
+            on_superstep(step, moves, assign)
         if moves == 0:
             # monotone schedule: an idle superstep is a fixpoint
             break
@@ -292,7 +295,23 @@ def louvain(
         m = float(m_row or 0.0)
         if m == 0.0:
             break
-        assign, steps = _local_move_phase(edges, vertices, m, max_supersteps)
+        def _superstep_lineage(step, moves, step_assign, _level=level):
+            if store is not None:
+                # per-superstep lineage row: rows + order-insensitive
+                # checksum of the assignment (north rule: per-partition
+                # lineage + iteration metrics)
+                store.lineage(
+                    stage,
+                    _level * 1000 + step,
+                    step_assign,
+                    kind="superstep",
+                    level=_level,
+                    moves=moves,
+                )
+
+        assign, steps = _local_move_phase(
+            edges, vertices, m, max_supersteps, on_superstep=_superstep_lineage
+        )
         total_steps += steps
 
         new_composed = materialize(
