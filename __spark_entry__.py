@@ -497,7 +497,7 @@ SELECT
   round(avg(degree), 6) AS avg_degree,
   max(degree) AS max_degree,
   min(degree) AS min_degree,
-  sum(CASE WHEN degree = 0 THEN 1 ELSE 0 END) AS isolated_nodes,
+  CAST(sum(CASE WHEN degree = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated_nodes,
   round(CASE WHEN count(*) > 1
         THEN sum(degree) / (count(*) * (count(*) - 1.0))
         ELSE 0 END, 6) AS density

@@ -325,10 +325,10 @@ def enhance_infomap(
         .select(F.col("c1").alias("comm"), "src", "dst")
         .join(selected, "comm", "left_semi")
     )
-    members = assign.join(selected, "comm", "left_semi").select(
-        "comm", F.col("vertex_id").alias("src"), F.lit(None).cast("long").alias("dst")
-    )
-    grouped = intra.unionByName(members)
+    # Reference splice semantics (detection.py:211-223): only nodes that
+    # appear in the community's intra-edge list are fed to Infomap and
+    # reassigned; members with no intra edge keep their old community.
+    grouped = intra
     trials = num_trials
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

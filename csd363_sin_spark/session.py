@@ -6,7 +6,7 @@ Design notes (100 TB target, tested on local[N]):
   conversations), so join-side skew is expected and AQE handles it; the
   aggregation-side skew is handled by explicit salting in plans/csr.py.
 * Arrow on — every Python kernel in this engine is a grouped Arrow/pandas
-  UDF; row-at-a-time Python UDFs are banned (tests/test_no_slow_udfs.py).
+  UDF; row-at-a-time Python UDFs are banned (tests/test_lint_no_slow_paths.py).
 * Checkpoint dir set — iterative operators (components, PageRank, Louvain,
   betweenness) truncate lineage every few supersteps; without this, plan
   depth grows per iteration and planning time explodes.
