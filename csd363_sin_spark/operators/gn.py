@@ -49,25 +49,48 @@ def refine_girvan_newman(
     target_subcommunities: int = 5,
     max_iterations: int | None = None,
     betweenness_sources: int | None = None,
+    dispatch_threshold: int = 10_000,
 ) -> DataFrame:
     """Refine communities with > ``size_threshold`` members; returns a new
-    ``(vertex_id, comm)`` assignment."""
+    ``(vertex_id, comm)`` assignment.
+
+    Size-based dispatch (reference girvan_newman_wrapper.py:29-31 switches
+    exact -> optimized at 10k nodes): communities up to
+    ``dispatch_threshold`` members run as grouped-pandas tasks (one
+    community per group, all in parallel); anything larger routes through
+    :func:`girvan_newman_distributed` on the community subgraph so a huge
+    community never serializes into a single executor task.  Both paths
+    feed the same splice (parent, sub) machinery, so ids are identical
+    regardless of which path produced a split.
+    """
     spark = graph.edges.sparkSession
     sizes = assign.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
-    large = sizes.filter(F.col("size") > size_threshold).select("comm")
+    sizes = sizes.filter(F.col("size") > size_threshold).persist()
+    large = sizes.select("comm")
     if large.isEmpty():
+        sizes.unpersist()
         return assign
+    # huge communities are FEW by construction (they're the tail of the
+    # Louvain size distribution); collecting their (comm, size) rows is a
+    # handful of rows, not a driver bottleneck.
+    huge_rows = sizes.filter(F.col("size") > dispatch_threshold).collect()
+    huge_ids = {int(r["comm"]) for r in huge_rows}
+    grouped_comms = sizes.filter(F.col("size") <= dispatch_threshold).select("comm")
+    sizes.unpersist()
 
     a_src = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
     a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
-    intra = (
+    intra_all = (
         graph.edges.join(a_src, "src")
         .join(a_dst, "dst")
         .filter(F.col("c1") == F.col("c2"))
         .select(F.col("c1").alias("comm"), "src", "dst")
         .join(large, "comm", "left_semi")
     )
-    members = assign.join(large, "comm", "left_semi").select(
+    if huge_ids:
+        intra_all = intra_all.persist()
+    intra = intra_all.join(grouped_comms, "comm", "left_semi")
+    members = assign.join(grouped_comms, "comm", "left_semi").select(
         "comm", F.col("vertex_id").alias("src"), F.lit(None).cast("long").alias("dst")
     )
     grouped = intra.unionByName(members)
@@ -113,6 +136,32 @@ def refine_girvan_newman(
     )
     refined = materialize(refined)
 
+    # distributed path for huge communities: same target rule, same
+    # (parent, sub) output shape — min-vertex sub labels on both paths.
+    for r in sorted(huge_rows, key=lambda r: int(r["comm"])):
+        comm, n = int(r["comm"]), int(r["size"])
+        sub_edges = (
+            intra_all.filter(F.col("comm") == comm)
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+        )
+        sub_verts = assign.filter(F.col("comm") == comm).select("vertex_id")
+        target = max(2, min(target_cap, n // 10))
+        ks = k_sources if k_sources is not None else min(1000, n // 2)
+        sub_assign = girvan_newman_distributed(
+            Graph(vertices=sub_verts, edges=sub_edges),
+            max_communities=target,
+            max_iterations=max_iter if max_iter is not None else 50,
+            k_sources=ks,
+        )
+        refined = refined.unionByName(
+            sub_assign.select(
+                "vertex_id", F.lit(comm).alias("parent"), F.col("comm").alias("sub")
+            )
+        )
+    if huge_ids:
+        refined = materialize(refined)
+        intra_all.unpersist()
+
     # only splice parents that actually split (reference detection.py:118-136)
     multi = (
         refined.groupBy("parent")
@@ -155,17 +204,35 @@ def girvan_newman_distributed(
     its batch removal of the top-k betweenness edges per round :220-224).
 
     Returns (vertex_id, comm) where comm = component min-vertex label.
+
+    Best-modularity tracking mirrors the grouped/local kernel
+    (functions/brandes.py girvan_newman_local): every partition reached
+    after a split is scored on the ORIGINAL edge set and the best split
+    wins; the unsplit starting partition is never a candidate, so both
+    paths agree on "did this community actually split".
     """
+    from csd363_sin_spark.functions.metrics import modularity
     from csd363_sin_spark.operators.betweenness import edge_betweenness
     from csd363_sin_spark.operators.components import connected_components
 
     edges = graph.edges
+    n0: int | None = None
+    best_q, best = None, None
+    comp = None
     for _ in range(max_iterations):
         g = Graph(vertices=graph.vertices, edges=edges)
-        comp = connected_components(g)
-        n_comp = comp.select("comp_id").distinct().count()
+        comp = materialize(
+            connected_components(g).select("vertex_id", F.col("comp_id").alias("comm"))
+        )
+        n_comp = comp.select("comm").distinct().count()
+        if n0 is None:
+            n0 = n_comp
+        elif n_comp > n0:
+            q = modularity(graph, comp, weighted=False)
+            if best_q is None or q > best_q:
+                best_q, best = q, comp
         if n_comp >= max_communities:
-            return comp.select("vertex_id", F.col("comp_id").alias("comm"))
+            break
         bet = edge_betweenness(g, k_sources=k_sources)
         top = (
             bet.orderBy(F.desc("betweenness"), F.asc("src"), F.asc("dst"))
@@ -174,7 +241,14 @@ def girvan_newman_distributed(
         )
         edges = materialize(remove_edges(edges, top))
         if edges.isEmpty():
+            g = Graph(vertices=graph.vertices, edges=edges)
+            comp = materialize(
+                connected_components(g).select(
+                    "vertex_id", F.col("comp_id").alias("comm")
+                )
+            )
+            q = modularity(graph, comp, weighted=False)
+            if best_q is None or q > best_q:
+                best_q, best = q, comp
             break
-    g = Graph(vertices=graph.vertices, edges=edges)
-    comp = connected_components(g)
-    return comp.select("vertex_id", F.col("comp_id").alias("comm"))
+    return best if best is not None else comp

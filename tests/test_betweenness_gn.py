@@ -154,6 +154,59 @@ def test_refine_multiple_communities_in_parallel(spark):
         assert len({got[base + i] for i in range(5)}) == 1
 
 
+def test_refine_dispatch_distributed_matches_grouped(spark):
+    # the same two-barbell fixture refined twice: once with everything on
+    # the grouped-pandas path, once forced through the distributed kernel
+    # (dispatch_threshold below the community size).  The splice ids must
+    # be IDENTICAL — both paths label subcommunities by min vertex id and
+    # feed the same dense_rank splice.
+    shift = 100
+    edges = BARBELL + [(u + shift, v + shift) for u, v in BARBELL]
+    g = graph_from_edges(spark, edges)
+    assign = g.vertices.select(
+        "vertex_id",
+        F.when(F.col("vertex_id") < shift, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("comm"),
+    )
+    grouped = refine_girvan_newman(
+        g, assign, size_threshold=5, target_subcommunities=2, dispatch_threshold=10_000
+    )
+    dispatched = refine_girvan_newman(
+        g, assign, size_threshold=5, target_subcommunities=2, dispatch_threshold=6
+    )
+    got_g = {r["vertex_id"]: r["comm"] for r in grouped.collect()}
+    got_d = {r["vertex_id"]: r["comm"] for r in dispatched.collect()}
+    assert got_g == got_d
+    assert len(set(got_d.values())) == 4
+
+
+def test_refine_dispatch_mixed_paths(spark):
+    # one community below the dispatch threshold (grouped path) and one
+    # above it (distributed path) in the same call: both split, fresh ids
+    # are disjoint, members stay within their parent's split.
+    shift = 100
+    big = (
+        [(a, b) for a in range(7) for b in range(a + 1, 7)]
+        + [(a, b) for a in range(7, 14) for b in range(a + 1, 14)]
+        + [(6, 7)]
+    )
+    edges = BARBELL + [(u + shift, v + shift) for u, v in big]
+    g = graph_from_edges(spark, edges)
+    assign = g.vertices.select(
+        "vertex_id",
+        F.when(F.col("vertex_id") < shift, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("comm"),
+    )
+    out = refine_girvan_newman(
+        g, assign, size_threshold=5, target_subcommunities=2, dispatch_threshold=12
+    )
+    got = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert len(set(got.values())) == 4
+    for base, size in ((0, 5), (5, 5)):
+        assert len({got[base + i] for i in range(size)}) == 1
+    for base, size in ((shift, 7), (shift + 7, 7)):
+        assert len({got[base + i] for i in range(size)}) == 1
+    assert min(got.values()) > 1  # all ids fresh beyond old max
+
+
 def test_gn_distributed_two_triangles(spark):
     g = graph_from_edges(spark, TWO_TRI)
     out = girvan_newman_distributed(g, max_communities=2, max_iterations=5)
