@@ -273,6 +273,243 @@ def _local_moves_w(cedges, vertices, order, max_passes):
     return dict(part)
 
 
+def flow_power_iteration(
+    graph: Graph, iterations: int = 40, weighted: bool = True
+) -> DataFrame:
+    """Ergodic visit rates of the undirected random walk via LAZY power
+    iteration (north star: "map-equation flow as a PageRank-style power
+    iteration").  Returns ``(vertex_id, p)``.
+
+    For an undirected graph the stationary distribution is degree-
+    proportional in closed form (p_v = s_v / 2W); the lazy walk
+    (1/2 stay + 1/2 step) removes bipartite period-2 oscillation so the
+    iteration converges to exactly that.  The distributed optimizer uses
+    the closed form directly; tests/test_infomap.py proves the two agree
+    to 1e-9, which is the justification for skipping the iteration in the
+    hot path.
+    """
+    w = F.col("weight") if weighted else F.lit(1.0)
+    sym = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w.alias("w"))
+        .unionAll(
+            graph.edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+            )
+        )
+    )
+    strength = sym.groupBy(F.col("src").alias("vertex_id")).agg(F.sum("w").alias("s"))
+    # out-share per directed half-edge: w / s_src
+    share = materialize(
+        sym.join(strength.withColumnRenamed("vertex_id", "src"), "src").select(
+            "src", "dst", (F.col("w") / F.col("s")).alias("share")
+        )
+    )
+    n = graph.vertices.count()
+    p = materialize(
+        graph.vertices.select("vertex_id", (F.lit(1.0) / n).alias("p"))
+    )
+    for _ in range(iterations):
+        inflow = (
+            share.join(p.withColumnRenamed("vertex_id", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum(F.col("share") * F.col("p")).alias("inp"))
+        )
+        p = materialize(
+            p.join(inflow, "vertex_id", "left")
+            .fillna({"inp": 0.0})
+            .select(
+                "vertex_id", (0.5 * F.col("p") + 0.5 * F.col("inp")).alias("p")
+            )
+        )
+    return p
+
+
+def _infomap_move_phase(
+    edges: DataFrame, vertices: DataFrame, max_supersteps: int
+) -> tuple[DataFrame, int]:
+    """Synchronous map-equation local moves on one level graph.
+
+    ``edges`` canonical (src <= dst, weight; src==dst rows are
+    contraction self-loops).  Same move rule as ``_local_moves_w`` —
+    move to the module with the largest strict codelength decrease, ties
+    to the smallest module id — evaluated for ALL vertices at once from
+    three aggregates (neighbor-module weights, module stats, total exit
+    flow), with the same monotone down-only id gating as
+    operators/louvain.py so the synchronous schedule provably terminates.
+    Returns (assign, supersteps_used).
+    """
+    plogp = lambda c: F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))  # noqa: E731
+
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .persist()
+    )
+    from csd363_sin_spark.operators.louvain import _strengths
+
+    W_row = edges.agg(F.sum("weight")).collect()[0][0]
+    W = float(W_row or 0.0)
+    if W == 0.0:
+        sym.unpersist()
+        return vertices.select("vertex_id", F.col("vertex_id").alias("comm")), 0
+    self_w = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("vertex_id"), F.col("weight").alias("self_w")
+    )
+    static = materialize(
+        vertices.join(_strengths(edges), "vertex_id", "left")
+        .join(self_w, "vertex_id", "left")
+        .fillna({"k": 0.0, "self_w": 0.0})
+        .select(
+            "vertex_id",
+            (F.col("k") / (2.0 * W)).alias("p_v"),
+            (F.col("k") - 2.0 * F.col("self_w")).alias("ext"),
+        )
+    )
+    assign = materialize(vertices.select("vertex_id", F.col("vertex_id").alias("comm")))
+
+    step = 0
+    for step in range(max_supersteps):
+        a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
+        w_to = (
+            sym.join(a_dst, "dst")
+            .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
+            .agg(F.sum("weight").alias("w_nbr"))
+        ).persist()
+        w_cur_df = w_to.join(
+            assign.withColumnRenamed("comm", "c_nbr"), ["vertex_id", "c_nbr"]
+        ).select("vertex_id", F.col("w_nbr").alias("w_cur"))
+        vstate = materialize(
+            assign.join(static, "vertex_id")
+            .join(w_cur_df, "vertex_id", "left")
+            .fillna({"w_cur": 0.0})
+            .withColumn("cut_v", F.col("ext") - F.col("w_cur"))
+        )
+        mod_stats = materialize(
+            vstate.groupBy("comm").agg(
+                F.sum("p_v").alias("p_mod"), F.sum("cut_v").alias("cut")
+            )
+        )
+        q_tot = float(
+            (mod_stats.agg(F.sum("cut")).collect()[0][0] or 0.0)
+        ) / (2.0 * W)
+
+        cur_stats = mod_stats.select(
+            "comm", F.col("p_mod").alias("pm_cur"), F.col("cut").alias("cut_cur")
+        )
+        nbr_stats = mod_stats.select(
+            F.col("comm").alias("c_nbr"),
+            F.col("p_mod").alias("pm_c"),
+            F.col("cut").alias("cut_c"),
+        )
+        cand = (
+            w_to.join(vstate, "vertex_id")
+            .filter(F.col("c_nbr") < F.col("comm"))  # down-only gating
+            .join(cur_stats, "comm")
+            .join(nbr_stats, "c_nbr")
+        )
+        d_cut_cur = 2.0 * F.col("w_cur") - F.col("ext")
+        d_cut_c = F.col("ext") - 2.0 * F.col("w_nbr")
+        modterm = lambda cut, pm: -2.0 * plogp(cut / (2.0 * W)) + plogp(  # noqa: E731
+            cut / (2.0 * W) + pm
+        )
+        q2 = F.lit(q_tot) + (d_cut_cur + d_cut_c) / (2.0 * W)
+        delta = (
+            plogp(q2)
+            - plogp(F.lit(q_tot))
+            + modterm(F.col("cut_cur") + d_cut_cur, F.col("pm_cur") - F.col("p_v"))
+            + modterm(F.col("cut_c") + d_cut_c, F.col("pm_c") + F.col("p_v"))
+            - modterm(F.col("cut_cur"), F.col("pm_cur"))
+            - modterm(F.col("cut_c"), F.col("pm_c"))
+        )
+        best = (
+            cand.select("vertex_id", "c_nbr", delta.alias("delta"))
+            .filter(F.col("delta") < -1e-12)
+            .groupBy("vertex_id")
+            .agg(F.min(F.struct("delta", "c_nbr")).alias("b"))
+            .select("vertex_id", F.col("b.c_nbr").alias("next_comm"))
+        )
+        next_assign = materialize(
+            assign.join(best, "vertex_id", "left").select(
+                "vertex_id",
+                F.coalesce("next_comm", "comm").alias("comm"),
+                F.col("next_comm").isNotNull().alias("_moved"),
+            )
+        )
+        w_to.unpersist()
+        moves = next_assign.filter(F.col("_moved")).count()
+        assign = next_assign.select("vertex_id", "comm")
+        if moves == 0:
+            break
+    sym.unpersist()
+    return assign, step + 1
+
+
+def infomap_distributed(
+    graph: Graph,
+    max_levels: int = 10,
+    max_supersteps: int = 64,
+    min_gain: float = 1e-10,
+) -> tuple[DataFrame, float]:
+    """Distributed multilevel two-level-map-equation partition — the scale
+    path of :func:`enhance_infomap` for communities too large for one
+    grouped-pandas task (north star: flow + repeated greedy module merge
+    over edge DataFrames).
+
+    Same optimization spec as :func:`infomap_local` with synchronous
+    instead of sequential moves: local-move phases (down-only gated, see
+    ``_infomap_move_phase``), then module contraction, repeated while the
+    codelength of the composed partition on the ORIGINAL graph improves.
+    The graph is treated as unweighted at level 0 (reference add_link
+    semantics); contraction introduces weights exactly as the local
+    kernel's weighted contraction does.  Returns ``((vertex_id, comm),
+    codelength)`` with canonical min-vertex-id module labels.
+    """
+    from csd363_sin_spark.operators.louvain import _contract
+
+    edges = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        )
+    )
+    vertices = materialize(graph.vertices.select("vertex_id"))
+    composed = materialize(
+        vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    )
+    L_prev = map_equation_codelength_df(graph, composed)
+
+    for _level in range(max_levels):
+        assign, _steps = _infomap_move_phase(edges, vertices, max_supersteps)
+        new_composed = materialize(
+            composed.join(
+                assign.select(
+                    F.col("vertex_id").alias("comm"), F.col("comm").alias("new_comm")
+                ),
+                "comm",
+            ).select("vertex_id", F.col("new_comm").alias("comm"))
+        )
+        L = map_equation_codelength_df(graph, new_composed)
+        if L >= L_prev - min_gain:
+            break
+        composed, L_prev = new_composed, L
+        edges, vertices = _contract(edges, assign)
+        edges = materialize(edges)
+        vertices = materialize(vertices)
+        if vertices.count() <= 1:
+            break
+
+    roots = composed.groupBy("comm").agg(F.min("vertex_id").alias("root"))
+    out = composed.join(F.broadcast(roots), "comm").select(
+        "vertex_id", F.col("root").alias("comm")
+    )
+    return materialize(out), L_prev
+
+
 def local_modularity_screen(
     graph: Graph, assign: DataFrame, modularity_threshold: float, min_size: int = 10
 ) -> DataFrame:
@@ -307,28 +544,47 @@ def enhance_infomap(
     modularity_threshold: float = 0.3,
     min_size: int = 10,
     num_trials: int = 1,
+    dispatch_threshold: int = 10_000,
 ) -> DataFrame:
     """Re-partition low-local-modularity communities with the map-equation
     kernel, splicing module ids under fresh community ids (reference
-    detection.py:193-240).  All selected communities run in parallel as
-    grouped-pandas tasks."""
+    detection.py:193-240).  Selected communities up to
+    ``dispatch_threshold`` members run in parallel as grouped-pandas
+    tasks; larger ones route through :func:`infomap_distributed` on the
+    community subgraph (single-trial, deterministic) so a huge community
+    never serializes into one executor task.  Both paths emit the same
+    (parent, sub) rows with min-vertex-id sub labels, so the splice is
+    path-independent."""
     selected = local_modularity_screen(graph, assign, modularity_threshold, min_size)
     if selected.isEmpty():
         return assign
 
+    sizes = (
+        assign.join(selected, "comm", "left_semi")
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .persist()
+    )
+    huge_rows = sizes.filter(F.col("size") > dispatch_threshold).collect()
+    huge_ids = {int(r["comm"]) for r in huge_rows}
+    grouped_comms = sizes.filter(F.col("size") <= dispatch_threshold).select("comm")
+    sizes.unpersist()
+
     a_src = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
     a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
-    intra = (
+    intra_all = (
         graph.edges.join(a_src, "src")
         .join(a_dst, "dst")
         .filter(F.col("c1") == F.col("c2"))
         .select(F.col("c1").alias("comm"), "src", "dst")
         .join(selected, "comm", "left_semi")
     )
+    if huge_ids:
+        intra_all = intra_all.persist()
     # Reference splice semantics (detection.py:211-223): only nodes that
     # appear in the community's intra-edge list are fed to Infomap and
     # reassigned; members with no intra edge keep their old community.
-    grouped = intra
+    grouped = intra_all.join(grouped_comms, "comm", "left_semi")
     trials = num_trials
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -355,6 +611,30 @@ def enhance_infomap(
         kernel, "vertex_id long, parent long, sub long"
     )
     refined = materialize(refined)
+
+    # distributed path for huge communities — same (parent, sub) shape,
+    # same canonical min-vertex module labels as the grouped kernel.
+    for r in sorted(huge_rows, key=lambda r: int(r["comm"])):
+        comm = int(r["comm"])
+        sub_edges = intra_all.filter(F.col("comm") == comm).select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        )
+        endpoints = (
+            sub_edges.select(F.col("src").alias("vertex_id"))
+            .unionByName(sub_edges.select(F.col("dst").alias("vertex_id")))
+            .distinct()
+        )
+        sub_assign, _L = infomap_distributed(
+            Graph(vertices=endpoints, edges=sub_edges)
+        )
+        refined = refined.unionByName(
+            sub_assign.select(
+                "vertex_id", F.lit(comm).alias("parent"), F.col("comm").alias("sub")
+            )
+        )
+    if huge_ids:
+        refined = materialize(refined)
+        intra_all.unpersist()
 
     # reference renumbers EVERY enhanced community (even single-module)
     max_comm = assign.agg(F.max("comm")).collect()[0][0] or 0

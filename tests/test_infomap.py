@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from csd363_sin_spark.operators.infomap import (
     enhance_infomap,
+    flow_power_iteration,
+    infomap_distributed,
     infomap_local,
     infomap_multi_trial,
     local_modularity_screen,
@@ -113,6 +115,90 @@ def test_infomap_multi_trial_standalone(spark):
     assert L == pytest.approx(
         map_equation_codelength(TWO_K6 + [(100, 101)], got), abs=1e-9
     )
+
+
+def _planted_cliques(k: int, size: int):
+    edges = []
+    for c in range(k):
+        base = c * size
+        edges += [(base + a, base + b) for a in range(size) for b in range(a + 1, size)]
+    edges += [((c + 1) * size - 1, ((c + 1) * size) % (k * size)) for c in range(k)]
+    return edges, list(range(k * size))
+
+
+@pytest.mark.parametrize(
+    "edges,verts",
+    [
+        (BARBELL, list(range(10))),
+        (TWO_K6, list(range(12))),
+        _planted_cliques(4, 8),
+    ],
+)
+def test_infomap_distributed_parity_with_local(spark, edges, verts):
+    """Distributed synchronous kernel vs sequential local kernel: exact
+    partition + codelength parity on separable (planted) graphs."""
+    g = graph_from_edges(spark, edges)
+    part_l, L_l = infomap_local(edges, verts)
+    out, L_d = infomap_distributed(g)
+    part_d = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert part_d == part_l
+    assert L_d == pytest.approx(L_l, abs=1e-9)
+    assert L_d == pytest.approx(map_equation_codelength(edges, part_d), abs=1e-9)
+
+
+def test_infomap_distributed_karate_quality(spark):
+    """On Zachary's karate club the synchronous down-only schedule lands in
+    a slightly worse basin than the sequential kernel (measured: L=4.5083
+    vs 4.3150, both 3 modules).  The dispatch keeps small/medium
+    communities on the exact sequential kernel, so this gap only applies
+    to >dispatch_threshold communities; pin the measured quality here so a
+    regression of the synchronous schedule is caught."""
+    import networkx as nx
+
+    kar = nx.karate_club_graph()
+    edges = [tuple(e) for e in kar.edges()]
+    g = graph_from_edges(spark, edges)
+    out, L = infomap_distributed(g)
+    part = {r["vertex_id"]: r["comm"] for r in out.collect()}
+    assert len(set(part.values())) == 3
+    assert L == pytest.approx(4.5083, abs=5e-3)
+    assert L == pytest.approx(map_equation_codelength(edges, part), abs=1e-9)
+
+
+def test_flow_power_iteration_matches_closed_form(spark):
+    """North-star flow: lazy power iteration converges to the closed-form
+    degree-proportional visit rates the optimizer uses."""
+    import networkx as nx
+
+    kar = nx.karate_club_graph()
+    edges = [tuple(e) for e in kar.edges()]
+    g = graph_from_edges(spark, edges)
+    p = {r["vertex_id"]: r["p"] for r in flow_power_iteration(g, iterations=60).collect()}
+    W = float(len(edges))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    for v, d in deg.items():
+        assert p[v] == pytest.approx(d / (2.0 * W), abs=1e-3)
+
+
+def test_enhance_dispatch_distributed_matches_grouped(spark):
+    """enhance_infomap routed through the distributed kernel must produce
+    the same spliced assignment as the grouped-pandas path on a separable
+    community (kernel parity + path-independent splice)."""
+    g = graph_from_edges(spark, TWO_K6)
+    assign = g.vertices.select("vertex_id", F.lit(0).cast("long").alias("comm"))
+    grouped = enhance_infomap(
+        g, assign, modularity_threshold=0.3, min_size=10, dispatch_threshold=10_000
+    )
+    dispatched = enhance_infomap(
+        g, assign, modularity_threshold=0.3, min_size=10, dispatch_threshold=5
+    )
+    got_g = {r["vertex_id"]: r["comm"] for r in grouped.collect()}
+    got_d = {r["vertex_id"]: r["comm"] for r in dispatched.collect()}
+    assert got_g == got_d
+    assert len(set(got_d.values())) == 2
 
 
 def test_infomap_karate_club_anchor():
