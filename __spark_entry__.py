@@ -265,6 +265,26 @@ def q_infomap_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canonical_labels(named)
 
 
+def q_pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the COMPLETE hybrid pipeline (Louvain -> GN refinement ->
+    Infomap enhancement, reference __main__.py:559-878) end-to-end on the
+    induced graph — regression-guards the stage wiring (pipeline.py) that
+    the per-operator gate queries cannot see.  Canonical min-actor labels.
+    """
+    from csd363_sin_spark.pipeline import PipelineConfig, run_pipeline
+
+    g = _graph(spark, sf_dir)
+    cfg = PipelineConfig(
+        size_threshold=100,
+        target_subcommunities=5,
+        max_iterations=10,
+        gn_betweenness_sources=64,
+    )
+    out = run_pipeline(g, config=cfg)
+    named = out["final_assign"].join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
 def q_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: top-20 edges by sampled-source Brandes betweenness."""
     from csd363_sin_spark.operators.betweenness import edge_betweenness
@@ -402,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn_refine": q_gn_refine,
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
+        "pipeline_final": q_pipeline_final,
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
         "doc_language_id": q_doc_language_id,
