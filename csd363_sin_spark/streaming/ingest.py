@@ -5,20 +5,35 @@ module adds the streaming ingest a production transcript pipeline needs:
 new conversation turns arrive continuously, and the co-occurrence edge
 table is maintained incrementally.
 
-Design:
+Design (kappa-style: streaming maintains state, batch supersteps run on
+snapshots):
+
 * ``stream_transcripts`` — file-source stream over a transcripts parquet
   directory (schema = BASELINE input_hint), with a watermark on ``ts``
   so late turns older than the horizon are dropped deterministically;
-* ``streaming_edge_counts`` — per-micro-batch actor-pair counts keyed by
-  conversation, written via ``foreachBatch`` merge into a parquet edge
-  store (idempotent per batch id: each batch directory is overwritten,
-  the reader unions them);
-* the graph operators then run on snapshots — the batch/stream split
-  mirrors the standard kappa-style design: streaming maintains the edge
-  table, batch supersteps (Louvain/PageRank/...) run on snapshots.
+* ``streaming_edge_counts`` — stateless per-row expansion of each turn
+  into its (conv_id, actor) sightings;
+* ``run_incremental_induction`` — ``foreachBatch`` writes each
+  micro-batch's DISTINCT (conv_id, actor) rows to
+  ``output_dir/batch=<id>``.  The store is the (conv, actor) RELATION,
+  not pre-aggregated pair counts: a conversation whose actors arrive in
+  different micro-batches still yields every co-occurrence pair exactly
+  once at read time — per-batch pair expansion could neither produce
+  cross-batch pairs nor avoid double-counting repeated ones.
+  Idempotency: a replayed batch id overwrites its own ``batch=<id>``
+  directory, and the reader's DISTINCT collapses any overlap between
+  batch directories.
+* ``read_edge_store`` — snapshot reader: distinct (conv, actor) across
+  batch dirs, then the SAME pair-expansion plan as the batch induction
+  (plans/induce.py induce_actor_edges), so streamed weights equal batch
+  weights exactly, regardless of how conversations were split across
+  micro-batches.
 
-Used with ``trigger(availableNow=True)`` in tests — real continuous
-triggers behave identically per micro-batch.
+Scale notes: the stored relation is bounded by sum_c |A_c| (one row per
+conversation-actor sighting — same order as the input turn volume after
+distinct), and the read-side expansion is the identical bounded self-join
+the batch path uses.  Used with ``trigger(availableNow=True)`` in tests —
+real continuous triggers behave identically per micro-batch.
 """
 
 from __future__ import annotations
@@ -43,11 +58,11 @@ def stream_transcripts(
 
 
 def streaming_edge_counts(transcripts_stream: DataFrame) -> DataFrame:
-    """Per-conversation actor pairs from a streaming transcripts frame.
+    """Per-turn (conv_id, ts, actor) sightings from a streaming frame.
 
     Stateless per-row expansion (conv actor + tool actor per tool turn);
-    the heavy distinct/pair/aggregate steps run per micro-batch in
-    :func:`run_incremental_induction` where batch semantics are exact.
+    deduplication and pair expansion happen downstream where batch
+    semantics are exact (see module docstring).
     """
     t = transcripts_stream
     conv_actor = t.select(
@@ -66,32 +81,21 @@ def run_incremental_induction(
     checkpoint_dir: str | None = None,
     watermark: str = "1 hour",
 ):
-    """Maintain an incremental actor co-occurrence edge store.
+    """Maintain the incremental (conv_id, actor) sighting store.
 
-    Each micro-batch's (conv, actor) rows are pair-expanded and written to
-    ``output_dir/batch=<id>``; a reader aggregates across batch dirs with
-    one groupBy.  Restart-safe: the stream checkpoint tracks consumed
-    files, and a replayed batch id overwrites its own directory
-    (idempotent).  Returns the query handle (already awaited when run
-    with availableNow).
+    Each micro-batch's distinct (conv_id, actor) rows land in
+    ``output_dir/batch=<id>`` (replay-safe: the directory is overwritten
+    for a replayed batch id; the stream checkpoint tracks consumed
+    files).  Returns the query handle (already awaited when run with
+    availableNow).
     """
     ckpt = checkpoint_dir or os.path.join(output_dir, "_stream_ckpt")
     actors = streaming_edge_counts(stream_transcripts(spark, input_path, watermark))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        a = batch_df.select("conv_id", "actor").distinct()
-        b = a.withColumnRenamed("actor", "actor_b")
-        pairs = (
-            a.join(b, "conv_id")
-            .filter(F.col("actor") < F.col("actor_b"))
-            .groupBy(
-                F.col("actor").alias("src_actor"), F.col("actor_b").alias("dst_actor")
-            )
-            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(output_dir, f"batch={batch_id}")
-        )
+        batch_df.select("conv_id", "actor").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, f"batch={batch_id}"))
 
     query = (
         actors.writeStream.foreachBatch(process_batch)
@@ -104,16 +108,26 @@ def run_incremental_induction(
 
 
 def read_edge_store(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Aggregate the incremental batch directories into the edge table.
+    """Snapshot the edge table from the sighting store — EXACT batch
+    semantics.
 
-    NOTE: conversations spanning micro-batches contribute a pair once per
-    batch in which both actors appear; within-batch counts are exact.  The
-    final groupBy-max collapses replays; cross-batch duplicates of the
-    same conversation are bounded by the watermark horizon.
+    Distinct (conv_id, actor) across all batch directories (collapsing
+    replays and conversations that span micro-batches), then the same
+    bounded per-conversation pair expansion as the batch induction:
+    weight = number of conversations in which the pair co-occurs.
     """
-    df = spark.read.option("basePath", output_dir).parquet(
-        os.path.join(output_dir, "batch=*")
+    a = (
+        spark.read.option("basePath", output_dir)
+        .parquet(os.path.join(output_dir, "batch=*"))
+        .select("conv_id", "actor")
+        .distinct()
     )
-    return df.groupBy("src_actor", "dst_actor").agg(
-        F.sum("weight").alias("weight")
+    b = a.withColumnRenamed("actor", "actor_b")
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("actor") < F.col("actor_b"))
+        .groupBy(
+            F.col("actor").alias("src_actor"), F.col("actor_b").alias("dst_actor")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )

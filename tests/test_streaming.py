@@ -31,6 +31,31 @@ def test_incremental_induction_matches_batch(spark):
         assert got == expected
 
 
+def test_conversation_spanning_micro_batches_exact_weights(spark):
+    """A conversation whose turns (and therefore actors) arrive in two
+    different micro-batches must still produce the same edge weights as
+    batch induction — including the cross-batch pair (tool:a, tool:b) and
+    WITHOUT double-counting pairs seen in both batches."""
+    t = synth_transcripts(spark, n_convs=12, n_tools=6, n_clusters=2, seed=44)
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        out = os.path.join(d, "out")
+        # split by turn index so most conversations span both batches
+        t.filter(t.turn_idx % 2 == 0).write.mode("overwrite").parquet(inp)
+        run_incremental_induction(spark, inp, out)
+        t.filter(t.turn_idx % 2 == 1).write.mode("append").parquet(inp)
+        run_incremental_induction(spark, inp, out)
+        got = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in read_edge_store(spark, out).collect()
+        }
+        expected = {
+            (r["src_actor"], r["dst_actor"]): r["weight"]
+            for r in induce_actor_edges(t).collect()
+        }
+        assert got == expected
+
+
 def test_incremental_induction_two_batches_idempotent_restart(spark):
     t = synth_transcripts(spark, n_convs=20, n_tools=8, n_clusters=2, seed=43)
     with tempfile.TemporaryDirectory() as d:
