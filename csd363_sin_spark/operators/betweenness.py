@@ -43,19 +43,32 @@ def edge_betweenness_batched(
     """Exact (or k-sampled) edge betweenness with sources sharded into
     batches of ``batch_size`` — bounds the O(|sources| x |V|) frontier
     state, the memory knob for large graphs.  Per-edge sums across
-    batches equal the single-batch result exactly."""
+    batches equal the single-batch result exactly.
+
+    Source batches are built distributedly: a dense rank over the source
+    ids (plans/ids.py — range partition + offsets, no global window)
+    becomes a batch-id column, and each round filters one batch.  The
+    driver holds only the source COUNT, never the vertex set — exact mode
+    on a 10^8-vertex graph costs O(1) driver memory."""
+    import math
+
     from pyspark.sql import functions as _F
 
-    verts = graph.vertices.select("vertex_id").orderBy("vertex_id")
+    from csd363_sin_spark.plans.ids import dense_ids
+
+    verts = graph.vertices.select("vertex_id")
     if k_sources is not None:
-        verts = verts.limit(int(k_sources))
-    all_sources = [r["vertex_id"] for r in verts.collect()]
+        verts = verts.orderBy("vertex_id").limit(int(k_sources))
+    ranked = dense_ids(verts, "vertex_id", id_col="_rank")
+    batched = ranked.withColumn(
+        "_bid", _F.floor(_F.col("_rank") / batch_size)
+    ).persist()
+    n_sources = batched.count()
+    ranked.unpersist()
     spark = graph.edges.sparkSession
     total = None
-    for i in range(0, len(all_sources), batch_size):
-        chunk = spark.createDataFrame(
-            [(int(v),) for v in all_sources[i : i + batch_size]], "vertex_id long"
-        )
+    for i in range(int(math.ceil(n_sources / batch_size)) if n_sources else 0):
+        chunk = batched.filter(_F.col("_bid") == i).select("vertex_id")
         part = edge_betweenness(graph, source_batch=chunk, max_depth=max_depth)
         part = part.withColumnRenamed("betweenness", "b_part")
         total = (
@@ -69,6 +82,7 @@ def edge_betweenness_batched(
                 )
             )
         )
+    batched.unpersist()
     if total is None:
         return spark.createDataFrame([], "src long, dst long, betweenness double")
     out = total.withColumnRenamed("b_acc", "betweenness")
