@@ -75,10 +75,18 @@ def _total_edge_weight(graph: Graph, weighted: bool) -> float:
 
 
 def modularity(
-    graph: Graph, assign: DataFrame, weighted: bool = False, stats: DataFrame | None = None
+    graph: Graph,
+    assign: DataFrame,
+    weighted: bool = False,
+    stats: DataFrame | None = None,
+    m: float | None = None,
 ) -> float:
-    """Q = sum_c [ (internal_c/2)/m - (vol_c/(2m))^2 ] (reference evaluation.py:31)."""
-    m = _total_edge_weight(graph, weighted)
+    """Q = sum_c [ (internal_c/2)/m - (vol_c/(2m))^2 ] (reference evaluation.py:31).
+
+    ``m`` — precomputed total edge weight; pass it in iterative callers
+    (one scalar job saved per call)."""
+    if m is None:
+        m = _total_edge_weight(graph, weighted)
     if m == 0:
         return 0.0
     if stats is None:

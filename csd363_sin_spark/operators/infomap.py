@@ -341,6 +341,10 @@ def _infomap_move_phase(
     """
     plogp = lambda c: F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))  # noqa: E731
 
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # pre-partition by the per-superstep join key so only the assignment
+    # side exchanges each superstep (see operators/louvain.py)
     sym = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst", "weight")
@@ -349,6 +353,7 @@ def _infomap_move_phase(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
         )
+        .repartition(n_part, "dst")
         .persist()
     )
     from csd363_sin_spark.operators.louvain import _strengths

@@ -97,6 +97,13 @@ def _local_move_phase(
     ``edges`` canonical (src <= dst); ``vertices`` single column vertex_id.
     Returns (assign, supersteps_used).
     """
+    # Hash-partition the symmetric edge view by the join key ONCE and keep
+    # it cached with the partitioning visible to Catalyst: every superstep's
+    # k_in join then exchanges only the |V|-row assignment side, never the
+    # 2|E|-row edge side (a union plan has unknown outputPartitioning, so
+    # without this Spark re-shuffles sym on every superstep).
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sym = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst", "weight")
@@ -105,6 +112,7 @@ def _local_move_phase(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
         )
+        .repartition(n_part, "dst")
         .persist()
     )
     strengths = _strengths(edges).persist()
@@ -116,9 +124,12 @@ def _local_move_phase(
 
     step = 0
     for step in range(max_supersteps):
-        # state: vertex -> (current comm, strength)
-        state = assign.join(strengths, "vertex_id")
-        comm_tot = state.groupBy("comm").agg(F.sum("k").alias("S"))
+        # state: vertex -> (current comm, strength).  state feeds both the
+        # community totals and the scoring join, and comm_tot is joined
+        # twice — persist both for the superstep so the shared subplans
+        # (assign exchange + strengths join) run once, not three times.
+        state = assign.join(strengths, "vertex_id").persist()
+        comm_tot = state.groupBy("comm").agg(F.sum("k").alias("S")).persist()
         a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
         k_in = (
             sym.join(a_dst, "dst")
@@ -188,6 +199,8 @@ def _local_move_phase(
             )
         )
         moves = next_assign.filter(F.col("_moved")).count()
+        state.unpersist()
+        comm_tot.unpersist()
         assign = next_assign.select("vertex_id", "comm")
         if on_superstep is not None:
             on_superstep(step, moves, assign)
@@ -290,9 +303,12 @@ def louvain(
         )
         store.lineage(stage, level_next, composed)
 
+    # total edge weight is INVARIANT under contraction (every level-k edge
+    # aggregates a disjoint set of original edges), so one scalar job
+    # serves every level's local-move phase and modularity evaluation.
+    m_row = edges.agg(F.sum("weight")).collect()[0][0]
+    m = float(m_row or 0.0)
     for level in range(start_level, max_levels):
-        m_row = edges.agg(F.sum("weight")).collect()[0][0]
-        m = float(m_row or 0.0)
         if m == 0.0:
             break
         def _superstep_lineage(step, moves, step_assign, _level=level):
@@ -322,7 +338,7 @@ def louvain(
                 "comm",
             ).select("vertex_id", F.col("new_comm").alias("comm"))
         )
-        q = modularity(graph, new_composed, weighted=weighted)
+        q = modularity(graph, new_composed, weighted=weighted, m=m)
         levels = level + 1
         if q_prev is not None and q - q_prev <= min_gain:
             if q > q_prev:
