@@ -345,21 +345,26 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed candidates, exact-verified (no false
-    positives; subset property tested in tests/test_datapipeline)."""
+    """MinHash+LSH near-dups, oracle-checked end to end: the gate runs the
+    md5-portable hash family (functions/dedup.py portable_hash64) so DuckDB
+    reproduces signatures, banding, candidates, and verification exactly;
+    the xxhash64 production family shares every line of algorithm code."""
     from csd363_sin_spark.functions.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 64-bit simhash banding, hamming <= 3.
+    """SimHash banding (hamming <= 3), oracle-checked: 60-bit md5-portable
+    hash family (the production default stays 64-bit xxhash64).
 
     Bigram shingles: the synthetic docs draw from a tiny vocabulary, so
     unigram token SETS overlap heavily; bigrams restore discrimination."""
     from csd363_sin_spark.functions.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, n=2)
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=3, n=2, hash_mode="md5", bits=60
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,16 +395,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-LSH approximate top-5 (scale path)."""
+    """Hyperplane-LSH approximate top-5 (scale path), oracle-checked: the
+    gate uses md5-portable plane coefficients embedded as literals in both
+    engines (functions/similarity.py portable_plane_coeffs)."""
     from csd363_sin_spark.functions.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    return lsh_topk(emb, probes, dim=64, k=5, num_planes=6, num_tables=4).select(
-        "probe_id", "vec_id", "rank"
-    )
+    return lsh_topk(
+        emb, probes, dim=64, k=5, num_planes=6, num_tables=4, portable=True
+    ).select("probe_id", "vec_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -501,6 +508,197 @@ _LANG_SCORE_SQL = ",\n    ".join(
     for lang, words in sorted(LANG_MARKERS.items())
 )
 _SW_SQL = _sql_list(_EN_STOPWORDS)
+
+
+# portable 60-bit hash in DuckDB SQL (= functions/dedup.py portable_hash64)
+def _ph(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sh_cte(n: int) -> str:
+    """Distinct word n-gram shingles CTE over toksrc — mirrors
+    functions/dedup.py _shingles for any n (DuckDB list slices are
+    inclusive)."""
+    return f"""
+, sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= {n}
+           THEN array_to_string(toks[i:i+{n - 1}], ' ')
+           ELSE array_to_string(toks, ' ') END AS shingle
+    FROM toksrc, LATERAL (
+      SELECT unnest(range(1, GREATEST(len(toks) - {n - 2}, 2))) AS i
+    )
+  )
+)
+"""
+
+
+def _minhash_lsh_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """MinHash+LSH oracle: signatures, band hashes, candidate equi-join,
+    exact-Jaccard verification — mirroring functions/dedup.py
+    minhash_lsh_pairs(hash_mode="md5") construct for construct."""
+    rpb = num_hashes // bands
+    hash_cols = ",\n    ".join(
+        f"min({_ph(repr(str(i) + ':') + ' || shingle')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=_ph(
+                " || ',' || ".join(
+                    f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _DOC_PRELUDE
+        + _sh_cte(n)
+        + f"""
+, sig AS (
+  SELECT doc_id,
+    {hash_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM cands c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
+"""
+    )
+
+
+def _simhash_sql(
+    n: int = 2, bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """SimHash oracle: per-bit majority votes, pigeonhole banding, exact
+    hamming — mirroring functions/dedup.py simhash_near_pairs(
+    hash_mode="md5", bits=60)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    vote_cols = ",\n    ".join(f"sum((h >> {b}) & 1) AS b{b}" for b in range(bits))
+    sim_terms = "\n      + ".join(
+        f"(CASE WHEN b{b} * 2 > cnt THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {mask} AS chunk FROM sim"
+        for b in range(bands)
+    )
+    return (
+        _DOC_PRELUDE
+        + _sh_cte(n)
+        + f"""
+, hashes AS (
+  SELECT doc_id, {_ph('shingle')} AS h FROM sh
+),
+votes AS (
+  SELECT doc_id, count(*) AS cnt,
+    {vote_cols}
+  FROM hashes GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+    {sim_terms} AS simhash
+  FROM votes
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+    )
+
+
+def _lsh_topk_sql(
+    dim: int = 64, k: int = 5, num_planes: int = 6, num_tables: int = 4
+) -> str:
+    """Hyperplane-LSH top-k oracle: the SAME md5-derived literal plane
+    coefficients as functions/similarity.py portable_plane_coeffs, bucket
+    equi-join, exact cosine ranking of candidates."""
+    from csd363_sin_spark.functions.similarity import portable_plane_coeffs
+
+    def bkt_expr(vec: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            lst = "[" + ", ".join(
+                repr(c) for c in portable_plane_coeffs(t, p, dim)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec}, {lst}) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {bkt_expr('embedding', t)} AS bkt"
+        " FROM embeddings"
+        for t in range(num_tables)
+    )
+    pb = "\n  UNION ALL\n".join(
+        f"  SELECT probe_id, {t} AS tbl, {bkt_expr('p', t)} AS bkt FROM probes"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 3
+),
+cb AS (
+{cb}
+),
+pb AS (
+{pb}
+),
+cands AS (
+  SELECT DISTINCT pb.probe_id, cb.vec_id
+  FROM cb JOIN pb ON cb.tbl = pb.tbl AND cb.bkt = pb.bkt
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding, pr.p), 6) AS cosine
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN probes pr ON pr.probe_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -696,8 +894,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """,
-        # pagerank: intentionally omitted -> rows-only check (iterative
-        # fixpoint; exactness covered by pytest oracle at 1e-6)
+        "minhash_lsh_dups": _minhash_lsh_sql(),
+        "simhash_dups": _simhash_sql(),
+        "lsh_topk": _lsh_topk_sql(),
+        # pagerank/louvain/gn/infomap/betweenness/pipeline: intentionally
+        # omitted -> rows-only check (iterative fixpoints; not
+        # ANSI-SQL-expressible; exactness covered by pytest oracles)
     }
 
 

@@ -29,6 +29,29 @@ from csd363_sin_spark.functions.text import _tokens
 from csd363_sin_spark.plans.lineage import materialize
 
 
+def portable_hash64(col):
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+
+    Identical in Spark (`conv(substr(md5(x),1,15),16,10)`), DuckDB
+    (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), and Python
+    (`int(hashlib.md5(x).hexdigest()[:15], 16)`) — the hash family the
+    oracle-checkable variants of MinHash/SimHash/LSH use.  ``xxhash64``
+    stays the default production family (JVM-fused, ~an order of
+    magnitude cheaper than md5); the algorithms are hash-agnostic, so the
+    oracle greenness of the portable mode covers the banding/verification
+    logic shared by both."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, seed: int | None, hash_mode: str):
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed)) if seed is not None else F.xxhash64(col)
+    if hash_mode == "md5":
+        pre = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+        return portable_hash64(pre)
+    raise ValueError(f"unknown hash_mode: {hash_mode}")
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
     ``(fingerprint, canonical_doc_id, dup_doc_id)`` for every duplicate
@@ -117,15 +140,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, sig array<long>) — MinHash signature over word shingles.
 
-    Hash family: xxhash64(shingle, seed=i), i = 0..num_hashes-1; the min
+    Hash family: hash(shingle, seed=i), i = 0..num_hashes-1; the min
     over a document's shingles per seed.  One explode + one aggregation.
+    ``hash_mode``: "xxhash64" (production) or "md5" (oracle-portable,
+    see :func:`portable_hash64`).
     """
     sh = _shingles(docs, n)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_hash64(F.col("shingle"), i, hash_mode)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
@@ -140,6 +167,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
@@ -149,7 +177,7 @@ def minhash_lsh_pairs(
     false positives (only possible false negatives, tuned by bands/rows).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes)
+    sigs = minhash_signatures(docs, n, num_hashes, hash_mode=hash_mode)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -157,14 +185,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        _hash64(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.col("sig")[b * rows_per_band + r].cast("string")
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            None,
+                            hash_mode,
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -218,23 +248,27 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-def simhash(docs: DataFrame, n: int = 1) -> DataFrame:
-    """(doc_id, simhash long) — 64-bit SimHash over token (n-)shingles.
+def simhash(
+    docs: DataFrame, n: int = 1, hash_mode: str = "xxhash64", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash long) — ``bits``-bit SimHash over token
+    (n-)shingles (64 for xxhash64; 60 for the md5-portable family, whose
+    values carry 60 bits).
 
     Bit b of the hash is 1 iff the majority of the document's shingle
     hashes have bit b set.  Pure expressions: per-bit vote via
     ``shiftright & 1`` aggregation.
     """
-    sh = _shingles(docs, n).withColumn("h", F.xxhash64("shingle"))
+    sh = _shingles(docs, n).withColumn("h", _hash64(F.col("shingle"), None, hash_mode))
     votes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("cnt"),
         *[
             F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ],
     )
     bit_terms = None
-    for b in range(64):
+    for b in range(bits):
         term = F.when(
             F.col(f"b{b}") * 2 > F.col("cnt"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -243,16 +277,21 @@ def simhash(docs: DataFrame, n: int = 1) -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, n: int = 1, bands: int = 4
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 1,
+    bands: int = 4,
+    hash_mode: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: with ``bands`` 16-bit bands, any pair within
-    hamming <= bands-1 shares at least one exact band — candidates come
-    from an equi-join on (band, 16-bit chunk), then exact hamming filters.
+    Pigeonhole banding: with ``bands`` (bits/bands)-bit bands, any pair
+    within hamming <= bands-1 shares at least one exact band — candidates
+    come from an equi-join on (band, chunk), then exact hamming filters.
     """
-    sh = simhash(docs, n)
-    width = 64 // bands
+    sh = simhash(docs, n, hash_mode=hash_mode, bits=bits)
+    width = bits // bands
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -87,24 +87,48 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def hyperplane_bucket(vec_col, dim: int, num_planes: int = 8, table: int = 0):
+def portable_plane_coeffs(table: int, plane: int, dim: int) -> list[float]:
+    """Engine-portable hyperplane coefficients in [-1, 1]: derived from
+    md5 of "table:plane:dim" (see functions/dedup.py portable_hash64) so
+    the SQL oracle can embed the SAME literal planes.  Computed in plain
+    Python — coefficients are plan-time constants either way."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000003) / 1000001.5 - 1.0)
+    return out
+
+
+def hyperplane_bucket(
+    vec_col, dim: int, num_planes: int = 8, table: int = 0, portable: bool = False
+):
     """Deterministic LSH bucket id: sign bits of ``num_planes``
     pseudo-random hyperplane projections.  Coefficient for (plane p,
-    dimension d) = xxhash64(table, p, d) scaled to [-1, 1]."""
+    dimension d) = xxhash64(table, p, d) scaled to [-1, 1]; with
+    ``portable=True`` the md5-derived :func:`portable_plane_coeffs` are
+    embedded as literals instead (bit-identical planes in the DuckDB
+    oracle)."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        coeffs = F.array(
-            *[
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit(table), F.lit(p), F.lit(d)), F.lit(2000003)
-                    ).cast("double")
-                    / F.lit(1000001.5)
-                    - F.lit(1.0)
-                )
-                for d in range(dim)
-            ]
-        )
+        if portable:
+            coeffs = F.array(
+                *[F.lit(c) for c in portable_plane_coeffs(table, p, dim)]
+            )
+        else:
+            coeffs = F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.xxhash64(F.lit(table), F.lit(p), F.lit(d)), F.lit(2000003)
+                        ).cast("double")
+                        / F.lit(1000001.5)
+                        - F.lit(1.0)
+                    )
+                    for d in range(dim)
+                ]
+            )
         proj = F.aggregate(
             F.zip_with(vec_col, coeffs, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -127,6 +151,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: probe only corpus vectors sharing an LSH
     bucket in any of ``num_tables`` tables, then exact-rank the candidates.
@@ -144,7 +169,9 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        hyperplane_bucket(F.col("v"), dim, num_planes, t).alias("bkt"),
+                        hyperplane_bucket(
+                            F.col("v"), dim, num_planes, t, portable=portable
+                        ).alias("bkt"),
                     )
                     for t in range(num_tables)
                 ]
@@ -159,7 +186,9 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        hyperplane_bucket(F.col("p"), dim, num_planes, t).alias("bkt"),
+                        hyperplane_bucket(
+                            F.col("p"), dim, num_planes, t, portable=portable
+                        ).alias("bkt"),
                     )
                     for t in range(num_tables)
                 ]

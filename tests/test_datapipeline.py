@@ -216,3 +216,28 @@ def test_multimodal_real_decoder_stubbed(spark):
     media = synth_media(spark, n=3)
     with pytest.raises(NotImplementedError):
         decode_features(media, decoder="real")
+
+
+def test_portable_hash64_cross_engine(spark):
+    """The md5-portable hash family must be identical in Spark, Python
+    (hashlib — used for the literal LSH plane coefficients), and DuckDB
+    (the driver-gate oracle)."""
+    import hashlib
+
+    import duckdb
+
+    from csd363_sin_spark.functions.dedup import portable_hash64
+
+    samples = ["", "a", "hello world", "0:shingle text", "unicode ñé"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        py = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        duck = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got[s] == py == duck
