@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     ap.add_argument("--modularity-threshold", type=float, default=0.3)
     ap.add_argument("--max-iterations", type=int, default=None)
     ap.add_argument("--fast-mode", type=int, default=1)
+    ap.add_argument(
+        "--viz", type=int, default=1,
+        help="render SVG charts + report.html under RUN_DIR/viz (S13 sinks)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -67,6 +71,13 @@ def main(argv=None) -> int:
     out = run_pipeline(graph, config=cfg, store=store)
     final = out.pop("final_assign")
     final.write.mode("overwrite").parquet(os.path.join(args.run_dir, "final_assign"))
+    if args.viz:
+        from csd363_sin_spark.viz import render_pipeline_report
+
+        paths = render_pipeline_report(
+            graph, final, out, os.path.join(args.run_dir, "viz")
+        )
+        out["viz_artifacts"] = paths
     print(json.dumps(out, default=str, indent=2))
     return 0
 
