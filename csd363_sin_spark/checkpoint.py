@@ -103,3 +103,94 @@ class CheckpointStore:
             return []
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def format_metrics_summary(out: dict, timestamp: str | None = None) -> str:
+    """Fixed-width text summary of a ``run_pipeline`` result — output
+    parity with the reference's formatter (extract_metrics.py:173-277):
+    same header, 80/50/65-char rules, {:<20}{:<15} column layout, NMI and
+    improvement sections, m/s runtime line.  Input is the structured
+    metrics dict (the engine records structured metrics from the start;
+    this formatter is the S12 presentation sink)."""
+    s: list[str] = []
+    s.append("=" * 80)
+    s.append("COMMUNITY DETECTION PIPELINE - METRICS SUMMARY")
+    if timestamp:
+        s.append(f"Run date: {timestamp}")
+    s.append("=" * 80)
+
+    g = out.get("graph_analysis") or {}
+    s.append("\nGRAPH STATISTICS:")
+    s.append("-" * 50)
+    if g:
+        s.append(f"Nodes: {g.get('num_nodes', 'N/A')}")
+        s.append(f"Edges: {g.get('num_edges', 'N/A')}")
+        s.append(f"Density: {g.get('density', 0.0):.8f}")
+        s.append(f"Connected Components: {g.get('num_components', 'N/A')}")
+        if "largest_component_size" in g:
+            s.append(
+                f"Largest Component: {g['largest_component_size']} nodes "
+                f"({g.get('largest_component_pct', 0):.2f}% of graph)"
+            )
+
+    s.append("\nALGORITHM PERFORMANCE:")
+    s.append("-" * 50)
+    s.append(
+        "{:<20} {:<15} {:<15} {:<15}".format(
+            "Algorithm", "Communities", "Modularity", "Conductance"
+        )
+    )
+    s.append("-" * 65)
+    stages = [
+        ("Baseline", "baseline"),
+        ("Louvain", "louvain"),
+        ("Girvan-Newman", "girvan_newman"),
+        ("Infomap", "infomap"),
+    ]
+    for label, key in stages:
+        m = out.get(key)
+        if m:
+            s.append(
+                "{:<20} {:<15} {:<15.4f} {:<15.4f}".format(
+                    label,
+                    m.get("num_communities", "N/A"),
+                    m.get("modularity", 0) or 0,
+                    m.get("avg_conductance", 0) or 0,
+                )
+            )
+
+    if any((out.get(k) or {}).get("nmi") is not None for _, k in stages):
+        s.append("\nNORMALIZED MUTUAL INFORMATION (NMI):")
+        s.append("-" * 50)
+        s.append("{:<20} {:<15}".format("Algorithm", "NMI Score"))
+        s.append("-" * 35)
+        for label, key in stages:
+            m = out.get(key) or {}
+            if m.get("nmi") is not None:
+                s.append("{:<20} {:<15.4f}".format(label, m["nmi"]))
+
+    s.append("\nIMPROVEMENT SUMMARY:")
+    s.append("-" * 50)
+    lv, bl = out.get("louvain") or {}, out.get("baseline") or {}
+    im, gn = out.get("infomap") or {}, out.get("girvan_newman") or {}
+    if "modularity" in lv and "modularity" in bl:
+        s.append(
+            f"Louvain vs Baseline (Modularity): "
+            f"+{lv['modularity'] - bl['modularity']:.4f}"
+        )
+    if "modularity" in im and "modularity" in gn:
+        s.append(
+            f"Infomap vs Girvan-Newman (Modularity): "
+            f"+{im['modularity'] - gn['modularity']:.4f}"
+        )
+    if "modularity" in im and "modularity" in bl:
+        s.append(
+            f"Overall Improvement (Modularity): "
+            f"+{im['modularity'] - bl['modularity']:.4f}"
+        )
+
+    runtime = (out.get("summary") or {}).get("total_runtime")
+    if runtime is not None:
+        minutes, seconds = divmod(runtime, 60)
+        s.append(f"\nTotal Runtime: {int(minutes)}m {seconds:.2f}s")
+    return "\n".join(s)

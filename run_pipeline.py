@@ -78,7 +78,15 @@ def main(argv=None) -> int:
             graph, final, out, os.path.join(args.run_dir, "viz")
         )
         out["viz_artifacts"] = paths
+    from csd363_sin_spark.checkpoint import format_metrics_summary
+
+    summary_txt = format_metrics_summary(
+        out, timestamp=__import__("datetime").datetime.now().isoformat(" ", "seconds")
+    )
+    with open(os.path.join(args.run_dir, "metrics_summary.txt"), "w") as f:
+        f.write(summary_txt + "\n")
     print(json.dumps(out, default=str, indent=2))
+    print(summary_txt)
     return 0
 
 

@@ -91,3 +91,38 @@ def test_pipeline_no_store_matches_store(spark):
             ].collect()
         )
     assert a == b
+
+
+def test_format_metrics_summary_layout():
+    """S12 output parity: the fixed-width layout mirrors the reference's
+    extract_metrics.py:173-277 formatter (header rules, column widths,
+    NMI + improvement sections, m/s runtime)."""
+    from csd363_sin_spark.checkpoint import format_metrics_summary
+
+    out = {
+        "graph_analysis": {
+            "num_nodes": 10, "num_edges": 21, "density": 0.466667,
+            "num_components": 1, "largest_component_size": 10,
+            "largest_component_pct": 100.0,
+        },
+        "baseline": {"num_communities": 1, "modularity": 0.0, "avg_conductance": 0.0},
+        "louvain": {
+            "num_communities": 2, "modularity": 0.3571,
+            "avg_conductance": 0.05, "nmi": 1.0,
+        },
+        "girvan_newman": {"num_communities": 2, "modularity": 0.3571, "avg_conductance": 0.05},
+        "infomap": {"num_communities": 2, "modularity": 0.3571, "avg_conductance": 0.05},
+        "summary": {"total_runtime": 75.5},
+    }
+    txt = format_metrics_summary(out, timestamp="2026-08-17 00:00:00")
+    lines = txt.splitlines()
+    assert lines[0] == "=" * 80
+    assert lines[1] == "COMMUNITY DETECTION PIPELINE - METRICS SUMMARY"
+    assert "Run date: 2026-08-17 00:00:00" in txt
+    header = "{:<20} {:<15} {:<15} {:<15}".format(
+        "Algorithm", "Communities", "Modularity", "Conductance"
+    )
+    assert header in txt
+    assert "{:<20} {:<15} {:<15.4f} {:<15.4f}".format("Louvain", 2, 0.3571, 0.05) in txt
+    assert "Louvain vs Baseline (Modularity): +0.3571" in txt
+    assert "Total Runtime: 1m 15.50s" in txt
