@@ -212,6 +212,86 @@ def _local_move_phase(
     return assign, step + 1
 
 
+def _local_move_phase_driver(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_supersteps: int,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Driver-side execution of the SAME synchronous down-only spec for a
+    level graph small enough to collect (adaptive dispatch, the mirror
+    image of the GN/Infomap size dispatch).
+
+    Every score is integer-valued by construction (see module docstring),
+    so this pure-Python run and the distributed run produce BIT-IDENTICAL
+    assignments — verified by test_louvain_phase_dispatch_parity.  At the
+    100 TB target the first level runs distributed; contracted levels
+    shrink geometrically and finish here, exactly like Spark's own AQE
+    small-side strategies."""
+    from collections import defaultdict
+
+    rows = edges.collect()
+    verts = [r["vertex_id"] for r in vertices.collect()]
+    strength: dict = defaultdict(float)
+    adj: dict = defaultdict(dict)
+    for r in rows:
+        u, v, w = r["src"], r["dst"], float(r["weight"])
+        if u == v:
+            strength[u] += 2.0 * w
+        else:
+            strength[u] += w
+            strength[v] += w
+            adj[u][v] = adj[u].get(v, 0.0) + w
+            adj[v][u] = adj[v].get(u, 0.0) + w
+    comm = {v: v for v in verts}
+    S: dict = defaultdict(float)
+    for v in verts:
+        S[comm[v]] += strength.get(v, 0.0)
+
+    steps = 0
+    for step in range(max_supersteps):
+        decisions = {}
+        for v in verts:
+            cur = comm[v]
+            k = strength.get(v, 0.0)
+            w_to: dict = defaultdict(float)
+            for nb, w in adj.get(v, {}).items():
+                w_to[comm[nb]] += w
+            if not w_to:
+                continue
+            best_key, best_c = None, None
+            for c, w_c in w_to.items():
+                sc = 2.0 * m * w_c - k * (S[c] - (k if c == cur else 0.0))
+                key = (sc, -c)
+                if best_key is None or key > best_key:
+                    best_key, best_c = key, c
+            cur_score = (
+                2.0 * m * w_to[cur] - k * (S[cur] - k)
+                if cur in w_to
+                else -k * (S[cur] - k)
+            )
+            if best_key[0] > cur_score and best_c < cur:
+                decisions[v] = best_c
+        for v, c in decisions.items():
+            S[comm[v]] -= strength.get(v, 0.0)
+            S[c] += strength.get(v, 0.0)
+            comm[v] = c
+        steps = step + 1
+        if on_superstep is not None:
+            step_df = spark.createDataFrame(
+                list(comm.items()), "vertex_id long, comm long"
+            )
+            on_superstep(step, len(decisions), step_df)
+        if not decisions:
+            break
+    assign = materialize(
+        spark.createDataFrame(list(comm.items()), "vertex_id long, comm long")
+    )
+    return assign, steps
+
+
 def _contract(edges: DataFrame, assign: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Contract communities into vertices; returns (edges2, vertices2)."""
     a1 = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
@@ -239,6 +319,7 @@ def louvain(
     max_supersteps: int = 64,
     store=None,
     stage: str = "louvain",
+    local_phase_edges: int = 100_000,
 ) -> LouvainResult:
     """Run deterministic distributed Louvain; returns composed assignment
     on the original graph plus the final modularity.
@@ -325,9 +406,18 @@ def louvain(
                     moves=moves,
                 )
 
-        assign, steps = _local_move_phase(
-            edges, vertices, m, max_supersteps, on_superstep=_superstep_lineage
-        )
+        # adaptive dispatch: a level graph below the threshold runs the
+        # identical spec driver-side (one collect instead of ~10 Spark
+        # stages per superstep); big levels run distributed.
+        if edges.count() <= local_phase_edges:
+            assign, steps = _local_move_phase_driver(
+                spark, edges, vertices, m, max_supersteps,
+                on_superstep=_superstep_lineage,
+            )
+        else:
+            assign, steps = _local_move_phase(
+                edges, vertices, m, max_supersteps, on_superstep=_superstep_lineage
+            )
         total_steps += steps
 
         new_composed = materialize(

@@ -15,8 +15,13 @@ from tests.oracles import oracle_nmi
 
 
 def _spark_vs_oracle(spark, graph, weighted=True):
-    res = louvain(graph, weighted=weighted)
+    # BOTH execution paths (distributed supersteps forced with
+    # local_phase_edges=0, and the adaptive driver-side phase) must match
+    # the independent sequential spec oracle bit-for-bit.
+    res = louvain(graph, weighted=weighted, local_phase_edges=0)
     got = {r["vertex_id"]: r["comm"] for r in res.assign.collect()}
+    res_local = louvain(graph, weighted=weighted)
+    got_local = {r["vertex_id"]: r["comm"] for r in res_local.assign.collect()}
     rows = [
         (r["src"], r["dst"], r["weight"] if weighted else 1.0)
         for r in graph.edges.collect()
@@ -27,8 +32,24 @@ def _spark_vs_oracle(spark, graph, weighted=True):
         f"assignment mismatch: {sum(1 for v in got if got[v] != exp[v])}/"
         f"{len(got)} vertices differ"
     )
+    assert got_local == exp, "driver-side phase diverged from the spec oracle"
     assert res.modularity == pytest.approx(exp_q, abs=1e-9)
+    assert res_local.modularity == pytest.approx(exp_q, abs=1e-9)
     return res, got
+
+
+def test_louvain_phase_dispatch_parity(spark):
+    """Distributed supersteps vs driver-side phase: bit-identical
+    assignments on a planted transcript graph (integer-exact scores)."""
+    t = synth_transcripts(spark, n_convs=120, n_tools=16, n_clusters=4, seed=45)
+    g = induce_graph(t)
+    a = louvain(g, weighted=True, local_phase_edges=0)
+    b = louvain(g, weighted=True)  # all levels under default threshold
+    got_a = {r["vertex_id"]: r["comm"] for r in a.assign.collect()}
+    got_b = {r["vertex_id"]: r["comm"] for r in b.assign.collect()}
+    assert got_a == got_b
+    assert a.modularity == pytest.approx(b.modularity, abs=1e-12)
+    assert a.supersteps == b.supersteps and a.levels == b.levels
 
 
 def test_louvain_two_triangles(spark):
