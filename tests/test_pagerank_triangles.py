@@ -25,12 +25,24 @@ def _nx_pagerank(nxg, weighted):
 
 
 def _check_pagerank(graph, nxg, weighted=True, **kw):
+    # both dispatch paths (driver numpy power iteration for small graphs,
+    # distributed loop forced via local_edges_threshold=0) must match the
+    # networkx oracle AND each other
     got = {r["vertex_id"]: r["rank"] for r in pagerank(graph, weighted=weighted, **kw).collect()}
+    dist = {
+        r["vertex_id"]: r["rank"]
+        for r in pagerank(
+            graph, weighted=weighted, local_edges_threshold=0, **kw
+        ).collect()
+    }
     expected = _nx_pagerank(nxg, weighted)
-    assert set(got) == set(expected)
+    assert set(got) == set(expected) == set(dist)
     g_arr = np.array([got[v] for v in sorted(got)])
+    d_arr = np.array([dist[v] for v in sorted(got)])
     e_arr = np.array([expected[v] for v in sorted(got)])
     assert np.allclose(g_arr, e_arr, atol=1e-6)
+    assert np.allclose(d_arr, e_arr, atol=1e-6)
+    assert np.allclose(g_arr, d_arr, atol=1e-9)
     assert abs(g_arr.sum() - 1.0) < 1e-9
 
 
