@@ -39,6 +39,7 @@ def edge_betweenness_batched(
     k_sources: int | None = None,
     normalized: bool = False,
     max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact (or k-sampled) edge betweenness with sources sharded into
     batches of ``batch_size`` — bounds the O(|sources| x |V|) frontier
@@ -69,7 +70,12 @@ def edge_betweenness_batched(
     total = None
     for i in range(int(math.ceil(n_sources / batch_size)) if n_sources else 0):
         chunk = batched.filter(_F.col("_bid") == i).select("vertex_id")
-        part = edge_betweenness(graph, source_batch=chunk, max_depth=max_depth)
+        part = edge_betweenness(
+            graph,
+            source_batch=chunk,
+            max_depth=max_depth,
+            local_edges_threshold=local_edges_threshold,
+        )
         part = part.withColumnRenamed("betweenness", "b_part")
         total = (
             part.withColumnRenamed("b_part", "b_acc")
@@ -95,20 +101,66 @@ def edge_betweenness_batched(
     return out
 
 
+def _edge_betweenness_driver(
+    graph: Graph,
+    k_sources: int | None,
+    source_batch: DataFrame | None,
+    normalized: bool,
+) -> DataFrame:
+    """Driver-side Brandes (functions/brandes.py kernel) for a graph
+    small enough to collect — same semantics as the dataflow version
+    (sampled sources = lowest-k ids; untraversed edges 0.0); values agree
+    to FP-summation order (~1e-12).  Adaptive dispatch: the distributed
+    GN loop recomputes betweenness every removal round, so medium
+    community subgraphs skip the per-BFS-level join cascade."""
+    from csd363_sin_spark.functions.brandes import edge_betweenness_local
+
+    spark = graph.edges.sparkSession
+    edge_rows = [
+        (int(r["src"]), int(r["dst"])) for r in graph.edges.select("src", "dst").collect()
+    ]
+    verts = sorted(
+        int(r["vertex_id"]) for r in graph.vertices.select("vertex_id").collect()
+    )
+    adj: dict = {v: set() for v in verts}
+    for u, v in edge_rows:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    if source_batch is not None:
+        sources = sorted(int(r[0]) for r in source_batch.collect())
+    elif k_sources is not None:
+        sources = sorted(adj)[: int(k_sources)]
+    else:
+        sources = None
+    bet = edge_betweenness_local(adj, sources=sources)
+    n = len(verts)
+    scale = (2.0 / (n * (n - 1)) if n > 1 else 1.0) if normalized else 1.0
+    out = [
+        (u, v, scale * bet.get((u, v) if u < v else (v, u), 0.0))
+        for u, v in edge_rows
+    ]
+    return spark.createDataFrame(out, "src long, dst long, betweenness double")
+
+
 def edge_betweenness(
     graph: Graph,
     k_sources: int | None = None,
     source_batch: DataFrame | None = None,
     normalized: bool = False,
     max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Return ``(src, dst, betweenness)`` for every edge (src < dst).
 
     ``k_sources`` — run Brandes from the lowest-k vertex ids only
     (sampled approximation); ``source_batch`` — explicit (vertex_id)
-    DataFrame of sources (overrides ``k_sources``).
+    DataFrame of sources (overrides ``k_sources``).  Graphs at or below
+    ``local_edges_threshold`` edges run the driver-side Brandes kernel.
     """
     spark = graph.edges.sparkSession
+    if local_edges_threshold > 0 and graph.edges.count() <= local_edges_threshold:
+        return _edge_betweenness_driver(graph, k_sources, source_batch, normalized)
     sym = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")

@@ -65,14 +65,62 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _components_driver(graph: Graph) -> DataFrame:
+    """Driver-side union-find for a graph small enough to collect —
+    identical output contract (comp_id = min vertex id in component,
+    isolates own components).  Adaptive dispatch mirror of the
+    Louvain/PageRank driver paths: the distributed GN loop calls
+    connected_components every removal round, so medium community
+    subgraphs get one collect instead of O(log n) two-shuffle rounds."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    verts = [int(r["vertex_id"]) for r in graph.vertices.select("vertex_id").collect()]
+    for v in verts:
+        parent[v] = v
+    for r in graph.edges.select("src", "dst").collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-root labeling: after union-by-min, find() yields the component min
+    out = [(v, find(v)) for v in parent]
+    return graph.edges.sparkSession.createDataFrame(
+        out, "vertex_id long, comp_id long"
+    )
+
+
 def connected_components(
-    graph: Graph, max_iterations: int = 50, use_reliable_checkpoint: bool = False
+    graph: Graph,
+    max_iterations: int = 50,
+    use_reliable_checkpoint: bool = False,
+    local_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Return ``(vertex_id long, comp_id long)``; comp_id = min vertex id.
 
     Isolated vertices get their own component (comp_id = vertex_id),
-    matching ``nx.connected_components`` semantics.
+    matching ``nx.connected_components`` semantics.  Graphs at or below
+    ``local_edges_threshold`` edges run a driver-side union-find with the
+    identical output contract; larger graphs run the distributed
+    large-star/small-star rounds.
     """
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+        and graph.vertices.count() <= 4 * local_edges_threshold
+    ):
+        return _components_driver(graph)
     pairs = (
         graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))

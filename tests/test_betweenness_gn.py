@@ -57,15 +57,37 @@ def test_distributed_betweenness_vs_networkx(spark, edges):
     g = graph_from_edges(spark, edges)
     nxg = graph_to_networkx(g)
     expected = nx.edge_betweenness_centrality(nxg, normalized=False)
+    # force the distributed dataflow path; the driver-kernel path is
+    # covered by test_betweenness_dispatch_parity below
     got = {
         (r["src"], r["dst"]): r["betweenness"]
-        for r in edge_betweenness(g).collect()
+        for r in edge_betweenness(g, local_edges_threshold=0).collect()
     }
     for e, val in expected.items():
         assert got[tuple(sorted(e))] == pytest.approx(val, abs=1e-6)
     # bridge edge dominates on the barbell
     if edges is BARBELL:
         assert max(got, key=got.get) == (4, 5)
+
+
+def test_betweenness_dispatch_parity(spark):
+    """Driver-kernel path (default for small graphs) vs distributed
+    dataflow path: same values to FP-summation tolerance, exact and
+    sampled modes."""
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    for kw in ({}, {"k_sources": 16}, {"normalized": True}):
+        local = {
+            (r["src"], r["dst"]): r["betweenness"]
+            for r in edge_betweenness(g, **kw).collect()
+        }
+        dist = {
+            (r["src"], r["dst"]): r["betweenness"]
+            for r in edge_betweenness(g, local_edges_threshold=0, **kw).collect()
+        }
+        assert set(local) == set(dist)
+        for e in local:
+            assert local[e] == pytest.approx(dist[e], abs=1e-9)
 
 
 def test_distributed_betweenness_disconnected_and_induced(spark):

@@ -18,7 +18,14 @@ from tests.conftest import graph_to_networkx
 
 
 def _assert_matches_nx(graph):
+    # both dispatch paths: driver-side union-find (default for small
+    # graphs) and the distributed large-star/small-star rounds (forced
+    # with local_edges_threshold=0) must produce the identical labeling
     comp = {r["vertex_id"]: r["comp_id"] for r in connected_components(graph).collect()}
+    dist = {
+        r["vertex_id"]: r["comp_id"]
+        for r in connected_components(graph, local_edges_threshold=0).collect()
+    }
     nxg = graph_to_networkx(graph)
     expected = {}
     for cc in nx.connected_components(nxg):
@@ -26,6 +33,7 @@ def _assert_matches_nx(graph):
         for v in cc:
             expected[v] = root
     assert comp == expected
+    assert dist == expected
 
 
 def test_cc_forest_with_isolates(spark):
