@@ -81,10 +81,18 @@ def _shingles(docs: DataFrame, n: int) -> DataFrame:
 
     Repartitions the input first: a small parquet often arrives as ONE
     partition, which would single-thread the explode + wide signature
-    aggregations downstream."""
+    aggregations downstream.
+
+    The token array is materialized as its own projection BEFORE the
+    shingle expression: referencing the tokenizer expression inside the
+    higher-order ``transform`` lambda defeats Catalyst's subexpression
+    elimination and re-runs the regex tokenizer once PER SHINGLE
+    (measured 6x slower at sf0.1)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, "doc_id")
-    toks = _tokens(F.col("text"))
+    base = docs.repartition(par, "doc_id").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     sh = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -92,7 +100,7 @@ def _shingles(docs: DataFrame, n: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
