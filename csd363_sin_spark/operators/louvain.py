@@ -212,32 +212,21 @@ def _local_move_phase(
     return assign, step + 1
 
 
-def _local_move_phase_driver(
-    spark,
-    edges: DataFrame,
-    vertices: DataFrame,
+def _phase_local(
+    edge_list: list,
+    verts: list,
     m: float,
     max_supersteps: int,
     on_superstep=None,
-) -> tuple[DataFrame, int]:
-    """Driver-side execution of the SAME synchronous down-only spec for a
-    level graph small enough to collect (adaptive dispatch, the mirror
-    image of the GN/Infomap size dispatch).
-
-    Every score is integer-valued by construction (see module docstring),
-    so this pure-Python run and the distributed run produce BIT-IDENTICAL
-    assignments — verified by test_louvain_phase_dispatch_parity.  At the
-    100 TB target the first level runs distributed; contracted levels
-    shrink geometrically and finish here, exactly like Spark's own AQE
-    small-side strategies."""
+) -> tuple[dict, int]:
+    """Pure-Python core of the synchronous down-only local-move spec,
+    over ``edge_list`` = [(src, dst, weight)] canonical.  Returns
+    (vertex -> comm, supersteps)."""
     from collections import defaultdict
 
-    rows = edges.collect()
-    verts = [r["vertex_id"] for r in vertices.collect()]
     strength: dict = defaultdict(float)
     adj: dict = defaultdict(dict)
-    for r in rows:
-        u, v, w = r["src"], r["dst"], float(r["weight"])
+    for u, v, w in edge_list:
         if u == v:
             strength[u] += 2.0 * w
         else:
@@ -280,16 +269,133 @@ def _local_move_phase_driver(
             comm[v] = c
         steps = step + 1
         if on_superstep is not None:
+            on_superstep(step, len(decisions), dict(comm))
+        if not decisions:
+            break
+    return dict(comm), steps
+
+
+def _local_move_phase_driver(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_supersteps: int,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Driver-side execution of the SAME synchronous down-only spec for a
+    level graph small enough to collect (adaptive dispatch, the mirror
+    image of the GN/Infomap size dispatch).
+
+    Every score is integer-valued by construction (see module docstring),
+    so this pure-Python run and the distributed run produce BIT-IDENTICAL
+    assignments — verified by test_louvain_phase_dispatch_parity.  At the
+    100 TB target the first level runs distributed; contracted levels
+    shrink geometrically and finish here, exactly like Spark's own AQE
+    small-side strategies."""
+    edge_list = [
+        (r["src"], r["dst"], float(r["weight"])) for r in edges.collect()
+    ]
+    verts = [r["vertex_id"] for r in vertices.collect()]
+
+    def _cb(step, n_moves, comm):
+        if on_superstep is not None:
             step_df = spark.createDataFrame(
                 list(comm.items()), "vertex_id long, comm long"
             )
-            on_superstep(step, len(decisions), step_df)
-        if not decisions:
-            break
+            on_superstep(step, n_moves, step_df)
+
+    comm, steps = _phase_local(
+        edge_list, verts, m, max_supersteps,
+        on_superstep=_cb if on_superstep is not None else None,
+    )
     assign = materialize(
         spark.createDataFrame(list(comm.items()), "vertex_id long, comm long")
     )
     return assign, steps
+
+
+def _louvain_driver(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    min_gain: float,
+    max_levels: int,
+    max_supersteps: int,
+) -> LouvainResult:
+    """Fully driver-side Louvain for a graph below the dispatch threshold:
+    the SAME spec (phases via _phase_local, weight-preserving contraction,
+    per-level modularity gain check on the original graph) without ~6
+    Spark jobs per level.  Identical results to the distributed loop —
+    asserted by the dispatch-parity and spec-oracle tests.  ``edges``
+    carries the already-resolved weights (1.0 in unweighted mode)."""
+    from collections import defaultdict
+
+    orig = [
+        (int(r["src"]), int(r["dst"]), float(r["weight"])) for r in edges.collect()
+    ]
+    verts = [int(r["vertex_id"]) for r in vertices.select("vertex_id").collect()]
+    m = sum(w for _, _, w in orig)
+
+    def _modularity(part: dict) -> float:
+        if m == 0:
+            return 0.0
+        intra = 0.0
+        vol: dict = defaultdict(float)
+        for u, v, w in orig:
+            cu, cv = part[u], part[v]
+            if cu == cv:
+                intra += w
+            vol[cu] += w
+            vol[cv] += w
+        return intra / m - sum(x * x for x in vol.values()) / (4.0 * m * m)
+
+    composed = {v: v for v in verts}
+    level_edges = list(orig)
+    level_verts = list(verts)
+    q_prev = None
+    history: list[float] = []
+    total_steps = 0
+    levels = 0
+
+    for level in range(max_levels):
+        if m == 0.0:
+            break
+        assign, steps = _phase_local(level_edges, level_verts, m, max_supersteps)
+        total_steps += steps
+        new_composed = {v: assign[composed[v]] for v in verts}
+        q = _modularity(new_composed)
+        levels = level + 1
+        if q_prev is not None and q - q_prev <= min_gain:
+            if q > q_prev:
+                composed, history = new_composed, history + [q]
+            break
+        composed = new_composed
+        history.append(q)
+        q_prev = q
+        agg: dict = defaultdict(float)
+        for u, v, w in level_edges:
+            a, b = assign[u], assign[v]
+            if a > b:
+                a, b = b, a
+            agg[(a, b)] += w
+        level_edges = [(a, b, w) for (a, b), w in agg.items()]
+        level_verts = sorted(set(assign.values()))
+        if len(level_verts) <= 1:
+            break
+
+    out = materialize(
+        spark.createDataFrame(
+            list(composed.items()), "vertex_id long, comm long"
+        )
+    )
+    return LouvainResult(
+        assign=out,
+        modularity=history[-1] if history else 0.0,
+        levels=levels,
+        supersteps=total_steps,
+        history=history,
+    )
 
 
 def _contract(edges: DataFrame, assign: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -335,6 +441,15 @@ def louvain(
     w = F.col("weight") if weighted else F.lit(1.0)
     edges = materialize(graph.edges.select("src", "dst", w.alias("weight")))
     vertices = materialize(graph.vertices.select("vertex_id"))
+
+    # full driver-side dispatch: a graph below the threshold runs the
+    # whole multi-level loop locally (identical spec, see
+    # _louvain_driver); checkpointed runs keep the level machinery so
+    # resume granularity is unchanged.
+    if store is None and edges.count() <= local_phase_edges:
+        return _louvain_driver(
+            spark, edges, vertices, min_gain, max_levels, max_supersteps
+        )
 
     # composed: original vertex -> current community label
     composed = vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
