@@ -9,8 +9,12 @@ Design (kappa-style: streaming maintains state, batch supersteps run on
 snapshots):
 
 * ``stream_transcripts`` — file-source stream over a transcripts parquet
-  directory (schema = BASELINE input_hint), with a watermark on ``ts``
-  so late turns older than the horizon are dropped deterministically;
+  directory (schema = BASELINE input_hint), with a watermark on ``ts``.
+  NOTE the watermark only bounds state for STATEFUL downstream operators
+  (windowed aggs, dropDuplicates) — the foreachBatch path below is
+  stateless, so late turns are NOT dropped; they are *harmless by
+  design*: a late sighting merely appends another (conv_id, actor) row
+  and the snapshot reader's DISTINCT absorbs it;
 * ``streaming_edge_counts`` — stateless per-row expansion of each turn
   into its (conv_id, actor) sightings;
 * ``run_incremental_induction`` — ``foreachBatch`` writes each
@@ -49,7 +53,9 @@ from csd363_sin_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 def stream_transcripts(
     spark: SparkSession, path: str, watermark: str = "1 hour"
 ) -> DataFrame:
-    """readStream over a transcripts parquet directory with a ts watermark."""
+    """readStream over a transcripts parquet directory with a ts watermark
+    (state-bounding for stateful consumers; see module docstring for why
+    the sighting store itself needs no late-row handling)."""
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .parquet(path)
@@ -105,6 +111,82 @@ def run_incremental_induction(
     )
     query.awaitTermination()
     return query
+
+
+def windowed_actor_activity(
+    transcripts_stream: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """STATEFUL streaming aggregate: turns per actor per event-time
+    window.  This is where the source watermark actually bites: windows
+    older than the watermark horizon are evicted from state, and turns
+    arriving later than that are DROPPED (the deterministic late-data
+    policy) — unlike the stateless sighting store, which absorbs late
+    rows by design.
+
+    Returns a streaming frame ``(window struct, actor, turns)``; run with
+    ``outputMode("update")`` (or append once windows close).  One shuffle
+    per micro-batch, state bounded by (actors x open windows).
+    """
+    return (
+        streaming_edge_counts(transcripts_stream)
+        .groupBy(F.window("ts", window), "actor")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )
+
+
+def run_windowed_activity(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+):
+    """Drive :func:`windowed_actor_activity` (update mode; availableNow)
+    into per-batch parquet update logs under ``output_dir/batch=<id>`` —
+    a checkpoint-recoverable sink (the in-memory sink cannot resume).
+    Re-running with the same checkpoint resumes the watermark, so a later
+    run feeding data older than the horizon demonstrates deterministic
+    late-row drop.  Readers take the LAST update per (window, actor)
+    across batch ids."""
+    agg = windowed_actor_activity(
+        stream_transcripts(spark, input_path, watermark), window
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "actor",
+            "turns",
+        ).write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch={batch_id}")
+        )
+
+    query = (
+        agg.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_windowed_activity(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Latest update per (window_start, actor) across the update log."""
+    df = spark.read.option("basePath", output_dir).parquet(
+        os.path.join(output_dir, "batch=*")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start", "actor").orderBy(F.desc("batch"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("window_start", "window_end", "actor", "turns")
+    )
 
 
 def read_edge_store(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -86,3 +86,53 @@ def test_incremental_induction_two_batches_idempotent_restart(spark):
             for r in read_edge_store(spark, out).collect()
         }
         assert again == expected
+
+
+def test_windowed_activity_stateful_watermark(spark):
+    """The stateful windowed aggregate uses the watermark for real: counts
+    match batch groupBy for on-time data, and a turn arriving far older
+    than the watermark horizon after state moved on is DROPPED."""
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.streaming.ingest import (
+        read_windowed_activity,
+        run_windowed_activity,
+        streaming_edge_counts,
+    )
+
+    t = synth_transcripts(spark, n_convs=10, n_tools=4, n_clusters=2, seed=45)
+    t = t.persist()
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        out = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
+        t.write.mode("overwrite").parquet(inp)
+        run_windowed_activity(
+            spark, inp, out, ckpt, watermark="10 minutes", window="1 hour"
+        )
+        got = read_windowed_activity(spark, out)
+        exp = (
+            streaming_edge_counts(t)
+            .groupBy(F.window("ts", "1 hour"), "actor")
+            .agg(F.count(F.lit(1)).alias("turns"))
+        )
+        got_map = {(r["window_start"], r["actor"]): r["turns"] for r in got.collect()}
+        exp_map = {(r["window"]["start"], r["actor"]): r["turns"] for r in exp.collect()}
+        assert got_map == exp_map
+
+        # feed one VERY late turn (2 days before the max ts already seen):
+        # the resumed watermark has advanced past its window -> dropped,
+        # so the final read equals the on-time-only aggregation unchanged
+        late = t.limit(1).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        )
+        late.write.mode("append").parquet(inp)
+        run_windowed_activity(
+            spark, inp, out, ckpt, watermark="10 minutes", window="1 hour"
+        )
+        again = {
+            (r["window_start"], r["actor"]): r["turns"]
+            for r in read_windowed_activity(spark, out).collect()
+        }
+        assert again == exp_map
