@@ -543,6 +543,62 @@ def local_modularity_screen(
     return screened.select("comm")
 
 
+def _enhance_infomap_driver(
+    graph: Graph,
+    assign: DataFrame,
+    modularity_threshold: float,
+    min_size: int,
+    num_trials: int,
+    dispatch_threshold: int,
+) -> DataFrame | None:
+    """Driver-side enhance for a graph small enough to collect — the SAME
+    screen, kernel (infomap_local), and dense-rank splice as the
+    distributed path, so outputs are identical (dispatch-parity test).
+    Returns None when any selected community exceeds dispatch_threshold
+    (that case belongs to the distributed kernel)."""
+    from collections import defaultdict
+
+    comm_of = {
+        int(r["vertex_id"]): int(r["comm"])
+        for r in assign.select("vertex_id", "comm").collect()
+    }
+    sizes: dict = defaultdict(int)
+    for c in comm_of.values():
+        sizes[c] += 1
+    intra: dict = defaultdict(list)
+    for r in graph.edges.select("src", "dst").collect():
+        u, v = int(r["src"]), int(r["dst"])
+        cu, cv = comm_of.get(u), comm_of.get(v)
+        if cu is not None and cu == cv:
+            intra[cu].append((u, v))
+    # screen parity: >= min_size members, >= 1 intra edge, local
+    # modularity (identically 0.0) below the threshold
+    if not (0.0 < modularity_threshold):
+        return assign
+    selected = sorted(
+        c for c in intra if sizes[c] >= min_size and len(intra[c]) > 0
+    )
+    if not selected:
+        return assign
+    if any(sizes[c] > dispatch_threshold for c in selected):
+        return None  # huge community: distributed path owns it
+
+    refined: list = []
+    for c in selected:
+        edges = intra[c]
+        verts = sorted({x for e in edges for x in e})
+        part, _L = infomap_local(edges, verts, num_trials=num_trials)
+        refined.extend((v, c, int(s)) for v, s in part.items())
+    max_comm = max(comm_of.values(), default=0)
+    pairs = sorted({(p, s) for _, p, s in refined})
+    idmap = {ps: max_comm + i + 1 for i, ps in enumerate(pairs)}
+    new_comm = {v: idmap[(p, s)] for v, p, s in refined}
+    out = [(v, new_comm.get(v, c)) for v, c in comm_of.items()]
+    return materialize(
+        graph.edges.sparkSession.createDataFrame(out, "vertex_id long, comm long")
+    )
+
+
 def enhance_infomap(
     graph: Graph,
     assign: DataFrame,
@@ -550,6 +606,7 @@ def enhance_infomap(
     min_size: int = 10,
     num_trials: int = 1,
     dispatch_threshold: int = 10_000,
+    local_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Re-partition low-local-modularity communities with the map-equation
     kernel, splicing module ids under fresh community ids (reference
@@ -559,7 +616,19 @@ def enhance_infomap(
     community subgraph (single-trial, deterministic) so a huge community
     never serializes into one executor task.  Both paths emit the same
     (parent, sub) rows with min-vertex-id sub labels, so the splice is
-    path-independent."""
+    path-independent.  Graphs at or below ``local_edges_threshold`` edges
+    run the whole enhance driver-side (identical screen/kernel/splice,
+    see ``_enhance_infomap_driver``)."""
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+    ):
+        out = _enhance_infomap_driver(
+            graph, assign, modularity_threshold, min_size, num_trials,
+            dispatch_threshold,
+        )
+        if out is not None:
+            return out
     selected = local_modularity_screen(graph, assign, modularity_threshold, min_size)
     if selected.isEmpty():
         return assign

@@ -95,6 +95,12 @@ def test_screen_and_enhance(spark):
     assert len({got[v] for v in range(6)}) == 1
     assert len({got[v] for v in range(6, 12)}) == 1
     assert min(got.values()) >= 1  # fresh ids beyond old max (0)
+    # the grouped-pandas path (forced) must produce the identical splice
+    out_dist = enhance_infomap(
+        g, assign, modularity_threshold=0.3, min_size=10, local_edges_threshold=0
+    )
+    got_dist = {r["vertex_id"]: r["comm"] for r in out_dist.collect()}
+    assert got_dist == got
 
 
 def test_enhance_skips_small_communities(spark):
