@@ -20,9 +20,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dense_ids(df: DataFrame, key: str, id_col: str = "vertex_id", num_partitions: int | None = None) -> DataFrame:
-    """Return ``df[key]`` (distinct) with a dense ``id_col`` in key order."""
+def dense_ids(
+    df: DataFrame,
+    key: str,
+    id_col: str = "vertex_id",
+    num_partitions: int | None = None,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Return ``df[key]`` (distinct) with a dense ``id_col`` in key order.
+
+    Dictionaries at or below ``local_threshold`` keys are enumerated
+    driver-side (collect distinct, sort, enumerate) — the mapping is
+    DEFINED as key-order-dense, so both paths produce identical ids; the
+    range-partitioned path below owns the billions-of-keys regime."""
     distinct = df.select(key).distinct()
+    if local_threshold > 0 and distinct.count() <= local_threshold:
+        spark = distinct.sparkSession
+        keys = sorted(r[0] for r in distinct.collect())
+        dtype = distinct.schema[key].dataType.simpleString()
+        out = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], f"{key} {dtype}, {id_col} long"
+        )
+        out = out.persist()
+        out.count()
+        return out
     if num_partitions is None:
         num_partitions = max(1, distinct.sparkSession.sparkContext.defaultParallelism)
     parted = distinct.repartitionByRange(num_partitions, F.col(key)).withColumn(

@@ -93,3 +93,21 @@ def test_weighted_vs_binarized(spark, tiny_transcripts):
     wsum = gw.edges.agg(F.sum("weight")).collect()[0][0]
     bsum = gb.edges.agg(F.sum("weight")).collect()[0][0]
     assert wsum >= bsum
+
+
+def test_dense_ids_dispatch_parity(spark):
+    """Driver-side enumeration vs range-partitioned path: identical
+    key-order-dense ids (the mapping is defined by key order)."""
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.plans.ids import dense_ids
+
+    df = spark.range(3000).select(
+        F.format_string("a_%05d", (F.col("id") * 37) % 3000).alias("actor")
+    )
+    local = {r["actor"]: r["vertex_id"] for r in dense_ids(df, "actor").collect()}
+    dist = {
+        r["actor"]: r["vertex_id"]
+        for r in dense_ids(df, "actor", local_threshold=0).collect()
+    }
+    assert local == dist and len(local) == 3000
