@@ -1,5 +1,8 @@
 """Local (single-partition) Brandes edge-betweenness + GN kernels.
 
+Algorithm: Brandes, "A Faster Algorithm for Betweenness Centrality" (J. Math.
+Sociology 2001) — forward BFS sigma counts + backward dependency accumulation.
+
 These are the numpy/pure-Python kernels executed INSIDE grouped Arrow UDFs
 (one community subgraph per group, reference detection.py:44-142 processes
 them one at a time in a Python loop — we run all groups in parallel).

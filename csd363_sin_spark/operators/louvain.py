@@ -1,5 +1,9 @@
 """Distributed Louvain community detection (SURVEY C1).
 
+Algorithm family: Blondel et al., "Fast unfolding of communities in large
+networks" (J. Stat. Mech. 2008), adapted to a deterministic synchronous
+schedule (below) so distributed execution is reproducible and oracle-exact.
+
 Replaces the reference's call into python-louvain ``best_partition``
 (reference detection.py:11-42).  python-louvain is inherently sequential
 (one node moved at a time with immediate updates), which cannot scale;
