@@ -1,0 +1,149 @@
+"""Plan audit: dump formatted physical plans for the headline operators.
+
+Writes PLANS.md — the evidence that filters/projections reach the
+parquet scans (PushedFilters / ReadSchema), expressions stay inside
+WholeStageCodegen, and the iterative supersteps shuffle only what they
+must.  Re-run after plan-affecting changes: `python tools/explain_audit.py`.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    form = buf.getvalue()
+    # execute THIS DataFrame so its QueryExecution holds AQE's FINAL plan
+    # (runtime join strategies + whole-stage-codegen *(n) markers)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return form + "\n--- final executed plan ---\n" + final
+
+
+def summarize(plan: str) -> str:
+    final = plan.split("--- final executed plan ---")[-1]
+    n_ex = len(re.findall(r"\bExchange\b", final))
+    n_bc = len(re.findall(r"BroadcastExchange", final))
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", final))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    read = re.findall(r"ReadSchema: [^\n]*", plan)
+    out = [f"shuffle exchanges: {n_ex - n_bc}, broadcast exchanges: {n_bc}, "
+           f"whole-stage-codegen spans: {len(codegen_ids)}"]
+    out += [f"  {p}" for p in sorted(set(pushed))[:4]]
+    out += [f"  {r[:160]}" for r in sorted(set(read))[:4]]
+    return "\n".join(out)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[tuple[str, str, str]] = []  # (title, note, plan)
+
+    # 1. filter + projection pushdown on the documents scan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    sections.append((
+        "Documents scan: filter + column pruning",
+        "The predicate and the 2-column projection must reach the parquet "
+        "reader (PushedFilters + narrow ReadSchema).",
+        formatted(q),
+    ))
+
+    # 2. co-occurrence induction (pair expansion + partial agg)
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+    from csd363_sin_spark.sources.transcripts import transcripts_from_events
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    edges = induce_actor_edges(transcripts_from_events(events))
+    sections.append((
+        "Graph induction: transcripts -> weighted actor edges",
+        "Distinct + bounded per-conversation self-join + hash aggregate "
+        "with map-side combine (partial_count before the exchange).",
+        formatted(edges),
+    ))
+
+    # 3. one distributed Louvain superstep gather (the O(E) shuffle)
+    from csd363_sin_spark.plans.induce import graph_from_edges
+    from csd363_sin_spark.plans.lineage import materialize
+
+    g = graph_from_edges(spark, [(i, (i * 7 + 1) % 50) for i in range(120)])
+    sym = materialize(g.edges_sym()).repartition(8, "dst")
+    assign = materialize(
+        g.vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    )
+    a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
+    k_in = (
+        sym.join(a_dst, "dst")
+        .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
+        .agg(F.sum("weight").alias("k_in"))
+    )
+    sections.append((
+        "Louvain superstep gather (k_in)",
+        "With the symmetric edge view pre-partitioned by dst, the join "
+        "exchanges only the assignment side; the groupBy is the single "
+        "map-side-combined O(E) shuffle of the superstep.",
+        formatted(k_in),
+    ))
+
+    # 4. MinHash signatures (one explode + one wide aggregate)
+    from csd363_sin_spark.functions.dedup import minhash_signatures
+
+    sections.append((
+        "MinHash signatures",
+        "Shingle explode feeds ONE hash aggregate computing all 32 mins "
+        "(partial_min map-side); no joins, no Python.",
+        formatted(minhash_signatures(docs, 3, 32)),
+    ))
+
+    # 5. exact cosine top-k (broadcast probes, two-phase top-k)
+    from csd363_sin_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    sections.append((
+        "Cosine top-k (exact baseline)",
+        "Probes broadcast (corpus side streams, no shuffle before scoring); "
+        "two-phase top-k avoids the single-partition global window.",
+        formatted(cosine_topk(emb, probes, k=5)),
+    ))
+
+    lines = [
+        "# PLANS — physical-plan audit of the headline operators",
+        "",
+        f"Generated by tools/explain_audit.py at sf dir `{SF_DIR}`; re-run after",
+        "plan-affecting changes.  Summary per section, full formatted plan below it.",
+        "",
+    ]
+    for title, note, plan in sections:
+        lines += [f"## {title}", "", note, "", "```",
+                  summarize(plan), "```", "",
+                  "<details><summary>full plan</summary>", "", "```",
+                  plan.strip(), "```", "", "</details>", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("PLANS.md written")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
