@@ -42,6 +42,87 @@ def remove_edges(edges: DataFrame, to_remove: DataFrame) -> DataFrame:
     return edges.join(canon, ["src", "dst"], "left_anti")
 
 
+def _refine_gn_driver(
+    graph: Graph,
+    assign: DataFrame,
+    size_threshold: int,
+    target_subcommunities: int,
+    max_iterations: int | None,
+    betweenness_sources: int | None,
+    dispatch_threshold: int,
+) -> DataFrame | None:
+    """Driver-side refine for a graph small enough to collect — the SAME
+    selection, kernel (girvan_newman_local with all members incl.
+    isolates), split filter, and dense-rank splice as the grouped path,
+    so outputs are identical (dispatch-parity covered by the grouped-path
+    tests forced via local_edges_threshold=0).  Returns None when any
+    large community exceeds dispatch_threshold (distributed kernel's
+    case)."""
+    from collections import defaultdict
+
+    comm_of = {
+        int(r["vertex_id"]): int(r["comm"])
+        for r in assign.select("vertex_id", "comm").collect()
+    }
+    sizes: dict = defaultdict(int)
+    for c in comm_of.values():
+        sizes[c] += 1
+    large = sorted(c for c, n in sizes.items() if n > size_threshold)
+    if not large:
+        return assign
+    if any(sizes[c] > dispatch_threshold for c in large):
+        return None
+    large_set = set(large)
+    intra: dict = defaultdict(list)
+    for r in graph.edges.select("src", "dst").collect():
+        u, v = int(r["src"]), int(r["dst"])
+        cu = comm_of.get(u)
+        if cu is not None and cu in large_set and comm_of.get(v) == cu:
+            intra[cu].append((u, v))
+    members: dict = defaultdict(list)
+    for v, c in comm_of.items():
+        if c in large_set:
+            members[c].append(v)
+
+    refined: list = []
+    for c in large:
+        edges = intra.get(c, [])
+        verts = set(members[c])
+        verts.update(x for e in edges for x in e)
+        n = len(verts)
+        if n < 3 or len(set(map(tuple, map(sorted, edges)))) < 2:
+            sub = {v: 0 for v in verts}
+        else:
+            target = max(2, min(target_subcommunities, n // 10))
+            sub = girvan_newman_local(
+                edges,
+                sorted(verts),
+                max_communities=target,
+                max_iterations=max_iterations,
+                betweenness_sources=betweenness_sources,
+            )
+        refined.extend((v, c, int(s)) for v, s in sub.items())
+
+    # only splice parents that actually split
+    subs_per_parent: dict = defaultdict(set)
+    for _, p, s in refined:
+        subs_per_parent[p].add(s)
+    multi = {p for p, ss in subs_per_parent.items() if len(ss) > 1}
+    refined = [(v, p, s) for v, p, s in refined if p in multi]
+    if not refined:
+        return assign
+    max_comm = max(comm_of.values(), default=0)
+    pairs = sorted({(p, s) for _, p, s in refined})
+    idmap = {ps: max_comm + i + 1 for i, ps in enumerate(pairs)}
+    new_comm = {v: idmap[(p, s)] for v, p, s in refined}
+    out = [(v, new_comm.get(v, c)) for v, c in comm_of.items()]
+    from csd363_sin_spark.plans.lineage import materialize as _mat
+
+    return _mat(
+        graph.edges.sparkSession.createDataFrame(out, "vertex_id long, comm long")
+    )
+
+
 def refine_girvan_newman(
     graph: Graph,
     assign: DataFrame,
@@ -50,6 +131,7 @@ def refine_girvan_newman(
     max_iterations: int | None = None,
     betweenness_sources: int | None = None,
     dispatch_threshold: int = 10_000,
+    local_edges_threshold: int = 100_000,
 ) -> DataFrame:
     """Refine communities with > ``size_threshold`` members; returns a new
     ``(vertex_id, comm)`` assignment.
@@ -61,8 +143,20 @@ def refine_girvan_newman(
     :func:`girvan_newman_distributed` on the community subgraph so a huge
     community never serializes into a single executor task.  Both paths
     feed the same splice (parent, sub) machinery, so ids are identical
-    regardless of which path produced a split.
+    regardless of which path produced a split.  Graphs at or below
+    ``local_edges_threshold`` edges run the whole refine driver-side
+    (identical selection/kernel/splice, see ``_refine_gn_driver``).
     """
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+    ):
+        out = _refine_gn_driver(
+            graph, assign, size_threshold, target_subcommunities,
+            max_iterations, betweenness_sources, dispatch_threshold,
+        )
+        if out is not None:
+            return out
     spark = graph.edges.sparkSession
     sizes = assign.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
     sizes = sizes.filter(F.col("size") > size_threshold).persist()

@@ -151,6 +151,12 @@ def test_refine_girvan_newman_splits_merged_community(spark):
     assert len({got[v] for v in range(5)}) == 1
     assert len({got[v] for v in range(5, 10)}) == 1
     assert min(got.values()) > 0  # fresh ids beyond old max
+    # forced grouped-pandas path must produce the identical splice
+    out_g = refine_girvan_newman(
+        g, assign, size_threshold=5, target_subcommunities=2,
+        local_edges_threshold=0,
+    )
+    assert {r["vertex_id"]: r["comm"] for r in out_g.collect()} == got
 
 
 def test_refine_noop_below_threshold(spark):
