@@ -80,6 +80,15 @@ assign, steps = _local_move_phase(
 assign.count()
 t_lv = time.time() - t0
 
+# distributed map-equation supersteps (infomap kernel) — same shape of
+# evidence for the Infomap scale path
+from csd363_sin_spark.operators.infomap import _infomap_move_phase
+t0 = time.time()
+iassign, isteps = _infomap_move_phase(
+    g.edges.select("src","dst","weight"), g.vertices.select("vertex_id"), 2)
+iassign.count()
+t_im = time.time() - t0
+
 # embarrassingly parallel workload: brute-force cosine scan (no shuffle)
 from csd363_sin_spark.functions.similarity import cosine_topk
 dim = 64
@@ -103,6 +112,9 @@ print(json.dumps({
     "louvain_supersteps": steps,
     "louvain_sec": round(t_lv, 2),
     "louvain_edges_per_sec": round(n_edges * 2 * steps / t_lv),
+    "infomap_supersteps": isteps,
+    "infomap_sec": round(t_im, 2),
+    "infomap_edges_per_sec": round(n_edges * 2 * isteps / t_im),
     "ann_sec": round(t_ann, 2),
     "ann_sims_per_sec": round(n_vec * 4 / t_ann),
 }))
@@ -175,6 +187,11 @@ def main() -> int:
             "louvain": round(
                 high["louvain_edges_per_sec"]
                 / (factor * low["louvain_edges_per_sec"]),
+                3,
+            ),
+            "infomap": round(
+                high["infomap_edges_per_sec"]
+                / (factor * low["infomap_edges_per_sec"]),
                 3,
             ),
             "ann_scan": round(
