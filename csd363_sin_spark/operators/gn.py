@@ -291,6 +291,8 @@ def girvan_newman_distributed(
     max_iterations: int = 50,
     k_sources: int | None = None,
     batch_remove: int = 1,
+    store=None,
+    stage: str = "gn_dist",
 ) -> DataFrame:
     """Whole-graph GN split via the distributed Brandes kernel — the scale
     path for a community too large for one grouped task (reference
@@ -304,16 +306,56 @@ def girvan_newman_distributed(
     after a split is scored on the ORIGINAL edge set and the best split
     wins; the unsplit starting partition is never a candidate, so both
     paths agree on "did this community actually split".
+
+    ``store`` (a checkpoint.CheckpointStore) makes the removal loop
+    resumable mid-algorithm (north rule): each round snapshots the
+    surviving edge set, the best split so far, and the loop counters, and
+    appends a lineage row; a relaunched call continues from the newest
+    complete round.
     """
     from csd363_sin_spark.functions.metrics import modularity
     from csd363_sin_spark.operators.betweenness import edge_betweenness
     from csd363_sin_spark.operators.components import connected_components
 
+    spark = graph.edges.sparkSession
     edges = graph.edges
     n0: int | None = None
     best_q, best = None, None
     comp = None
-    for _ in range(max_iterations):
+    start_round = 0
+
+    meta_key = f"{stage}_state"
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        if meta.get("done"):
+            return materialize(store.load_df(spark, f"{stage}_result"))
+        edges = materialize(store.load_df(spark, f"{stage}_edges"))
+        if store.has_df(f"{stage}_best"):
+            best = materialize(store.load_df(spark, f"{stage}_best"))
+        best_q = meta["best_q"]
+        n0 = meta["n0"]
+        start_round = meta["round"]
+
+    def _snapshot(round_next: int) -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_edges", edges)
+        if best is not None:
+            store.save_df(f"{stage}_best", best)
+        store.save_meta(
+            meta_key,
+            {"round": round_next, "best_q": best_q, "n0": n0, "done": False},
+        )
+        store.lineage(stage, round_next, edges, kind="gn_round", best_q=best_q)
+
+    def _finish(result: DataFrame) -> DataFrame:
+        if store is not None:
+            store.save_df(f"{stage}_result", result)
+            store.save_meta(meta_key, {"done": True})
+            store.lineage(stage, -1, result, kind="gn_done")
+        return result
+
+    for _round in range(start_round, max_iterations):
         g = Graph(vertices=graph.vertices, edges=edges)
         comp = materialize(
             connected_components(g).select("vertex_id", F.col("comp_id").alias("comm"))
@@ -345,4 +387,5 @@ def girvan_newman_distributed(
             if best_q is None or q > best_q:
                 best_q, best = q, comp
             break
-    return best if best is not None else comp
+        _snapshot(_round + 1)
+    return _finish(best if best is not None else comp)

@@ -460,6 +460,8 @@ def infomap_distributed(
     max_levels: int = 10,
     max_supersteps: int = 64,
     min_gain: float = 1e-10,
+    store=None,
+    stage: str = "infomap_dist",
 ) -> tuple[DataFrame, float]:
     """Distributed multilevel two-level-map-equation partition — the scale
     path of :func:`enhance_infomap` for communities too large for one
@@ -474,9 +476,15 @@ def infomap_distributed(
     semantics); contraction introduces weights exactly as the local
     kernel's weighted contraction does.  Returns ``((vertex_id, comm),
     codelength)`` with canonical min-vertex-id module labels.
+
+    ``store`` (a checkpoint.CheckpointStore) makes the level loop
+    resumable mid-algorithm: every completed level snapshots the
+    contracted graph + composed partition + codelength and appends a
+    lineage row; a relaunched call continues from the newest level.
     """
     from csd363_sin_spark.operators.louvain import _contract
 
+    spark = graph.edges.sparkSession
     edges = materialize(
         graph.edges.filter(F.col("src") != F.col("dst")).select(
             "src", "dst", F.lit(1.0).alias("weight")
@@ -487,8 +495,34 @@ def infomap_distributed(
         vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
     )
     L_prev = map_equation_codelength_df(graph, composed)
+    start_level = 0
 
-    for _level in range(max_levels):
+    meta_key = f"{stage}_state"
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        composed = materialize(store.load_df(spark, f"{stage}_composed"))
+        L_prev = meta["L_prev"]
+        if meta.get("done"):
+            return composed, L_prev
+        edges = materialize(store.load_df(spark, f"{stage}_edges"))
+        vertices = materialize(store.load_df(spark, f"{stage}_vertices"))
+        start_level = meta["level"]
+
+    def _snapshot(level_next: int, done: bool) -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_composed", composed)
+        if not done:
+            store.save_df(f"{stage}_edges", edges)
+            store.save_df(f"{stage}_vertices", vertices)
+        store.save_meta(
+            meta_key, {"level": level_next, "L_prev": L_prev, "done": done}
+        )
+        store.lineage(
+            stage, level_next, composed, kind="infomap_level", codelength=L_prev
+        )
+
+    for _level in range(start_level, max_levels):
         assign, _steps = _infomap_move_phase(edges, vertices, max_supersteps)
         new_composed = materialize(
             composed.join(
@@ -507,12 +541,17 @@ def infomap_distributed(
         vertices = materialize(vertices)
         if vertices.count() <= 1:
             break
+        _snapshot(_level + 1, done=False)
 
     roots = composed.groupBy("comm").agg(F.min("vertex_id").alias("root"))
-    out = composed.join(F.broadcast(roots), "comm").select(
-        "vertex_id", F.col("root").alias("comm")
+    out = materialize(
+        composed.join(F.broadcast(roots), "comm").select(
+            "vertex_id", F.col("root").alias("comm")
+        )
     )
-    return materialize(out), L_prev
+    composed = out
+    _snapshot(-1, done=True)
+    return out, L_prev
 
 
 def local_modularity_screen(

@@ -242,3 +242,56 @@ def test_gn_distributed_two_triangles(spark):
     assert got[0] == got[1] == got[2]
     assert got[3] == got[4] == got[5]
     assert got[0] != got[3]
+
+
+def test_gn_distributed_resume_mid_loop(spark, monkeypatch, tmp_path):
+    """Simulated crash between removal rounds: the resumed run continues
+    from the round snapshot and matches an uninterrupted run exactly."""
+    import csd363_sin_spark.operators.gn as gnmod
+    from csd363_sin_spark.checkpoint import CheckpointStore
+
+    chain = [(i, i + 1) for i in range(12)]
+    g = graph_from_edges(spark, chain)
+
+    straight = {
+        r["vertex_id"]: r["comm"]
+        for r in girvan_newman_distributed(
+            g, max_communities=3, max_iterations=8
+        ).collect()
+    }
+
+    calls = {"n": 0}
+    orig = gnmod.remove_edges
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    store = CheckpointStore(str(tmp_path), run_id="gnr")
+    monkeypatch.setattr(gnmod, "remove_edges", bomb)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        girvan_newman_distributed(
+            g, max_communities=3, max_iterations=8, store=store, stage="gnx"
+        )
+    monkeypatch.setattr(gnmod, "remove_edges", orig)
+    assert store.has_meta("gnx_state")  # round snapshot survived the crash
+
+    resumed = {
+        r["vertex_id"]: r["comm"]
+        for r in girvan_newman_distributed(
+            g, max_communities=3, max_iterations=8, store=store, stage="gnx"
+        ).collect()
+    }
+    assert resumed == straight
+    # completed state short-circuits a THIRD call
+    again = {
+        r["vertex_id"]: r["comm"]
+        for r in girvan_newman_distributed(
+            g, max_communities=3, max_iterations=8, store=store, stage="gnx"
+        ).collect()
+    }
+    assert again == straight

@@ -220,3 +220,39 @@ def test_infomap_karate_club_anchor():
     assert L == pytest.approx(
         map_equation_codelength(list(g.edges()), part), abs=1e-9
     )
+
+
+def test_infomap_distributed_resume_mid_levels(spark, monkeypatch, tmp_path):
+    """Simulated crash between contraction levels: the resumed run
+    continues from the level snapshot and matches an uninterrupted run."""
+    import csd363_sin_spark.operators.infomap as imod
+    from csd363_sin_spark.checkpoint import CheckpointStore
+
+    edges, verts = _planted_cliques(4, 8)
+    g = graph_from_edges(spark, edges)
+    straight, L_straight = infomap_distributed(g)
+    straight_map = {r["vertex_id"]: r["comm"] for r in straight.collect()}
+
+    calls = {"n": 0}
+    orig = imod._infomap_move_phase
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    store = CheckpointStore(str(tmp_path), run_id="imr")
+    monkeypatch.setattr(imod, "_infomap_move_phase", bomb)
+    with pytest.raises(RuntimeError):
+        infomap_distributed(g, store=store, stage="imx")
+    monkeypatch.setattr(imod, "_infomap_move_phase", orig)
+    assert store.has_meta("imx_state")
+
+    resumed, L_resumed = infomap_distributed(g, store=store, stage="imx")
+    assert {r["vertex_id"]: r["comm"] for r in resumed.collect()} == straight_map
+    assert L_resumed == pytest.approx(L_straight, abs=1e-12)
+    # done-marker short-circuit
+    again, L_again = infomap_distributed(g, store=store, stage="imx")
+    assert {r["vertex_id"]: r["comm"] for r in again.collect()} == straight_map
+    assert L_again == pytest.approx(L_straight, abs=1e-12)
