@@ -46,6 +46,12 @@ class PipelineConfig:
     infomap_trials: int = 1
     weighted: bool = True
     gn_betweenness_sources: int | None = None
+    # adaptive-dispatch knobs (engine additions): graphs at or below
+    # local_edges_threshold edges run refine/enhance driver-side with
+    # identical output; communities above dispatch_threshold members
+    # route through the distributed GN/Infomap kernels
+    dispatch_threshold: int = 10_000
+    local_edges_threshold: int = 100_000
 
 
 def _stage_assign(store, spark, stage):
@@ -143,6 +149,8 @@ def run_pipeline(
             target_subcommunities=cfg.target_subcommunities,
             max_iterations=max_iter,
             betweenness_sources=cfg.gn_betweenness_sources,
+            dispatch_threshold=cfg.dispatch_threshold,
+            local_edges_threshold=cfg.local_edges_threshold,
         ).persist()
         m = evaluate_all(
             graph, gn_assign, ground_truth, algorithm_type="girvan_newman",
@@ -171,6 +179,8 @@ def run_pipeline(
             modularity_threshold=cfg.modularity_threshold,
             min_size=cfg.infomap_min_size,
             num_trials=cfg.infomap_trials,
+            dispatch_threshold=cfg.dispatch_threshold,
+            local_edges_threshold=cfg.local_edges_threshold,
         ).persist()
         m = evaluate_all(
             graph, final_assign, ground_truth, algorithm_type="infomap",
