@@ -409,6 +409,24 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "vec_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF-flat approximate top-5 (second ANN scale path next
+    to hyperplane LSH; deterministic seeded coarse quantizer).  Exactness
+    vs the exact baseline is covered by the pytest recall oracle
+    (tests/test_datapipeline.py::test_ivf_topk_recall_and_determinism);
+    Lloyd-iteration float means are not portably reproducible in DuckDB
+    SQL, hence no value-hash oracle."""
+    from csd363_sin_spark.functions.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_topk(emb, probes, dim=64, k=5, n_clusters=8, n_probe=4).select(
+        "probe_id", "vec_id", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/2.2)
@@ -442,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -215,6 +215,130 @@ def lsh_topk(
     return _topk(scored, k)
 
 
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+    """Index of the max-cosine centroid for an array column; centroids are
+    plan-time literals (tiny: n_clusters x dim doubles)."""
+    norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
+    scores = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            / (F.lit(max(n, 1e-30)) * _norm(vec_col))
+            for c, n in zip(centroids, norms)
+        ]
+    )
+    # array_position is 1-based; ties resolve to the FIRST (lowest index),
+    # deterministic across engines
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_flat_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF coarse quantizer: Lloyd iterations with centroids
+    seeded from the ``n_clusters`` lowest-id vectors (no RNG state).
+
+    Per iteration: one row-local argmax over literal centroids (no
+    shuffle) + one element-wise mean aggregation (posexplode -> one
+    shuffle of N x dim value rows, map-side combined); the new centroids
+    (n_clusters x dim doubles) are collected to the driver and re-embedded
+    as literals — the standard broadcast-k-means shape.  Returns
+    ``((vec_id, cluster), centroids)``.
+    """
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    e = e.persist()
+    seeds = e.orderBy("vec_id").limit(n_clusters).collect()
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+
+    assigned = None
+    for _ in range(max(iters, 1)):
+        assigned = e.select(
+            "vec_id", "v", _nearest_centroid_expr(F.col("v"), centroids).alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+        centroids = [
+            [by_cluster.get(c, {}).get(d, centroids[c][d]) for d in range(dim)]
+            for c in range(n_clusters)
+        ]
+    e.unpersist()
+    return assigned.select("vec_id", "cluster"), centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF-flat index (the second ANN
+    scale path next to :func:`lsh_topk`): corpus vectors are bucketed by
+    nearest coarse centroid; each probe scans only its ``n_probe``
+    nearest buckets, then candidates are exact-ranked.  Candidate
+    generation is an equi-join on cluster id — cost ~ (n_probe /
+    n_clusters) x corpus per probe, never all-pairs.  Fully
+    deterministic (seeded centroids, first-index tie-breaks)."""
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    assigned, centroids = ivf_flat_index(
+        embeddings, dim, n_clusters=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), cast(vec_col).alias("v")
+    ).join(assigned, "vec_id")
+
+    ps = probes.select(
+        F.col(probe_id_col).alias("probe_id"), cast(probe_vec_col).alias("p")
+    )
+    norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
+    cscores = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("p"), F.array(*[F.lit(float(x)) for x in c]))
+                    / (F.lit(max(n, 1e-30)) * _norm(F.col("p")))
+                ).alias("s"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, (c, n) in enumerate(zip(centroids, norms))
+        ]
+    )
+    p_clusters = ps.select(
+        "probe_id",
+        "p",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cscores)), 1, n_probe)
+        ).alias("cs"),
+    ).select("probe_id", "p", F.col("cs.cluster").alias("cluster"))
+
+    cands = corpus.join(p_clusters, "cluster").select("probe_id", "vec_id", "v", "p")
+    scored = cands.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("v"), F.col("p")), 6).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

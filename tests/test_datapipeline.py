@@ -241,3 +241,34 @@ def test_portable_hash64_cross_engine(spark):
             "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert got[s] == py == duck
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF-flat ANN (second scale path next to hyperplane LSH): seeded
+    deterministic coarse quantizer; recall@5 vs the exact baseline is
+    high on the synthetic embeddings; repeated runs identical."""
+    from csd363_sin_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as probe_id", "embedding as probe_vec"
+    )
+    exact = cosine_topk(emb, probes, k=5).collect()
+    approx = ivf_topk(emb, probes, dim=64, k=5, n_clusters=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, (hits, total)
+    # every probe must at least find itself (cosine 1.0 in its own bucket)
+    for p, s in approx_sets.items():
+        assert p in s
+    # determinism
+    again = ivf_topk(emb, probes, dim=64, k=5, n_clusters=8, n_probe=4).collect()
+    key = lambda r: (r["probe_id"], r["rank"])
+    assert sorted([(r["probe_id"], r["rank"], r["vec_id"]) for r in approx]) == \
+           sorted([(r["probe_id"], r["rank"], r["vec_id"]) for r in again])
