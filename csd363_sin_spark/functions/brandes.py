@@ -19,12 +19,15 @@ from __future__ import annotations
 from collections import defaultdict, deque
 
 
-def edge_betweenness_local(adj: dict, sources=None) -> dict:
+def edge_betweenness_local(adj: dict, sources=None, max_depth: int | None = None) -> dict:
     """Unweighted Brandes edge betweenness.
 
     ``adj``: dict vertex -> set/list of neighbors (symmetric).
     Returns dict (u, v) [u < v] -> raw betweenness (undirected halved),
     matching ``nx.edge_betweenness_centrality(G, normalized=False)``.
+    ``max_depth``: stop discovering vertices beyond this BFS distance —
+    the SAME truncation rule as the distributed dataflow kernel, so the
+    two dispatch paths agree on diameter > max_depth graphs too.
     """
     bet: dict = defaultdict(float)
     nodes = sorted(adj)
@@ -43,9 +46,11 @@ def edge_betweenness_local(adj: dict, sources=None) -> dict:
             order.append(v)
             for w in adj[v]:
                 if w not in dist:
+                    if max_depth is not None and dist[v] >= max_depth:
+                        continue
                     dist[w] = dist[v] + 1
                     dq.append(w)
-                if dist[w] == dist[v] + 1:
+                if dist.get(w) == dist[v] + 1:
                     sigma[w] += sigma[v]
                     preds[w].append(v)
         # backward accumulation

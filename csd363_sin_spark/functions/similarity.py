@@ -255,7 +255,6 @@ def ivf_flat_index(
     seeds = e.orderBy("vec_id").limit(n_clusters).collect()
     centroids = [[float(x) for x in r["v"]] for r in seeds]
 
-    assigned = None
     for _ in range(max(iters, 1)):
         assigned = e.select(
             "vec_id", "v", _nearest_centroid_expr(F.col("v"), centroids).alias("cluster")
@@ -273,8 +272,14 @@ def ivf_flat_index(
             [by_cluster.get(c, {}).get(d, centroids[c][d]) for d in range(dim)]
             for c in range(n_clusters)
         ]
+    # re-assign against the FINAL centroids so the returned buckets describe
+    # exactly the centroids probes will rank against (an assignment computed
+    # from the penultimate centroids silently degrades n_probe recall)
+    final_assigned = e.select(
+        "vec_id", _nearest_centroid_expr(F.col("v"), centroids).alias("cluster")
+    )
     e.unpersist()
-    return assigned.select("vec_id", "cluster"), centroids
+    return final_assigned, centroids
 
 
 def ivf_topk(

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
-from csd363_sin_spark.plans.lineage import materialize
+from csd363_sin_spark.plans.lineage import materialize, release
 
 
 def edge_betweenness_batched(
@@ -70,27 +70,30 @@ def edge_betweenness_batched(
     total = None
     for i in range(int(math.ceil(n_sources / batch_size)) if n_sources else 0):
         chunk = batched.filter(_F.col("_bid") == i).select("vertex_id")
-        part = edge_betweenness(
+        raw = edge_betweenness(
             graph,
             source_batch=chunk,
             max_depth=max_depth,
             local_edges_threshold=local_edges_threshold,
         )
-        part = part.withColumnRenamed("betweenness", "b_part")
-        total = (
-            part.withColumnRenamed("b_part", "b_acc")
-            if total is None
-            else materialize(
-                total.join(part, ["src", "dst"], "outer")
+        part = raw.withColumnRenamed("betweenness", "b_part")
+        if total is None:
+            total = materialize(part.withColumnRenamed("b_part", "b_acc"))
+        else:
+            prev = total
+            total = materialize(
+                prev.join(part, ["src", "dst"], "outer")
                 .fillna({"b_acc": 0.0, "b_part": 0.0})
                 .select(
                     "src", "dst", (_F.col("b_acc") + _F.col("b_part")).alias("b_acc")
                 )
             )
-        )
+            release(prev)
+        release(raw)  # retire this batch's bet checkpoint (folded into total)
     batched.unpersist()
     if total is None:
         return spark.createDataFrame([], "src long, dst long, betweenness double")
+    handle = getattr(total, "_ckpt_jrdd", None)
     out = total.withColumnRenamed("b_acc", "betweenness")
     if normalized:
         n = graph.vertices.count()
@@ -98,6 +101,7 @@ def edge_betweenness_batched(
         out = out.select(
             "src", "dst", (_F.col("betweenness") * scale).alias("betweenness")
         )
+    out._ckpt_jrdd = handle
     return out
 
 
@@ -106,13 +110,15 @@ def _edge_betweenness_driver(
     k_sources: int | None,
     source_batch: DataFrame | None,
     normalized: bool,
+    max_depth: int = 64,
 ) -> DataFrame:
     """Driver-side Brandes (functions/brandes.py kernel) for a graph
     small enough to collect — same semantics as the dataflow version
-    (sampled sources = lowest-k ids; untraversed edges 0.0); values agree
-    to FP-summation order (~1e-12).  Adaptive dispatch: the distributed
-    GN loop recomputes betweenness every removal round, so medium
-    community subgraphs skip the per-BFS-level join cascade."""
+    (sampled sources = lowest-k ids; untraversed edges 0.0; BFS truncated
+    at the same ``max_depth``); values agree to FP-summation order
+    (~1e-12).  Adaptive dispatch: the distributed GN loop recomputes
+    betweenness every removal round, so medium community subgraphs skip
+    the per-BFS-level join cascade."""
     from csd363_sin_spark.functions.brandes import edge_betweenness_local
 
     spark = graph.edges.sparkSession
@@ -133,7 +139,7 @@ def _edge_betweenness_driver(
         sources = sorted(adj)[: int(k_sources)]
     else:
         sources = None
-    bet = edge_betweenness_local(adj, sources=sources)
+    bet = edge_betweenness_local(adj, sources=sources, max_depth=max_depth)
     n = len(verts)
     scale = (2.0 / (n * (n - 1)) if n > 1 else 1.0) if normalized else 1.0
     out = [
@@ -160,7 +166,9 @@ def edge_betweenness(
     """
     spark = graph.edges.sparkSession
     if local_edges_threshold > 0 and graph.edges.count() <= local_edges_threshold:
-        return _edge_betweenness_driver(graph, k_sources, source_batch, normalized)
+        return _edge_betweenness_driver(
+            graph, k_sources, source_batch, normalized, max_depth=max_depth
+        )
     sym = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -205,13 +213,19 @@ def edge_betweenness(
             .select("s", "v", "dist", "sigma")
         )
         if nxt.isEmpty():
+            release(nxt)
             break
         levels.append(nxt)
+        prev_visited = visited
         visited = materialize(visited.unionByName(nxt.select("s", "v")))
+        release(prev_visited)
         depth += 1
+    release(visited)  # forward-only state; the backward pass never reads it
 
-    # backward accumulation
+    # backward accumulation — levels retire as the walk passes them so live
+    # checkpoint storage stays O(2 levels + per-level contribs), not O(depth)
     contribs: list[DataFrame] = []
+    pair_frames: list[DataFrame] = []
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     for d in range(len(levels) - 1, 0, -1):
         w_side = levels[d].join(delta, ["s", "v"], "left").fillna({"delta": 0.0})
@@ -238,6 +252,10 @@ def edge_betweenness(
             )
         )
         pairs = materialize(pairs)
+        # level d fed w_side above; iterations d-1.. only read levels[d-1]
+        # downward and the (materialized) pairs — safe to retire now
+        release(levels[d])
+        pair_frames.append(pairs)
         contribs.append(
             pairs.select(
                 F.least("v", "w").alias("src"),
@@ -248,19 +266,29 @@ def edge_betweenness(
         delta = pairs.groupBy("s", "v").agg(F.sum("contrib").alias("delta"))
 
     sym.unpersist()
+    release(levels[0])
     if not contribs:
         return spark.createDataFrame([], "src long, dst long, betweenness double")
     all_c = contribs[0]
     for c in contribs[1:]:
         all_c = all_c.unionByName(c)
-    bet = all_c.groupBy("src", "dst").agg((F.sum("contrib") / 2.0).alias("betweenness"))
+    bet = materialize(
+        all_c.groupBy("src", "dst").agg((F.sum("contrib") / 2.0).alias("betweenness"))
+    )
+    bet_handle = getattr(bet, "_ckpt_jrdd", None)
+    for p in pair_frames:
+        release(p)
     if normalized:
         n = graph.vertices.count()
         scale = 2.0 / (n * (n - 1)) if n > 1 else 1.0
         bet = bet.select("src", "dst", (F.col("betweenness") * scale).alias("betweenness"))
     # include never-traversed edges (disconnected from sources) with 0
-    return (
+    out = (
         graph.edges.select("src", "dst")
         .join(bet, ["src", "dst"], "left")
         .fillna({"betweenness": 0.0})
     )
+    # the only cached dependency left is the final bet checkpoint; hand its
+    # handle to callers so release(result) frees everything this call cached
+    out._ckpt_jrdd = bet_handle
+    return out

@@ -241,11 +241,17 @@ def refine_girvan_newman(
         sub_verts = assign.filter(F.col("comm") == comm).select("vertex_id")
         target = max(2, min(target_cap, n // 10))
         ks = k_sources if k_sources is not None else min(1000, n // 2)
+        # reference girvan_newman_wrapper.py:220-224 removes the top
+        # min(20, E/10) betweenness edges per round — one (sampled) Brandes
+        # pass per removed edge is the dominant cost, so peeling one edge
+        # at a time would make a 300k-node community ~20x slower
+        e_cnt = sub_edges.count()
         sub_assign = girvan_newman_distributed(
             Graph(vertices=sub_verts, edges=sub_edges),
             max_communities=target,
             max_iterations=max_iter if max_iter is not None else 50,
             k_sources=ks,
+            batch_remove=min(20, max(1, e_cnt // 10)),
         )
         refined = refined.unionByName(
             sub_assign.select(
@@ -355,18 +361,28 @@ def girvan_newman_distributed(
             store.lineage(stage, -1, result, kind="gn_done")
         return result
 
+    from csd363_sin_spark.plans.lineage import release
+
+    def _track_best(q: float, candidate: DataFrame) -> None:
+        nonlocal best_q, best
+        if best_q is None or q > best_q:
+            if best is not None and best is not candidate:
+                release(best)
+            best_q, best = q, candidate
+
     for _round in range(start_round, max_iterations):
         g = Graph(vertices=graph.vertices, edges=edges)
+        prev_comp = comp
         comp = materialize(
             connected_components(g).select("vertex_id", F.col("comp_id").alias("comm"))
         )
+        if prev_comp is not None and prev_comp is not best:
+            release(prev_comp)
         n_comp = comp.select("comm").distinct().count()
         if n0 is None:
             n0 = n_comp
         elif n_comp > n0:
-            q = modularity(graph, comp, weighted=False)
-            if best_q is None or q > best_q:
-                best_q, best = q, comp
+            _track_best(modularity(graph, comp, weighted=False), comp)
         if n_comp >= max_communities:
             break
         bet = edge_betweenness(g, k_sources=k_sources)
@@ -375,17 +391,30 @@ def girvan_newman_distributed(
             .limit(batch_remove)
             .select("src", "dst")
         )
+        prev_edges = edges
         edges = materialize(remove_edges(edges, top))
+        release(bet)  # top was folded into the new edge set
+        if prev_edges is not graph.edges:
+            release(prev_edges)
         if edges.isEmpty():
             g = Graph(vertices=graph.vertices, edges=edges)
+            prev_comp = comp
             comp = materialize(
                 connected_components(g).select(
                     "vertex_id", F.col("comp_id").alias("comm")
                 )
             )
-            q = modularity(graph, comp, weighted=False)
-            if best_q is None or q > best_q:
-                best_q, best = q, comp
+            if prev_comp is not None and prev_comp is not best:
+                release(prev_comp)
+            _track_best(modularity(graph, comp, weighted=False), comp)
             break
         _snapshot(_round + 1)
+    if best is None and comp is None:
+        # resumed exactly at start_round >= max_iterations: the loop body
+        # never ran — label the restored edge set so _finish has a result
+        comp = materialize(
+            connected_components(Graph(vertices=graph.vertices, edges=edges)).select(
+                "vertex_id", F.col("comp_id").alias("comm")
+            )
+        )
     return _finish(best if best is not None else comp)

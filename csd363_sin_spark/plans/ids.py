@@ -38,12 +38,11 @@ def dense_ids(
         spark = distinct.sparkSession
         keys = sorted(r[0] for r in distinct.collect())
         dtype = distinct.schema[key].dataType.simpleString()
-        out = spark.createDataFrame(
+        # no persist: this is a LocalTableScan over a driver list — recompute
+        # is free, and persisting here leaked cache across long pipelines
+        return spark.createDataFrame(
             [(k, i) for i, k in enumerate(keys)], f"{key} {dtype}, {id_col} long"
         )
-        out = out.persist()
-        out.count()
-        return out
     if num_partitions is None:
         num_partitions = max(1, distinct.sparkSession.sparkContext.defaultParallelism)
     parted = distinct.repartitionByRange(num_partitions, F.col(key)).withColumn(

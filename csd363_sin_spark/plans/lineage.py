@@ -37,4 +37,26 @@ def materialize(df: DataFrame, reliable: bool = False) -> DataFrame:
         return spark.read.parquet(path)
     jdf = df._jdf.localCheckpoint(True)
     jdf2 = spark._jsparkSession.createDataFrame(jdf.toJavaRDD(), jdf.schema())
-    return DataFrame(jdf2, spark)
+    out = DataFrame(jdf2, spark)
+    try:
+        # handle to the checkpointed RDD so release() can free its blocks
+        out._ckpt_jrdd = jdf.queryExecution().logical().rdd()
+    except Exception:
+        pass
+    return out
+
+
+def release(df: DataFrame | None) -> None:
+    """Free the cached blocks behind a :func:`materialize`-d frame.
+
+    localCheckpoint truncates lineage, so after release the frame CANNOT
+    be recomputed — only call once every consumer is done with it.
+    Iterative operators (betweenness backward pass, GN removal loop) use
+    this to retire per-superstep state instead of holding every level's
+    blocks until session end.  No-op for plain / reliable frames."""
+    jrdd = getattr(df, "_ckpt_jrdd", None) if df is not None else None
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
