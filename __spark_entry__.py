@@ -302,6 +302,107 @@ def q_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# forced-distributed variants: the default queries above adaptively dispatch
+# graphs <= 100k edges to driver-side kernels (the AQE-style small-side
+# strategy), so at gate scale they exercise the dispatch paths.  These *_dist
+# twins force local_edges_threshold=0 / local_phase_edges=0 /
+# dispatch_threshold low so the gate ALSO regression-checks the distributed
+# kernels a 100x-scale run would use.  connected_components_dist shares the
+# recursive-CTE oracle (full value-hash check of the large-star/small-star
+# kernel); louvain/pagerank/betweenness _dist twins are pinned to the default
+# path's output by tests/test_dist_gate_parity.py.
+# ---------------------------------------------------------------------------
+
+
+def q_connected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: large-star/small-star kernel (driver dispatch off)."""
+    from csd363_sin_spark.operators.components import connected_components
+
+    g = _graph(spark, sf_dir)
+    comp = connected_components(g, local_edges_threshold=0)
+    named = comp.join(g.vertices, "vertex_id").select("actor", "comp_id")
+    roots = named.groupBy("comp_id").agg(F.min("actor").alias("comp_actor"))
+    return named.join(roots, "comp_id").select("actor", "comp_actor")
+
+
+def q_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: join-dataflow power iteration (numpy dispatch off);
+    allclose 1e-9 to q_pagerank via tests/test_dist_gate_parity.py."""
+    from csd363_sin_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank(g, weighted=True, local_edges_threshold=0)
+    return pr.join(g.vertices, "vertex_id").select(
+        "actor", F.round("rank", 8).alias("rank")
+    )
+
+
+def q_louvain_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed synchronous local-move phases (driver
+    dispatch off).  The integer-exact score spec makes this bit-identical
+    to q_louvain — asserted by tests/test_dist_gate_parity.py."""
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    res = louvain(g, weighted=True, local_phase_edges=0)
+    named = res.assign.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_gn_refine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Louvain -> GN refinement with every large community
+    routed through girvan_newman_distributed (batched multi-source Brandes
+    + batched edge removal), not the grouped-pandas kernel."""
+    from csd363_sin_spark.operators.gn import refine_girvan_newman
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    base = louvain(g, weighted=True).assign
+    refined = refine_girvan_newman(
+        g, base, size_threshold=100, target_subcommunities=5,
+        max_iterations=10, betweenness_sources=64,
+        dispatch_threshold=100, local_edges_threshold=0,
+    )
+    named = refined.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_infomap_enhance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Louvain -> Infomap enhancement with every selected
+    community routed through the distributed multilevel map-equation
+    kernel, not the grouped-pandas kernel."""
+    from csd363_sin_spark.operators.infomap import enhance_infomap
+    from csd363_sin_spark.operators.louvain import louvain
+
+    g = _graph(spark, sf_dir)
+    base = louvain(g, weighted=True).assign
+    out = enhance_infomap(
+        g, base, modularity_threshold=0.3, min_size=10,
+        dispatch_threshold=50, local_edges_threshold=0,
+    )
+    named = out.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
+def q_betweenness_topk_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: top-20 edges via the distributed batched multi-source
+    Brandes dataflow (driver dispatch off)."""
+    from csd363_sin_spark.operators.betweenness import edge_betweenness
+
+    g = _graph(spark, sf_dir)
+    bet = edge_betweenness(g, k_sources=64, local_edges_threshold=0)
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    return (
+        bet.join(va, "src")
+        .join(vb, "dst")
+        .orderBy(F.desc("betweenness"), F.asc("src_actor"), F.asc("dst_actor"))
+        .limit(20)
+        .select("src_actor", "dst_actor", F.round("betweenness", 4).alias("betweenness"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -448,6 +549,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
         "pipeline_final": q_pipeline_final,
+        # forced-distributed twins (regression-guard the kernels a
+        # 100x-scale run uses; see comment above q_connected_components_dist)
+        "connected_components_dist": q_connected_components_dist,
+        "pagerank_dist": q_pagerank_dist,
+        "louvain_dist": q_louvain_dist,
+        "gn_refine_dist": q_gn_refine_dist,
+        "infomap_enhance_dist": q_infomap_enhance_dist,
+        "betweenness_topk_dist": q_betweenness_topk_dist,
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
         "doc_language_id": q_doc_language_id,
@@ -724,6 +833,14 @@ def oracle_sql() -> dict[str, str]:
     p = _ORACLE_PRELUDE
     part = _PART_SQL
     s = _stats_cte(part)
+    cc_sql = p.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + """
+, reach AS (
+  SELECT actor AS a, actor AS b FROM verts
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u
+)
+SELECT a AS actor, min(b) AS comp_actor FROM reach GROUP BY a
+"""
     return {
         "induce_edges": p + "SELECT src_actor, dst_actor, weight FROM edges",
         "vertex_degrees": p + "SELECT actor, degree FROM deg",
@@ -748,15 +865,11 @@ FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
 """,
-        "connected_components": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
-        + """
-, reach AS (
-  SELECT actor AS a, actor AS b FROM verts
-  UNION
-  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u
-)
-SELECT a AS actor, min(b) AS comp_actor FROM reach GROUP BY a
-""",
+        "connected_components": cc_sql,
+        # the forced-distributed twin is value-hash-checked against the
+        # SAME oracle: a green row here is the large-star/small-star
+        # kernel (not the driver union-find) matching DuckDB exactly
+        "connected_components_dist": cc_sql,
         "modularity_fixed_partition": p
         + s
         + """

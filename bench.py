@@ -97,6 +97,52 @@ def main() -> None:
     timed("embedding_topk", lambda: cosine_topk(emb, probes, k=10).count())
 
     total = round(time.time() - t_all, 3)
+
+    # ---- forced-distributed section (NOT in the headline total, which
+    # stays apples-to-apples with earlier rounds): the same iterative
+    # operators with the driver-side adaptive dispatch disabled, so each
+    # round's BENCH json measures the distributed kernels a 100x-scale
+    # run would use.  Timings appear in "queries" with a dist_ prefix and
+    # throughputs under extra.dist.
+    comp.unpersist()
+    dist: dict[str, float] = {}
+
+    def timed_dist(name, fn):
+        t0 = time.time()
+        out = fn()
+        dist[name] = round(time.time() - t0, 3)
+        return out
+
+    from csd363_sin_spark.operators.betweenness import edge_betweenness
+
+    timed_dist(
+        "dist_connected_components",
+        lambda: connected_components(g, local_edges_threshold=0)
+        .groupBy("comp_id").count().count(),
+    )
+    timed_dist(
+        "dist_pagerank",
+        lambda: pagerank(g, weighted=True, local_edges_threshold=0).count(),
+    )
+    res_d = timed_dist("dist_louvain", lambda: louvain(g, local_phase_edges=0))
+    from csd363_sin_spark.operators.infomap import infomap_distributed
+
+    timed_dist(
+        "dist_infomap_full",
+        lambda: infomap_distributed(g, max_levels=3)[0].count(),
+    )
+    timed_dist(
+        "dist_betweenness_topk",
+        lambda: edge_betweenness(g, k_sources=64, local_edges_threshold=0)
+        .orderBy(F.desc("betweenness")).limit(20).collect(),
+    )
+    timings.update(dist)
+    dist_louvain_eps = (
+        n_edges * 2 * max(1, res_d.supersteps) / dist["dist_louvain"]
+        if dist.get("dist_louvain")
+        else 0
+    )
+
     pr_eps = n_edges * 2 / timings["pagerank"] if timings.get("pagerank") else 0
     louvain_eps = (
         n_edges * 2 * max(1, res.supersteps) / timings["louvain"]
@@ -118,6 +164,12 @@ def main() -> None:
                     "louvain_modularity": round(res.modularity, 4),
                     "louvain_supersteps": res.supersteps,
                     "cpus": int(cpus),
+                    "dist": {
+                        "wall": round(sum(dist.values()), 3),
+                        "louvain_superstep_edges_per_sec": round(dist_louvain_eps),
+                        "louvain_supersteps": res_d.supersteps,
+                        "louvain_modularity": round(res_d.modularity, 4),
+                    },
                 },
             }
         )

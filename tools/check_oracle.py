@@ -1,7 +1,8 @@
 """Mimic the driver's correctness gate: Spark queries vs DuckDB oracles.
 
-Usage: python tools/check_oracle.py [sf_dir]
-Compares row counts, column names, and order-insensitive values.
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Compares row counts, column names, and order-insensitive values.  With
+query names given, only those queries run.
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = 0
     for name, fn in qs.items():
         got_df = fn(spark, sf_dir).toPandas()
