@@ -511,21 +511,22 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF-flat approximate top-5 (second ANN scale path next
-    to hyperplane LSH; deterministic seeded coarse quantizer).  Exactness
-    vs the exact baseline is covered by the pytest recall oracle
-    (tests/test_datapipeline.py::test_ivf_topk_recall_and_determinism);
-    Lloyd-iteration float means are not portably reproducible in DuckDB
-    SQL, hence no value-hash oracle."""
+    """IVF-flat approximate top-5 (second ANN scale path next to
+    hyperplane LSH; deterministic seeded coarse quantizer), oracle-checked
+    end to end: the gate runs portable mode (Lloyd means quantized to 6
+    decimals, scores to 9) so DuckDB replays the identical unrolled
+    iterations (_ivf_topk_sql); the unquantized production path shares
+    every line of algorithm code and is covered by the pytest recall
+    oracle (tests/test_datapipeline.py)."""
     from csd363_sin_spark.functions.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    return ivf_topk(emb, probes, dim=64, k=5, n_clusters=8, n_probe=4).select(
-        "probe_id", "vec_id", "rank"
-    )
+    return ivf_topk(
+        emb, probes, dim=64, k=5, n_clusters=8, n_probe=4, portable=True
+    ).select("probe_id", "vec_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -829,6 +830,101 @@ SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _ivf_topk_sql(
+    dim: int = 64, k: int = 5, n_clusters: int = 8, n_probe: int = 4,
+    iters: int = 3,
+) -> str:
+    """IVF-flat top-k oracle: replays functions/similarity.py
+    ivf_topk(portable=True) construct for construct — seeds = the
+    ``n_clusters`` lowest-id vectors, ``iters`` unrolled Lloyd steps with
+    means quantized to 6 decimals and assignment scores to 9 (ties ->
+    lowest cluster, matching array_position-of-max), empty clusters keep
+    their previous centroid, probes pick ``n_probe`` clusters by
+    (score DESC, cluster DESC) (= reverse(array_sort(struct(s, cluster)))),
+    candidates exact-ranked by (cosine DESC, vec_id ASC)."""
+
+    def cos9(vec: str, cen: str) -> str:
+        return (
+            f"round(list_inner_product({vec}, {cen}) / "
+            f"(sqrt(list_inner_product({cen}, {cen})) * "
+            f"sqrt(list_inner_product({vec}, {vec}))), 9)"
+        )
+
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_clusters})
+)"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, {prev}.cluster,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos9("e.v", f"{prev}.c")} DESC, {prev}.cluster ASC
+      ) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cluster, pos, round(avg(x), 6) AS mx FROM (
+    SELECT cluster, unnest(v) AS x,
+           unnest(range(1, len(v) + 1)) AS pos
+    FROM a{i}
+  ) GROUP BY cluster, pos
+),
+c{i} AS (
+  SELECT {prev}.cluster, COALESCE(n.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT cluster, list(mx ORDER BY pos) AS c FROM m{i} GROUP BY cluster
+  ) n USING (cluster)
+)"""
+        prev = f"c{i}"
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, {prev}.cluster,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos9("e.v", f"{prev}.c")} DESC, {prev}.cluster ASC
+      ) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 3),
+pc AS (
+  SELECT probe_id, p, cluster FROM (
+    SELECT pr.probe_id, pr.p, {prev}.cluster,
+      row_number() OVER (
+        PARTITION BY pr.probe_id
+        ORDER BY {cos9("pr.p", f"{prev}.c")} DESC, {prev}.cluster DESC
+      ) AS rn
+    FROM probes pr CROSS JOIN {prev}
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT pc.probe_id, e.vec_id,
+         round(list_cosine_similarity(e.v, pc.p), 6) AS cosine
+  FROM af JOIN e USING (vec_id) JOIN pc ON af.cluster = pc.cluster
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     p = _ORACLE_PRELUDE
     part = _PART_SQL
@@ -1029,6 +1125,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         "minhash_lsh_dups": _minhash_lsh_sql(),
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         # pagerank/louvain/gn/infomap/betweenness/pipeline: intentionally
         # omitted -> rows-only check (iterative fixpoints; not
         # ANSI-SQL-expressible; exactness covered by pytest oracles)

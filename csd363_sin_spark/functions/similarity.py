@@ -215,17 +215,20 @@ def lsh_topk(
     return _topk(scored, k)
 
 
-def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]], round_to: int | None = None):
     """Index of the max-cosine centroid for an array column; centroids are
-    plan-time literals (tiny: n_clusters x dim doubles)."""
+    plan-time literals (tiny: n_clusters x dim doubles).  ``round_to``
+    rounds each score first (portable mode: cross-engine double math
+    agrees to ~1e-13, so 9-dp rounding makes the argmax engine-stable)."""
     norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
-    scores = F.array(
-        *[
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-            / (F.lit(max(n, 1e-30)) * _norm(vec_col))
-            for c, n in zip(centroids, norms)
-        ]
-    )
+    raw = [
+        _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+        / (F.lit(max(n, 1e-30)) * _norm(vec_col))
+        for c, n in zip(centroids, norms)
+    ]
+    if round_to is not None:
+        raw = [F.round(s, round_to) for s in raw]
+    scores = F.array(*raw)
     # array_position is 1-based; ties resolve to the FIRST (lowest index),
     # deterministic across engines
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -238,6 +241,8 @@ def ivf_flat_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
+    score_round: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer: Lloyd iterations with centroids
     seeded from the ``n_clusters`` lowest-id vectors (no RNG state).
@@ -248,6 +253,12 @@ def ivf_flat_index(
     (n_clusters x dim doubles) are collected to the driver and re-embedded
     as literals — the standard broadcast-k-means shape.  Returns
     ``((vec_id, cluster), centroids)``.
+
+    ``quantize``/``score_round`` (portable mode): round each Lloyd-mean
+    coordinate to ``quantize`` decimals in-plan and each assignment score
+    to ``score_round`` decimals, so a SQL engine replaying the same
+    unrolled iterations reproduces the quantizer exactly (the same trick
+    that makes the LSH family oracle-checkable).
     """
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
@@ -255,14 +266,19 @@ def ivf_flat_index(
     seeds = e.orderBy("vec_id").limit(n_clusters).collect()
     centroids = [[float(x) for x in r["v"]] for r in seeds]
 
+    mean_col = F.avg("x") if quantize is None else F.round(F.avg("x"), quantize)
     for _ in range(max(iters, 1)):
         assigned = e.select(
-            "vec_id", "v", _nearest_centroid_expr(F.col("v"), centroids).alias("cluster")
+            "vec_id",
+            "v",
+            _nearest_centroid_expr(
+                F.col("v"), centroids, round_to=score_round
+            ).alias("cluster"),
         )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_col.alias("m"))
             .collect()
         )
         by_cluster: dict = {}
@@ -276,7 +292,10 @@ def ivf_flat_index(
     # exactly the centroids probes will rank against (an assignment computed
     # from the penultimate centroids silently degrades n_probe recall)
     final_assigned = e.select(
-        "vec_id", _nearest_centroid_expr(F.col("v"), centroids).alias("cluster")
+        "vec_id",
+        _nearest_centroid_expr(F.col("v"), centroids, round_to=score_round).alias(
+            "cluster"
+        ),
     )
     e.unpersist()
     return final_assigned, centroids
@@ -294,6 +313,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF-flat index (the second ANN
     scale path next to :func:`lsh_topk`): corpus vectors are bucketed by
@@ -301,11 +321,19 @@ def ivf_topk(
     nearest buckets, then candidates are exact-ranked.  Candidate
     generation is an equi-join on cluster id — cost ~ (n_probe /
     n_clusters) x corpus per probe, never all-pairs.  Fully
-    deterministic (seeded centroids, first-index tie-breaks)."""
+    deterministic (seeded centroids, first-index tie-breaks).
+
+    ``portable=True`` quantizes Lloyd means to 6 decimals and assignment/
+    probe scores to 9 per iteration, so the DuckDB oracle
+    (__spark_entry__._ivf_topk_sql) replays the identical quantizer —
+    value-hash-checkable end to end.  The default (unquantized) path
+    shares every line of algorithm code."""
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    score_round = 9 if portable else None
     assigned, centroids = ivf_flat_index(
         embeddings, dim, n_clusters=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col,
+        quantize=6 if portable else None, score_round=score_round,
     )
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), cast(vec_col).alias("v")
@@ -315,15 +343,16 @@ def ivf_topk(
         F.col(probe_id_col).alias("probe_id"), cast(probe_vec_col).alias("p")
     )
     norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
+
+    def _pscore(c, n):
+        s = _dot(F.col("p"), F.array(*[F.lit(float(x)) for x in c])) / (
+            F.lit(max(n, 1e-30)) * _norm(F.col("p"))
+        )
+        return F.round(s, score_round) if score_round is not None else s
+
     cscores = F.array(
         *[
-            F.struct(
-                (
-                    _dot(F.col("p"), F.array(*[F.lit(float(x)) for x in c]))
-                    / (F.lit(max(n, 1e-30)) * _norm(F.col("p")))
-                ).alias("s"),
-                F.lit(i).alias("cluster"),
-            )
+            F.struct(_pscore(c, n).alias("s"), F.lit(i).alias("cluster"))
             for i, (c, n) in enumerate(zip(centroids, norms))
         ]
     )
