@@ -326,7 +326,8 @@ def flow_power_iteration(
 
 
 def _infomap_move_phase(
-    edges: DataFrame, vertices: DataFrame, max_supersteps: int
+    edges: DataFrame, vertices: DataFrame, max_supersteps: int,
+    delta_kin: bool = True,
 ) -> tuple[DataFrame, int]:
     """Synchronous map-equation local moves on one level graph.
 
@@ -338,6 +339,14 @@ def _infomap_move_phase(
     flow), with the same monotone down-only id gating as
     operators/louvain.py so the synchronous schedule provably terminates.
     Returns (assign, supersteps_used).
+
+    ``delta_kin``: the neighbor-module weight table w_to(v, c) is
+    maintained incrementally from the previous superstep's movers (same
+    frontier-delta scheme, exactness gate, and broadcast cap as
+    operators/louvain.py::_local_move_phase — level-0 weights are 1.0 and
+    contraction sums keep them integral, so delta merging is exact);
+    bit-identical to full recompute, asserted by
+    tests/test_infomap.py::test_move_phase_delta_parity.
     """
     plogp = lambda c: F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))  # noqa: E731
 
@@ -378,14 +387,59 @@ def _infomap_move_phase(
     )
     assign = materialize(vertices.select("vertex_id", F.col("vertex_id").alias("comm")))
 
+    from csd363_sin_spark.plans.lineage import release
+
+    use_delta = delta_kin and edges.filter(
+        F.col("weight") != F.floor("weight")
+    ).isEmpty()
+    delta_broadcast_max = 1_000_000
+    wto_cache = None
+    moved = None
+
     step = 0
     for step in range(max_supersteps):
-        a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
-        w_to = (
-            sym.join(a_dst, "dst")
-            .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
-            .agg(F.sum("weight").alias("w_nbr"))
-        ).persist()
+        if moved is None:
+            a_dst = assign.select(
+                F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr")
+            )
+            w_to_new = (
+                sym.join(a_dst, "dst")
+                .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
+                .agg(F.sum("weight").alias("w_nbr"))
+            )
+        else:
+            delta = (
+                sym.join(F.broadcast(moved), "dst")
+                .select(
+                    F.col("src").alias("vertex_id"),
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("c_old").alias("c_nbr"),
+                                (-F.col("weight")).alias("dw"),
+                            ),
+                            F.struct(
+                                F.col("c_new").alias("c_nbr"),
+                                F.col("weight").alias("dw"),
+                            ),
+                        )
+                    ).alias("d"),
+                )
+                .select("vertex_id", "d.c_nbr", "d.dw")
+            )
+            w_to_new = (
+                wto_cache.select("vertex_id", "c_nbr", F.col("w_nbr").alias("dw"))
+                .unionAll(delta)
+                .groupBy("vertex_id", "c_nbr")
+                .agg(F.sum("dw").alias("w_nbr"))
+                .filter(F.col("w_nbr") != 0.0)
+            )
+        if use_delta:
+            w_to = materialize(w_to_new)
+            release(wto_cache)
+            wto_cache = w_to
+        else:
+            w_to = w_to_new.persist()
         w_cur_df = w_to.join(
             assign.withColumnRenamed("comm", "c_nbr"), ["vertex_id", "c_nbr"]
         ).select("vertex_id", F.col("w_nbr").alias("w_cur"))
@@ -446,12 +500,33 @@ def _infomap_move_phase(
                 F.col("next_comm").isNotNull().alias("_moved"),
             )
         )
-        w_to.unpersist()
+        if not use_delta:
+            w_to.unpersist()
         moves = next_assign.filter(F.col("_moved")).count()
+        old_moved = moved
+        if use_delta and 0 < moves <= delta_broadcast_max:
+            moved = materialize(
+                next_assign.filter(F.col("_moved"))
+                .select(
+                    F.col("vertex_id").alias("dst"), F.col("comm").alias("c_new")
+                )
+                .join(
+                    assign.select(
+                        F.col("vertex_id").alias("dst"),
+                        F.col("comm").alias("c_old"),
+                    ),
+                    "dst",
+                )
+            )
+        else:
+            moved = None
+        release(old_moved)
         assign = next_assign.select("vertex_id", "comm")
         if moves == 0:
             break
     sym.unpersist()
+    release(wto_cache)
+    release(moved)
     return assign, step + 1
 
 

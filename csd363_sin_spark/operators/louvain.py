@@ -95,11 +95,26 @@ def _local_move_phase(
     m: float,
     max_supersteps: int,
     on_superstep=None,
+    delta_kin: bool = True,
 ) -> tuple[DataFrame, int]:
     """Run down-only-gated synchronous local moves on one level graph.
 
     ``edges`` canonical (src <= dst); ``vertices`` single column vertex_id.
     Returns (assign, supersteps_used).
+
+    ``delta_kin``: after the first superstep, k_in(v, c) changes ONLY for
+    vertices with a neighbor among that superstep's movers, so instead of
+    re-joining the full 2|E|-row symmetric edge view every superstep, the
+    phase keeps the (vertex, neighbor-comm, k_in) table and applies the
+    movers' edge deltas (two signed rows per mover-incident edge: -w to
+    the old comm, +w to the new) — shuffle volume drops from
+    O(2E + |cand|) to O(movers' edges + |cand|) per superstep, the
+    dominant win on converging graphs where movers shrink geometrically.
+    Delta merging relies on EXACT arithmetic, so it auto-disables unless
+    every edge weight is integral (co-occurrence counts and their
+    contraction sums always are); with integral weights the delta path is
+    bit-identical to full recompute — asserted by
+    tests/test_louvain.py::test_phase_delta_kin_parity.
     """
     # Hash-partition the symmetric edge view by the join key ONCE and keep
     # it cached with the partitioning visible to Catalyst: every superstep's
@@ -126,6 +141,18 @@ def _local_move_phase(
         vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
     )
 
+    # delta-k_in bookkeeping: exact only for integral weights (one scalar
+    # job per phase); movers above the broadcast cap fall back to a full
+    # recompute for that superstep (which also refreshes the cached table)
+    from csd363_sin_spark.plans.lineage import release
+
+    use_delta = delta_kin and edges.filter(
+        F.col("weight") != F.floor("weight")
+    ).isEmpty()
+    delta_broadcast_max = 1_000_000
+    cand: DataFrame | None = None
+    moved: DataFrame | None = None
+
     step = 0
     for step in range(max_supersteps):
         # state: vertex -> (current comm, strength).  state feeds both the
@@ -134,12 +161,49 @@ def _local_move_phase(
         # (assign exchange + strengths join) run once, not three times.
         state = assign.join(strengths, "vertex_id").persist()
         comm_tot = state.groupBy("comm").agg(F.sum("k").alias("S")).persist()
-        a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr"))
-        k_in = (
-            sym.join(a_dst, "dst")
-            .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
-            .agg(F.sum("weight").alias("k_in"))
-        )
+        if moved is None:
+            a_dst = assign.select(
+                F.col("vertex_id").alias("dst"), F.col("comm").alias("c_nbr")
+            )
+            k_in_new = (
+                sym.join(a_dst, "dst")
+                .groupBy(F.col("src").alias("vertex_id"), "c_nbr")
+                .agg(F.sum("weight").alias("k_in"))
+            )
+        else:
+            # movers' incident edges only: -w to the old comm, +w to the new
+            delta = (
+                sym.join(F.broadcast(moved), "dst")
+                .select(
+                    F.col("src").alias("vertex_id"),
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("c_old").alias("c_nbr"),
+                                (-F.col("weight")).alias("dw"),
+                            ),
+                            F.struct(
+                                F.col("c_new").alias("c_nbr"),
+                                F.col("weight").alias("dw"),
+                            ),
+                        )
+                    ).alias("d"),
+                )
+                .select("vertex_id", "d.c_nbr", "d.dw")
+            )
+            k_in_new = (
+                cand.select("vertex_id", "c_nbr", F.col("k_in").alias("dw"))
+                .unionAll(delta)
+                .groupBy("vertex_id", "c_nbr")
+                .agg(F.sum("dw").alias("k_in"))
+                .filter(F.col("k_in") != 0.0)
+            )
+        if use_delta:
+            k_in = materialize(k_in_new)
+            release(cand)
+            cand = k_in
+        else:
+            k_in = k_in_new
         scored = (
             k_in.join(state, "vertex_id")
             .join(comm_tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
@@ -205,6 +269,24 @@ def _local_move_phase(
         moves = next_assign.filter(F.col("_moved")).count()
         state.unpersist()
         comm_tot.unpersist()
+        old_moved = moved
+        if use_delta and 0 < moves <= delta_broadcast_max:
+            moved = materialize(
+                next_assign.filter(F.col("_moved"))
+                .select(
+                    F.col("vertex_id").alias("dst"), F.col("comm").alias("c_new")
+                )
+                .join(
+                    assign.select(
+                        F.col("vertex_id").alias("dst"),
+                        F.col("comm").alias("c_old"),
+                    ),
+                    "dst",
+                )
+            )
+        else:
+            moved = None  # full recompute next superstep
+        release(old_moved)
         assign = next_assign.select("vertex_id", "comm")
         if on_superstep is not None:
             on_superstep(step, moves, assign)
@@ -213,6 +295,8 @@ def _local_move_phase(
             break
     sym.unpersist()
     strengths.unpersist()
+    release(cand)
+    release(moved)
     return assign, step + 1
 
 
