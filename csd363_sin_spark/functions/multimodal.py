@@ -14,9 +14,12 @@ the decode step is STUBBED behind ``decoder=`` hooks:
   then little-endian dims, then raw bytes.  Everything downstream of the
   decode (batching, schema, partitioning, feature shapes) is REAL and
   tested.
-* ``decoder="real"`` — raises NotImplementedError with the dependency it
-  would use; swap in a PIL/av-backed function with the same signature on
-  a cluster image that has the libs.
+* ``decoder="real"`` — decodes REAL image bytes with the pure-numpy
+  parsers below: uncompressed 24-bit BMP (BITMAPINFOHEADER) and binary
+  PPM (P6), converted to grayscale.  JPEG/PNG/video payloads raise
+  NotImplementedError naming the dependency (PIL / pyav) — those two
+  codecs are the only remaining stubs; swap in a decode(payload)->ndarray
+  with the same contract on a cluster image that has the libs.
 
 Kernels are ``mapInPandas`` (Arrow batches, vectorized numpy per batch)
 — never per-row Python.
@@ -73,6 +76,102 @@ def _decode_fake(payload: bytes) -> np.ndarray:
     return arr.reshape(frames, h, w)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (1, h, w) uint8
+    grayscale (integer BT.601 luma).  Pure numpy — no PIL."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_sz = struct.unpack("<I", payload[14:18])[0]
+    if hdr_sz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP needs PIL")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is decodable without PIL "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    b, g, r = (rows[..., i].astype(np.int32) for i in range(3))
+    gray = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    return gray.reshape(1, h, w)
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (1, h, w) uint8 grayscale."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (# comments allowed), then ONE whitespace byte, then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs PIL")
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = rgb.reshape(h, w, 3).astype(np.int32)
+    gray = (
+        (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    ).astype(np.uint8)
+    return gray.reshape(1, h, w)
+
+
+def _decode_real(payload: bytes) -> np.ndarray:
+    """Real-bytes decode: BMP and PPM natively; other formats honestly
+    raise with the dependency a cluster image would add."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "payload is not BMP/PPM — JPEG/PNG need PIL, video needs pyav"
+    )
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> uncompressed 24-bit BMP bytes (test
+    corpus generator; round-trips through :func:`_decode_bmp`)."""
+    h, w = gray.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    rgb = np.repeat(gray[::-1, :, None], 3, axis=2)  # bottom-up, B=G=R
+    img[:, : w * 3] = rgb.reshape(h, w * 3)
+    body = img.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _pick_decoder(decoder: str):
+    if decoder == "fake":
+        return _decode_fake
+    if decoder == "real":
+        return _decode_real
+    raise ValueError(f"unknown decoder {decoder!r}")
+
+
 def decode_features(
     media: DataFrame, decoder: str = "fake", batch_hint: int = 64
 ) -> DataFrame:
@@ -82,12 +181,7 @@ def decode_features(
     The Arrow plumbing (schema, batch shape, partition preservation) is
     the real deliverable; the fake decoder stands in for PIL/av.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real decode requires PIL / pyav / torchaudio — not available "
-            "in this container; plug a decode(payload)->ndarray with the "
-            "same contract"
-        )
+    decode = _pick_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +196,7 @@ def decode_features(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                arr = _decode_fake(bytes(payload))
+                arr = decode(bytes(payload))
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_frames"].append(arr.shape[0])
@@ -122,14 +216,13 @@ def decode_features(
 def resize_images(media: DataFrame, out_w: int, out_h: int, decoder: str = "fake") -> DataFrame:
     """Nearest-neighbor resize of image payloads -> new payload column.
     Same stub policy as :func:`decode_features`."""
-    if decoder == "real":
-        raise NotImplementedError("real resize requires PIL — see decode_features")
+    decode = _pick_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = _decode_fake(bytes(payload))[0]  # first frame
+                arr = decode(bytes(payload))[0]  # first frame
                 h, w = arr.shape
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)

@@ -132,9 +132,16 @@ def refine_girvan_newman(
     betweenness_sources: int | None = None,
     dispatch_threshold: int = 10_000,
     local_edges_threshold: int = 100_000,
+    store=None,
+    stage: str = "gn_refine",
 ) -> DataFrame:
     """Refine communities with > ``size_threshold`` members; returns a new
     ``(vertex_id, comm)`` assignment.
+
+    ``store`` (a checkpoint.CheckpointStore) is forwarded to each huge
+    community's :func:`girvan_newman_distributed` run (stage key
+    ``{stage}_c{comm}``), so a killed refine resumes mid-removal-loop
+    inside whichever community it died in.
 
     Size-based dispatch (reference girvan_newman_wrapper.py:29-31 switches
     exact -> optimized at 10k nodes): communities up to
@@ -252,6 +259,8 @@ def refine_girvan_newman(
             max_iterations=max_iter if max_iter is not None else 50,
             k_sources=ks,
             batch_remove=min(20, max(1, e_cnt // 10)),
+            store=store,
+            stage=f"{stage}_c{comm}",
         )
         refined = refined.unionByName(
             sub_assign.select(

@@ -327,7 +327,8 @@ def flow_power_iteration(
 
 def _infomap_move_phase(
     edges: DataFrame, vertices: DataFrame, max_supersteps: int,
-    delta_kin: bool = True,
+    delta_kin: bool = False,
+    delta_arm_threshold: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Synchronous map-equation local moves on one level graph.
 
@@ -342,11 +343,11 @@ def _infomap_move_phase(
 
     ``delta_kin``: the neighbor-module weight table w_to(v, c) is
     maintained incrementally from the previous superstep's movers (same
-    frontier-delta scheme, exactness gate, and broadcast cap as
-    operators/louvain.py::_local_move_phase — level-0 weights are 1.0 and
-    contraction sums keep them integral, so delta merging is exact);
-    bit-identical to full recompute, asserted by
-    tests/test_infomap.py::test_move_phase_delta_parity.
+    frontier-delta scheme, exactness gate, arming rule, and measured
+    DEFAULT-OFF decision as operators/louvain.py::_local_move_phase —
+    level-0 weights are 1.0 and contraction sums keep them integral, so
+    delta merging is exact); bit-identical to full recompute, asserted by
+    tests/test_delta_supersteps.py::test_move_phase_delta_parity.
     """
     plogp = lambda c: F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))  # noqa: E731
 
@@ -392,7 +393,13 @@ def _infomap_move_phase(
     use_delta = delta_kin and edges.filter(
         F.col("weight") != F.floor("weight")
     ).isEmpty()
-    delta_broadcast_max = 1_000_000
+    n_verts = vertices.count()
+    arm_threshold = (
+        delta_arm_threshold
+        if delta_arm_threshold is not None
+        else min(1_000_000, max(1, n_verts // 8))
+    )
+    armed = False
     wto_cache = None
     moved = None
 
@@ -434,7 +441,7 @@ def _infomap_move_phase(
                 .agg(F.sum("dw").alias("w_nbr"))
                 .filter(F.col("w_nbr") != 0.0)
             )
-        if use_delta:
+        if armed:
             w_to = materialize(w_to_new)
             release(wto_cache)
             wto_cache = w_to
@@ -500,24 +507,31 @@ def _infomap_move_phase(
                 F.col("next_comm").isNotNull().alias("_moved"),
             )
         )
-        if not use_delta:
+        if not armed:
             w_to.unpersist()
         moves = next_assign.filter(F.col("_moved")).count()
         old_moved = moved
-        if use_delta and 0 < moves <= delta_broadcast_max:
-            moved = materialize(
-                next_assign.filter(F.col("_moved"))
-                .select(
-                    F.col("vertex_id").alias("dst"), F.col("comm").alias("c_new")
-                )
-                .join(
-                    assign.select(
+        if use_delta and 0 < moves <= arm_threshold:
+            if armed:
+                moved = materialize(
+                    next_assign.filter(F.col("_moved"))
+                    .select(
                         F.col("vertex_id").alias("dst"),
-                        F.col("comm").alias("c_old"),
-                    ),
-                    "dst",
+                        F.col("comm").alias("c_new"),
+                    )
+                    .join(
+                        assign.select(
+                            F.col("vertex_id").alias("dst"),
+                            F.col("comm").alias("c_old"),
+                        ),
+                        "dst",
+                    )
                 )
-            )
+            else:
+                # arm: next superstep full-recomputes into the cache;
+                # delta merging starts the superstep after
+                armed = True
+                moved = None
         else:
             moved = None
         release(old_moved)
@@ -721,10 +735,17 @@ def enhance_infomap(
     num_trials: int = 1,
     dispatch_threshold: int = 10_000,
     local_edges_threshold: int = 100_000,
+    store=None,
+    stage: str = "infomap_enhance",
 ) -> DataFrame:
     """Re-partition low-local-modularity communities with the map-equation
     kernel, splicing module ids under fresh community ids (reference
-    detection.py:193-240).  Selected communities up to
+    detection.py:193-240).
+
+    ``store`` (a checkpoint.CheckpointStore) is forwarded to each huge
+    community's :func:`infomap_distributed` run (stage key
+    ``{stage}_c{comm}``), so a killed enhance resumes mid-level inside
+    whichever community it died in.  Selected communities up to
     ``dispatch_threshold`` members run in parallel as grouped-pandas
     tasks; larger ones route through :func:`infomap_distributed` on the
     community subgraph (single-trial, deterministic) so a huge community
@@ -813,7 +834,9 @@ def enhance_infomap(
             .distinct()
         )
         sub_assign, _L = infomap_distributed(
-            Graph(vertices=endpoints, edges=sub_edges)
+            Graph(vertices=endpoints, edges=sub_edges),
+            store=store,
+            stage=f"{stage}_c{comm}",
         )
         refined = refined.unionByName(
             sub_assign.select(

@@ -89,13 +89,75 @@ def _strengths(edges: DataFrame) -> DataFrame:
     return contrib.groupBy("vertex_id").agg(F.sum("k").alias("k"))
 
 
+def _decide_moves(k_in: DataFrame, state: DataFrame, comm_tot: DataFrame, m: float) -> DataFrame:
+    """(vertex_id, next_comm) from the spec's integer-exact scoring: one
+    argmax aggregation over the neighbor-community weight table.  Shared
+    by the join-dataflow phase and the CSR/Arrow phase — the gather that
+    PRODUCES k_in differs, the decision plan is identical."""
+    scored = (
+        k_in.join(state, "vertex_id")
+        .join(comm_tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
+        .select(
+            "vertex_id",
+            "comm",
+            "k",
+            "c_nbr",
+            (
+                2.0 * m * F.col("k_in")
+                - F.col("k")
+                * (
+                    F.col("S")
+                    - F.when(F.col("c_nbr") == F.col("comm"), F.col("k")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    # one aggregation decides each vertex: global argmax over neighbor
+    # comms (ties -> smallest id via negated id in the struct) plus the
+    # stay score when the current comm is among the neighbors
+    agg = scored.groupBy("vertex_id").agg(
+        F.first("comm").alias("comm"),
+        F.first("k").alias("k"),
+        F.max(F.struct(F.col("score"), (-F.col("c_nbr")).alias("nc"))).alias("b"),
+        F.max(F.when(F.col("c_nbr") == F.col("comm"), F.col("score"))).alias(
+            "cur_opt"
+        ),
+    )
+    # stay score when current comm had no neighbor row: k_in(cur)=0 =>
+    # score = -k * (S_cur - k).  Equivalence to the spec's full-candidate
+    # argmax: a strict b.score > cur_score makes b.c the argmax; on ties
+    # the strict-improvement rule keeps the vertex anyway.
+    return (
+        agg.join(comm_tot, "comm")
+        .withColumn(
+            "cur_score",
+            F.coalesce(
+                F.col("cur_opt"), -F.col("k") * (F.col("S") - F.col("k"))
+            ),
+        )
+        .withColumn("target", -F.col("b.nc"))
+        .withColumn(
+            "next_comm",
+            F.when(
+                (F.col("b.score") > F.col("cur_score"))
+                & (F.col("target") < F.col("comm")),
+                F.col("target"),
+            ).otherwise(F.col("comm")),
+        )
+        .select("vertex_id", F.col("next_comm"))
+    )
+
+
 def _local_move_phase(
     edges: DataFrame,
     vertices: DataFrame,
     m: float,
     max_supersteps: int,
     on_superstep=None,
-    delta_kin: bool = True,
+    delta_kin: bool = False,
+    delta_arm_threshold: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Run down-only-gated synchronous local moves on one level graph.
 
@@ -110,11 +172,23 @@ def _local_move_phase(
     the old comm, +w to the new) — shuffle volume drops from
     O(2E + |cand|) to O(movers' edges + |cand|) per superstep, the
     dominant win on converging graphs where movers shrink geometrically.
-    Delta merging relies on EXACT arithmetic, so it auto-disables unless
-    every edge weight is integral (co-occurrence counts and their
-    contraction sums always are); with integral weights the delta path is
-    bit-identical to full recompute — asserted by
-    tests/test_louvain.py::test_phase_delta_kin_parity.
+    The machinery ARMS only once a superstep's mover count falls below
+    min(1M, |V|/8); delta merging relies on EXACT arithmetic, so it also
+    auto-disables unless every edge weight is integral (co-occurrence
+    counts and their contraction sums always are).  With integral weights
+    the delta path is bit-identical to full recompute — asserted by
+    tests/test_delta_supersteps.py.
+
+    DEFAULT OFF — a measured decision (BENCH.md §1): at 4M edges on this
+    sandbox the delta path was 1.4x SLOWER on a 12-superstep random graph
+    (110.6 s vs 76.8 s, identical checksums) and at best neutral on the
+    planted graph, because the pre-partitioned persisted sym view already
+    reduces full recompute to a streamed cached scan + |V|-row exchange,
+    while delta pays an O(|cand|) materialize + merge every armed
+    superstep.  Delta wins only when the candidate table shrinks well
+    below 2|E| (strong community coarsening) or when sym no longer fits
+    the cluster cache (100 TB regime, where re-scanning 2|E| rows from
+    shuffle storage dominates) — opt in with delta_kin=True there.
     """
     # Hash-partition the symmetric edge view by the join key ONCE and keep
     # it cached with the partitioning visible to Catalyst: every superstep's
@@ -142,14 +216,23 @@ def _local_move_phase(
     )
 
     # delta-k_in bookkeeping: exact only for integral weights (one scalar
-    # job per phase); movers above the broadcast cap fall back to a full
-    # recompute for that superstep (which also refreshes the cached table)
+    # job per phase).  The machinery ARMS only once a superstep's mover
+    # count drops below ``arm_threshold`` — before that, fast-converging
+    # phases pay zero overhead (no eager cand materialization, k_in stays
+    # fused into the downstream aggregation); after arming, each superstep
+    # touches only the movers' incident edges instead of the 2|E| view.
     from csd363_sin_spark.plans.lineage import release
 
     use_delta = delta_kin and edges.filter(
         F.col("weight") != F.floor("weight")
     ).isEmpty()
-    delta_broadcast_max = 1_000_000
+    n_verts = vertices.count()
+    arm_threshold = (
+        delta_arm_threshold
+        if delta_arm_threshold is not None
+        else min(1_000_000, max(1, n_verts // 8))
+    )
+    armed = False
     cand: DataFrame | None = None
     moved: DataFrame | None = None
 
@@ -198,66 +281,13 @@ def _local_move_phase(
                 .agg(F.sum("dw").alias("k_in"))
                 .filter(F.col("k_in") != 0.0)
             )
-        if use_delta:
+        if armed:
             k_in = materialize(k_in_new)
             release(cand)
             cand = k_in
         else:
             k_in = k_in_new
-        scored = (
-            k_in.join(state, "vertex_id")
-            .join(comm_tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
-            .select(
-                "vertex_id",
-                "comm",
-                "k",
-                "c_nbr",
-                (
-                    2.0 * m * F.col("k_in")
-                    - F.col("k")
-                    * (
-                        F.col("S")
-                        - F.when(F.col("c_nbr") == F.col("comm"), F.col("k")).otherwise(
-                            F.lit(0.0)
-                        )
-                    )
-                ).alias("score"),
-            )
-        )
-        # one aggregation decides each vertex: global argmax over neighbor
-        # comms (ties -> smallest id via negated id in the struct) plus the
-        # stay score when the current comm is among the neighbors
-        agg = scored.groupBy("vertex_id").agg(
-            F.first("comm").alias("comm"),
-            F.first("k").alias("k"),
-            F.max(F.struct(F.col("score"), (-F.col("c_nbr")).alias("nc"))).alias("b"),
-            F.max(F.when(F.col("c_nbr") == F.col("comm"), F.col("score"))).alias(
-                "cur_opt"
-            ),
-        )
-        # stay score when current comm had no neighbor row: k_in(cur)=0 =>
-        # score = -k * (S_cur - k).  Equivalence to the spec's full-candidate
-        # argmax: a strict b.score > cur_score makes b.c the argmax; on ties
-        # the strict-improvement rule keeps the vertex anyway.
-        decided = (
-            agg.join(comm_tot, "comm")
-            .withColumn(
-                "cur_score",
-                F.coalesce(
-                    F.col("cur_opt"), -F.col("k") * (F.col("S") - F.col("k"))
-                ),
-            )
-            .withColumn("target", -F.col("b.nc"))
-            .withColumn(
-                "next_comm",
-                F.when(
-                    (F.col("b.score") > F.col("cur_score"))
-                    & (F.col("target") < F.col("comm")),
-                    F.col("target"),
-                ).otherwise(F.col("comm")),
-            )
-            .select("vertex_id", F.col("next_comm"))
-        )
+        decided = _decide_moves(k_in, state, comm_tot, m)
         # vertices with no neighbors keep their community
         next_assign = materialize(
             assign.join(decided, "vertex_id", "left").select(
@@ -270,20 +300,27 @@ def _local_move_phase(
         state.unpersist()
         comm_tot.unpersist()
         old_moved = moved
-        if use_delta and 0 < moves <= delta_broadcast_max:
-            moved = materialize(
-                next_assign.filter(F.col("_moved"))
-                .select(
-                    F.col("vertex_id").alias("dst"), F.col("comm").alias("c_new")
-                )
-                .join(
-                    assign.select(
+        if use_delta and 0 < moves <= arm_threshold:
+            if armed:
+                moved = materialize(
+                    next_assign.filter(F.col("_moved"))
+                    .select(
                         F.col("vertex_id").alias("dst"),
-                        F.col("comm").alias("c_old"),
-                    ),
-                    "dst",
+                        F.col("comm").alias("c_new"),
+                    )
+                    .join(
+                        assign.select(
+                            F.col("vertex_id").alias("dst"),
+                            F.col("comm").alias("c_old"),
+                        ),
+                        "dst",
+                    )
                 )
-            )
+            else:
+                # arm: the NEXT superstep full-recomputes into a cached
+                # cand table; delta merging starts the superstep after
+                armed = True
+                moved = None
         else:
             moved = None  # full recompute next superstep
         release(old_moved)
@@ -297,6 +334,122 @@ def _local_move_phase(
     strengths.unpersist()
     release(cand)
     release(moved)
+    return assign, step + 1
+
+
+def _local_move_phase_csr(
+    edges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_supersteps: int,
+    num_blocks: int | None = None,
+    salt_threshold: int | None = None,
+) -> tuple[DataFrame, int]:
+    """The SAME synchronous down-only spec as :func:`_local_move_phase`,
+    with the k_in gather running as a numpy kernel over CSR adjacency
+    blocks (plans/csr.py) instead of a row-level join — the north star's
+    "modularity-gain aggregation via groupBy + applyInArrow" layout, the
+    Louvain sibling of plans/csr.py::pagerank_csr.
+
+    Per superstep: the static CSR blocks (hash-partitioned by source) are
+    cogrouped with the current assignment (partitioned the same way); the
+    kernel gathers comm[src] per edge with one numpy reindex, partially
+    aggregates (dst, comm_src) -> weight inside the block via
+    lexsort + reduceat, and a global groupBy merges the partials.  The
+    decision plan (:func:`_decide_moves`) is shared with the join phase,
+    so with integral weights the two phases are bit-identical —
+    tests/test_csr.py::test_louvain_phase_csr_parity.  A/B at 4M edges is
+    recorded in BENCH.md §1 (join vs CSR gather).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from csd363_sin_spark.plans.csr import build_blocks
+
+    spark = edges.sparkSession
+    if num_blocks is None:
+        num_blocks = max(1, spark.sparkContext.defaultParallelism)
+    g = Graph(
+        vertices=vertices,
+        edges=edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", "weight"
+        ),
+    )
+    blocks = build_blocks(
+        g, num_blocks=num_blocks, weighted=True, salt_threshold=salt_threshold
+    ).persist()
+    blocks.count()
+    strengths = _strengths(edges).persist()
+    strengths.count()
+    assign = materialize(
+        vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    )
+
+    def kernel(key, block_pdf: pd.DataFrame, assign_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vertex_id": [], "c_nbr": [], "k_in": []}
+        ).astype({"vertex_id": "int64", "c_nbr": "int64", "k_in": "float64"})
+        if block_pdf.empty or assign_pdf.empty:
+            return empty
+        cmap = pd.Series(
+            assign_pdf["comm"].to_numpy(),
+            index=assign_pdf["vertex_id"].to_numpy(),
+        )
+        all_d, all_c, all_w = [], [], []
+        for _, row in block_pdf.iterrows():
+            srcs = np.asarray(row["src_sorted"], dtype=np.int64)
+            offs = np.asarray(row["offsets"], dtype=np.int64)
+            all_d.append(np.asarray(row["dst"], dtype=np.int64))
+            all_w.append(np.asarray(row["weight"], dtype=np.float64))
+            all_c.append(
+                np.repeat(cmap.reindex(srcs).to_numpy(), np.diff(offs))
+            )
+        d = np.concatenate(all_d)
+        c = np.concatenate(all_c).astype(np.int64)
+        w = np.concatenate(all_w)
+        if len(d) == 0:
+            return empty
+        order = np.lexsort((c, d))
+        d, c, w = d[order], c[order], w[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(w, starts)
+        return pd.DataFrame(
+            {"vertex_id": d[starts], "c_nbr": c[starts], "k_in": sums}
+        )
+
+    step = 0
+    for step in range(max_supersteps):
+        state = assign.join(strengths, "vertex_id").persist()
+        comm_tot = state.groupBy("comm").agg(F.sum("k").alias("S")).persist()
+        assign_part = assign.withColumn(
+            "part_id", F.pmod(F.col("vertex_id"), F.lit(num_blocks)).cast("int")
+        )
+        k_in = (
+            blocks.groupBy("part_id")
+            .cogroup(assign_part.groupBy("part_id"))
+            .applyInPandas(kernel, "vertex_id long, c_nbr long, k_in double")
+            .groupBy("vertex_id", "c_nbr")
+            .agg(F.sum("k_in").alias("k_in"))
+        )
+        decided = _decide_moves(k_in, state, comm_tot, m)
+        next_assign = materialize(
+            assign.join(decided, "vertex_id", "left").select(
+                "vertex_id",
+                F.coalesce("next_comm", "comm").alias("comm"),
+                (F.coalesce("next_comm", "comm") != F.col("comm")).alias("_moved"),
+            )
+        )
+        moves = next_assign.filter(F.col("_moved")).count()
+        state.unpersist()
+        comm_tot.unpersist()
+        assign = next_assign.select("vertex_id", "comm")
+        if moves == 0:
+            break
+    blocks.unpersist()
+    strengths.unpersist()
     return assign, step + 1
 
 

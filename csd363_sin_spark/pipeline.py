@@ -52,6 +52,14 @@ class PipelineConfig:
     # route through the distributed GN/Infomap kernels
     dispatch_threshold: int = 10_000
     local_edges_threshold: int = 100_000
+    # reliable checkpointing: when set (and no explicit store is passed to
+    # run_pipeline), a CheckpointStore is created over this directory and
+    # threaded through Louvain levels AND each huge-community GN/Infomap
+    # kernel run.  Store snapshots are parquet round-trips, so they are
+    # reliable by construction — a run killed mid-algorithm (even by
+    # losing the whole session/executors) resumes from the newest snapshot
+    # in a FRESH session: tests/test_pipeline_resume_fresh_session.py.
+    checkpoint_dir: str | None = None
 
 
 def _stage_assign(store, spark, stage):
@@ -79,6 +87,8 @@ def run_pipeline(
     assignment is under ``"final_assign"`` as a DataFrame)."""
     cfg = config or PipelineConfig()
     spark = graph.edges.sparkSession
+    if store is None and cfg.checkpoint_dir is not None:
+        store = CheckpointStore(cfg.checkpoint_dir)
     t0 = time.time()
     out: dict = {}
 
@@ -151,6 +161,7 @@ def run_pipeline(
             betweenness_sources=cfg.gn_betweenness_sources,
             dispatch_threshold=cfg.dispatch_threshold,
             local_edges_threshold=cfg.local_edges_threshold,
+            store=store,
         ).persist()
         m = evaluate_all(
             graph, gn_assign, ground_truth, algorithm_type="girvan_newman",
@@ -181,6 +192,7 @@ def run_pipeline(
             num_trials=cfg.infomap_trials,
             dispatch_threshold=cfg.dispatch_threshold,
             local_edges_threshold=cfg.local_edges_threshold,
+            store=store,
         ).persist()
         m = evaluate_all(
             graph, final_assign, ground_truth, algorithm_type="infomap",

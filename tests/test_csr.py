@@ -61,3 +61,28 @@ def test_pagerank_csr_with_salting_and_isolates(spark):
     )
     g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
     _compare_pageranks(g, num_blocks=3, salt_threshold=4)
+
+
+def test_louvain_phase_csr_parity(spark):
+    """CSR-gather phase == join-dataflow phase, bit-for-bit (shared
+    _decide_moves; integral weights make the gather order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.operators.louvain import (
+        _local_move_phase,
+        _local_move_phase_csr,
+    )
+    from csd363_sin_spark.plans.induce import induce_graph
+    from csd363_sin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=150, n_tools=20, n_clusters=5, seed=31)
+    g = induce_graph(t)
+    m = float(g.edges.agg(F.sum("weight")).collect()[0][0])
+    e = g.edges.select("src", "dst", "weight")
+    v = g.vertices.select("vertex_id")
+    a, sa = _local_move_phase(e, v, m, 64)
+    b, sb = _local_move_phase_csr(e, v, m, 64, salt_threshold=32)
+    assert sa == sb
+    assert {r["vertex_id"]: r["comm"] for r in a.collect()} == {
+        r["vertex_id"]: r["comm"] for r in b.collect()
+    }

@@ -13,7 +13,7 @@ from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
 from csd363_sin_spark.sources.synth import synth_transcripts
 
 
-def _phase_assign(spark, g, delta):
+def _phase_assign(spark, g, delta, arm=None):
     m = float(g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
     assign, steps = _local_move_phase(
         g.edges.select("src", "dst", "weight"),
@@ -21,11 +21,25 @@ def _phase_assign(spark, g, delta):
         m,
         max_supersteps=64,
         delta_kin=delta,
+        # arm immediately so every superstep after the first exercises the
+        # delta-merge path (the production default arms adaptively)
+        delta_arm_threshold=arm,
     )
     return {r["vertex_id"]: r["comm"] for r in assign.collect()}, steps
 
 
 def test_phase_delta_kin_parity(spark):
+    t = synth_transcripts(spark, n_convs=150, n_tools=20, n_clusters=5, seed=77)
+    g = induce_graph(t)
+    a, steps_a = _phase_assign(spark, g, delta=True, arm=10**9)
+    b, steps_b = _phase_assign(spark, g, delta=False)
+    assert a == b
+    assert steps_a == steps_b
+
+
+def test_phase_delta_kin_parity_adaptive_arming(spark):
+    # production defaults: arming happens mid-phase when movers fall below
+    # |V|/8 — the armed/unarmed boundary superstep must also be exact
     t = synth_transcripts(spark, n_convs=150, n_tools=20, n_clusters=5, seed=77)
     g = induce_graph(t)
     a, steps_a = _phase_assign(spark, g, delta=True)
@@ -41,7 +55,7 @@ def test_phase_delta_kin_parity_weighted_integral(spark):
     ]
     weights = [3.0, 2.0, 4.0, 1.0, 5.0, 2.0, 3.0, 1.0, 2.0, 2.0, 4.0]
     g = graph_from_edges(spark, pairs, weights=weights)
-    a, _ = _phase_assign(spark, g, delta=True)
+    a, _ = _phase_assign(spark, g, delta=True, arm=10**9)
     b, _ = _phase_assign(spark, g, delta=False)
     assert a == b
 
@@ -62,7 +76,10 @@ def test_move_phase_delta_parity(spark):
     g = induce_graph(t)
     edges = g.edges.select("src", "dst", F.lit(1.0).alias("weight"))
     verts = g.vertices.select("vertex_id")
-    a, sa = _infomap_move_phase(edges, verts, max_supersteps=64, delta_kin=True)
+    a, sa = _infomap_move_phase(
+        edges, verts, max_supersteps=64, delta_kin=True,
+        delta_arm_threshold=10**9,
+    )
     b, sb = _infomap_move_phase(edges, verts, max_supersteps=64, delta_kin=False)
     assert {r["vertex_id"]: r["comm"] for r in a.collect()} == {
         r["vertex_id"]: r["comm"] for r in b.collect()
