@@ -15,11 +15,12 @@ the decode step is STUBBED behind ``decoder=`` hooks:
   decode (batching, schema, partitioning, feature shapes) is REAL and
   tested.
 * ``decoder="real"`` — decodes REAL image bytes with the pure-numpy
-  parsers below: uncompressed 24-bit BMP (BITMAPINFOHEADER) and binary
-  PPM (P6), converted to grayscale.  JPEG/PNG/video payloads raise
-  NotImplementedError naming the dependency (PIL / pyav) — those two
-  codecs are the only remaining stubs; swap in a decode(payload)->ndarray
-  with the same contract on a cluster image that has the libs.
+  parsers below: uncompressed 24-bit BMP (BITMAPINFOHEADER), binary
+  PPM (P6), and non-interlaced 8-bit PNG (stdlib zlib inflate + all five
+  scanline filters), converted to grayscale.  JPEG/video payloads raise
+  NotImplementedError naming the dependency (PIL / pyav) — those are the
+  only remaining stubs; swap in a decode(payload)->ndarray with the same
+  contract on a cluster image that has the libs.
 
 Kernels are ``mapInPandas`` (Arrow batches, vectorized numpy per batch)
 — never per-row Python.
@@ -135,15 +136,163 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return gray.reshape(1, h, w)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette, unsupported without PIL)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo PNG scanline filtering -> (h, w*ch) uint8.  None/Sub/Up are
+    vectorized (Sub is a wrapping cumsum per channel); Average/Paeth fall
+    back to a per-byte loop (their recurrence is inherently sequential)."""
+    rowbytes = w * ch
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = data[pos]
+        line = np.frombuffer(data, dtype=np.uint8, count=rowbytes, offset=pos + 1)
+        pos += 1 + rowbytes
+        if ftype == 0:  # None
+            recon = line.copy()
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-ch] (mod 256)
+            recon = np.cumsum(
+                line.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(rowbytes)
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            recon = np.zeros(rowbytes, dtype=np.uint8)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(rowbytes):
+                a = int(recon[x - ch]) if x >= ch else 0
+                b = int(pv[x])
+                if ftype == 3:
+                    recon[x] = (li[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pv[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    recon[x] = (li[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA) -> (1, h, w)
+    uint8 grayscale.  Stdlib zlib inflate; all five filters supported."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG needs PIL")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError("palette PNG needs PIL")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG needs PIL")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    flat = _png_unfilter(raw, height, width, ch).reshape(height, width, ch)
+    if ch <= 2:  # gray or gray+alpha: channel 0 is already luma
+        gray = flat[..., 0]
+    else:  # RGB(A): integer BT.601 luma, matching the BMP/PPM parsers
+        rgb = flat[..., :3].astype(np.int32)
+        gray = (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+        ).astype(np.uint8)
+    return gray.reshape(1, height, width)
+
+
+def encode_png(gray: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) uint8 grayscale -> 8-bit grayscale PNG bytes (test corpus
+    generator; round-trips through :func:`_decode_png`).  ``filter_type``
+    applies one PNG filter to every scanline so tests can exercise each
+    decode path (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth)."""
+    import zlib
+
+    h, w = gray.shape
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = gray[y].astype(np.int32)
+        left = np.concatenate(([0], row[:-1]))
+        up_left = np.concatenate(([0], prev[:-1]))
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - up_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    raw = b"".join(lines)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_real(payload: bytes) -> np.ndarray:
-    """Real-bytes decode: BMP and PPM natively; other formats honestly
-    raise with the dependency a cluster image would add."""
+    """Real-bytes decode: BMP, PPM, and PNG natively; other formats
+    honestly raise with the dependency a cluster image would add."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "payload is not BMP/PPM — JPEG/PNG need PIL, video needs pyav"
+        "payload is not BMP/PPM/PNG — JPEG needs PIL, video needs pyav"
     )
 
 

@@ -40,6 +40,7 @@ def edge_betweenness_batched(
     normalized: bool = False,
     max_depth: int = 64,
     local_edges_threshold: int = 100_000,
+    gather: str = "join",
 ) -> DataFrame:
     """Exact (or k-sampled) edge betweenness with sources sharded into
     batches of ``batch_size`` — bounds the O(|sources| x |V|) frontier
@@ -75,6 +76,7 @@ def edge_betweenness_batched(
             source_batch=chunk,
             max_depth=max_depth,
             local_edges_threshold=local_edges_threshold,
+            gather=gather,
         )
         part = raw.withColumnRenamed("betweenness", "b_part")
         if total is None:
@@ -156,6 +158,7 @@ def edge_betweenness(
     normalized: bool = False,
     max_depth: int = 64,
     local_edges_threshold: int = 100_000,
+    gather: str = "join",
 ) -> DataFrame:
     """Return ``(src, dst, betweenness)`` for every edge (src < dst).
 
@@ -163,23 +166,59 @@ def edge_betweenness(
     (sampled approximation); ``source_batch`` — explicit (vertex_id)
     DataFrame of sources (overrides ``k_sources``).  Graphs at or below
     ``local_edges_threshold`` edges run the driver-side Brandes kernel.
+
+    ``gather`` selects the frontier-expansion physical strategy (values
+    identical to FP-summation order): ``"join"`` expands via a frontier
+    JOIN against the persisted symmetric edge table; ``"csr"`` expands via
+    the Arrow/numpy kernel over CSR adjacency blocks (plans/csr.csr_gather)
+    — only the frontier side is exchanged per level, never the adjacency.
     """
     spark = graph.edges.sparkSession
     if local_edges_threshold > 0 and graph.edges.count() <= local_edges_threshold:
         return _edge_betweenness_driver(
             graph, k_sources, source_batch, normalized, max_depth=max_depth
         )
-    sym = (
-        graph.edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionAll(
-            graph.edges.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+    if gather not in ("join", "csr"):
+        raise ValueError(f"unknown gather {gather!r}")
+    blocks = None
+    sym = None
+    if gather == "csr":
+        from csd363_sin_spark.plans.csr import build_blocks, csr_gather
+        from csd363_sin_spark.plans.induce import Graph as _G
+
+        num_blocks = max(1, spark.sparkContext.defaultParallelism)
+        simple = _G(
+            graph.vertices, graph.edges.filter(F.col("src") != F.col("dst"))
         )
-        .persist()
-    )
-    sym.count()
+        blocks = build_blocks(simple, num_blocks=num_blocks, weighted=False).persist()
+        blocks.count()
+
+        def expand(frontier: DataFrame, payload: str) -> DataFrame:
+            # (s, v, payload) -> one row per neighbor w with payload copied
+            out = csr_gather(
+                blocks,
+                frontier.select("s", "v", F.col(payload).alias("val")),
+                num_blocks,
+            )
+            return out.select("s", "v", "w", F.col("val").alias(payload))
+
+    else:
+        sym = (
+            graph.edges.filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .unionAll(
+                graph.edges.filter(F.col("src") != F.col("dst")).select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .persist()
+        )
+        sym.count()
+
+        def expand(frontier: DataFrame, payload: str) -> DataFrame:
+            return frontier.join(sym, frontier["v"] == sym["src"]).select(
+                "s", "v", F.col("dst").alias("w"), payload
+            )
 
     if source_batch is not None:
         sources = source_batch.select(F.col("vertex_id").alias("s"))
@@ -200,10 +239,8 @@ def edge_betweenness(
 
     depth = 0
     while depth < max_depth:
-        expanded = (
-            levels[-1]
-            .join(sym, levels[-1]["v"] == sym["src"])
-            .select("s", F.col("dst").alias("v"), "sigma")
+        expanded = expand(levels[-1], "sigma").select(
+            "s", F.col("w").alias("v"), "sigma"
         )
         nxt = materialize(
             expanded.join(visited, ["s", "v"], "left_anti")
@@ -239,8 +276,7 @@ def edge_betweenness(
             "s", F.col("v"), F.col("sigma").alias("sigma_v")
         )
         pairs = (
-            v_side.join(sym, v_side["v"] == sym["src"])
-            .select("s", "v", F.col("dst").alias("w"), "sigma_v")
+            expand(v_side, "sigma_v")
             .join(w_side, ["s", "w"])
             .select(
                 "s",
@@ -265,7 +301,10 @@ def edge_betweenness(
         )
         delta = pairs.groupBy("s", "v").agg(F.sum("contrib").alias("delta"))
 
-    sym.unpersist()
+    if sym is not None:
+        sym.unpersist()
+    if blocks is not None:
+        blocks.unpersist()
     release(levels[0])
     if not contribs:
         return spark.createDataFrame([], "src long, dst long, betweenness double")

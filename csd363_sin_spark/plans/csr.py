@@ -127,6 +127,84 @@ def blocks_stats(blocks: DataFrame) -> DataFrame:
     )
 
 
+def csr_gather(
+    blocks: DataFrame, frontier: DataFrame, num_blocks: int
+) -> DataFrame:
+    """SpMV-style frontier expansion over CSR blocks (north star: "batched
+    multi-source BFS ... over SpMV-style gather-scatter frontiers").
+
+    ``frontier`` is ``(s long, v long, val double)`` — one row per (source
+    s, frontier vertex v) carrying a numeric payload (BFS sigma, Brandes
+    sigma_v, ...).  Returns ``(s, v, w, val)``: one row per neighbor ``w``
+    of each frontier vertex, payload replicated — the caller reduces
+    (groupBy / anti-join) as the algorithm requires.
+
+    The expansion itself is pure numpy inside a cogrouped-Arrow kernel
+    (searchsorted into the block's sorted source array + a ragged index
+    gather), replacing the per-level ``frontier JOIN edges`` shuffle with
+    a co-partitioned block-local gather: only the |frontier|-row side is
+    exchanged per superstep, never the O(|E|) adjacency.  Salted hub rows
+    (build_blocks ``salt_threshold``) are handled transparently: a hub's
+    sub-rows each contribute their slice and the caller's reduce merges.
+    """
+    fr = frontier.withColumn(
+        "part_id", F.pmod(F.col("v"), F.lit(num_blocks)).cast("int")
+    )
+
+    def kernel(key, bl: pd.DataFrame, fr_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"s": [], "v": [], "w": [], "val": []}
+        ).astype({"s": "int64", "v": "int64", "w": "int64", "val": "float64"})
+        if bl.empty or fr_pdf.empty:
+            return empty
+        s_arr = fr_pdf["s"].to_numpy(dtype=np.int64)
+        v_arr = fr_pdf["v"].to_numpy(dtype=np.int64)
+        val_arr = fr_pdf["val"].to_numpy(dtype=np.float64)
+        out_s, out_v, out_w, out_val = [], [], [], []
+        for _, row in bl.iterrows():
+            srcs = np.asarray(row["src_sorted"], dtype=np.int64)
+            offs = np.asarray(row["offsets"], dtype=np.int64)
+            dsts = np.asarray(row["dst"], dtype=np.int64)
+            if len(srcs) == 0:
+                continue
+            pos = np.searchsorted(srcs, v_arr)
+            pos_c = np.minimum(pos, len(srcs) - 1)
+            hit = (pos < len(srcs)) & (srcs[pos_c] == v_arr)
+            if not hit.any():
+                continue
+            vi = pos_c[hit]
+            starts = offs[vi]
+            cnts = (offs[vi + 1] - starts).astype(np.int64)
+            total = int(cnts.sum())
+            if total == 0:
+                continue
+            # ragged gather: absolute index = start of each slice + offset
+            # within the slice
+            csum = np.cumsum(cnts)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(csum - cnts, cnts)
+            idx = np.repeat(starts, cnts) + intra
+            out_w.append(dsts[idx])
+            out_s.append(np.repeat(s_arr[hit], cnts))
+            out_v.append(np.repeat(v_arr[hit], cnts))
+            out_val.append(np.repeat(val_arr[hit], cnts))
+        if not out_w:
+            return empty
+        return pd.DataFrame(
+            {
+                "s": np.concatenate(out_s),
+                "v": np.concatenate(out_v),
+                "w": np.concatenate(out_w),
+                "val": np.concatenate(out_val),
+            }
+        )
+
+    return (
+        blocks.groupBy("part_id")
+        .cogroup(fr.groupBy("part_id"))
+        .applyInPandas(kernel, "s long, v long, w long, val double")
+    )
+
+
 def pagerank_csr(
     graph: Graph,
     alpha: float = 0.85,

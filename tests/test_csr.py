@@ -86,3 +86,55 @@ def test_louvain_phase_csr_parity(spark):
     assert {r["vertex_id"]: r["comm"] for r in a.collect()} == {
         r["vertex_id"]: r["comm"] for r in b.collect()
     }
+
+
+def test_csr_gather_matches_edge_join(spark):
+    """csr_gather expansion == frontier-JOIN-edges expansion, row-for-row
+    (incl. salted hub rows, whose sub-slices union to the full adjacency)."""
+    from csd363_sin_spark.plans.csr import csr_gather
+
+    t = synth_transcripts(spark, n_convs=80, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t, binarize=True)
+    nb = 4
+    frontier = g.vertices.select(
+        F.col("vertex_id").alias("s"),
+        F.col("vertex_id").alias("v"),
+        (F.col("vertex_id") % 5 + 1.0).alias("val"),
+    ).filter(F.col("v") % 3 == 0)
+    sym = g.edges_sym().select("src", "dst")
+    expect = sorted(
+        (r["s"], r["v"], r["dst"], r["val"])
+        for r in frontier.join(sym, frontier["v"] == sym["src"])
+        .select("s", "v", "dst", "val")
+        .collect()
+    )
+    for salt in (None, 3):
+        blocks = build_blocks(g, num_blocks=nb, weighted=False, salt_threshold=salt)
+        got = sorted(
+            (r["s"], r["v"], r["w"], r["val"])
+            for r in csr_gather(blocks, frontier, nb).collect()
+        )
+        assert got == expect
+
+
+def test_betweenness_csr_gather_parity(spark):
+    """edge_betweenness gather="csr" == gather="join" (same dataflow, the
+    expansion kernel swapped) to FP tolerance, exact and sampled modes."""
+    from csd363_sin_spark.operators.betweenness import edge_betweenness
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    for kw in ({}, {"k_sources": 12}):
+        join_side = {
+            (r["src"], r["dst"]): r["betweenness"]
+            for r in edge_betweenness(g, local_edges_threshold=0, **kw).collect()
+        }
+        csr_side = {
+            (r["src"], r["dst"]): r["betweenness"]
+            for r in edge_betweenness(
+                g, local_edges_threshold=0, gather="csr", **kw
+            ).collect()
+        }
+        assert set(join_side) == set(csr_side)
+        for e in join_side:
+            assert csr_side[e] == pytest.approx(join_side[e], abs=1e-9)

@@ -213,9 +213,14 @@ def test_multimodal_pipeline(spark):
 
 
 def test_multimodal_real_decoder_stubbed(spark):
+    # decoder="real" decodes BMP/PPM/PNG bytes (test_multimodal_real.py);
+    # non-image payloads (here: the synthetic SYN0 format) still raise the
+    # honest JPEG/video stub error — at execution time, inside the kernel
+    from pyspark.errors import PythonException
+
     media = synth_media(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        decode_features(media, decoder="real")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_features(media, decoder="real").collect()
 
 
 def test_portable_hash64_cross_engine(spark):
