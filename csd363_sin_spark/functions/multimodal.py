@@ -15,12 +15,14 @@ the decode step is STUBBED behind ``decoder=`` hooks:
   decode (batching, schema, partitioning, feature shapes) is REAL and
   tested.
 * ``decoder="real"`` — decodes REAL image bytes with the pure-numpy
-  parsers below: uncompressed 24-bit BMP (BITMAPINFOHEADER), binary
-  PPM (P6), and non-interlaced 8-bit PNG (stdlib zlib inflate + all five
-  scanline filters), converted to grayscale.  JPEG/video payloads raise
-  NotImplementedError naming the dependency (PIL / pyav) — those are the
-  only remaining stubs; swap in a decode(payload)->ndarray with the same
-  contract on a cluster image that has the libs.
+  parsers in this package: uncompressed 24-bit BMP (BITMAPINFOHEADER),
+  binary PPM (P6), non-interlaced 8-bit PNG (stdlib zlib inflate + all
+  five scanline filters), and baseline sequential JPEG (functions/
+  jpeg.py — grayscale or YCbCr with arbitrary subsampling, DRI/RSTn),
+  converted to grayscale.  Video payloads (and progressive/arithmetic/
+  12-bit JPEG) raise NotImplementedError naming the dependency (pyav /
+  PIL) — the only remaining stubs; swap in a decode(payload)->ndarray
+  with the same contract on a cluster image that has the libs.
 
 Kernels are ``mapInPandas`` (Arrow batches, vectorized numpy per batch)
 — never per-row Python.
@@ -283,16 +285,21 @@ def encode_png(gray: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def _decode_real(payload: bytes) -> np.ndarray:
-    """Real-bytes decode: BMP, PPM, and PNG natively; other formats
-    honestly raise with the dependency a cluster image would add."""
+    """Real-bytes decode: BMP, PPM, PNG, and baseline JPEG natively;
+    other formats honestly raise with the dependency a cluster image
+    would add."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from csd363_sin_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "payload is not BMP/PPM/PNG — JPEG needs PIL, video needs pyav"
+        "payload is not BMP/PPM/PNG/JPEG — video needs pyav"
     )
 
 

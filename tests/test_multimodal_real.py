@@ -114,8 +114,10 @@ def test_png_unsupported_variants_raise():
 
 
 def test_real_decode_rejects_unknown_format():
-    with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_real(b"\xff\xd8\xff\xe0 fake jpeg")
+    # GIF (and video containers) remain honest stubs; BMP/PPM/PNG/JPEG
+    # all decode natively now
+    with pytest.raises(NotImplementedError, match="pyav"):
+        _decode_real(b"GIF89a fake gif")
 
 
 def test_decode_features_real_e2e(spark):
