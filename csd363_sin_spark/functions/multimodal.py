@@ -14,15 +14,16 @@ the decode step is STUBBED behind ``decoder=`` hooks:
   then little-endian dims, then raw bytes.  Everything downstream of the
   decode (batching, schema, partitioning, feature shapes) is REAL and
   tested.
-* ``decoder="real"`` — decodes REAL image bytes with the pure-numpy
+* ``decoder="real"`` — decodes REAL media bytes with the pure-numpy
   parsers in this package: uncompressed 24-bit BMP (BITMAPINFOHEADER),
   binary PPM (P6), non-interlaced 8-bit PNG (stdlib zlib inflate + all
-  five scanline filters), and baseline sequential JPEG (functions/
-  jpeg.py — grayscale or YCbCr with arbitrary subsampling, DRI/RSTn),
-  converted to grayscale.  Video payloads (and progressive/arithmetic/
-  12-bit JPEG) raise NotImplementedError naming the dependency (pyav /
-  PIL) — the only remaining stubs; swap in a decode(payload)->ndarray
-  with the same contract on a cluster image that has the libs.
+  five scanline filters), baseline sequential JPEG (functions/jpeg.py —
+  grayscale or YCbCr with arbitrary subsampling, DRI/RSTn), and
+  MJPEG-in-AVI video (functions/avi.py), converted to grayscale.
+  Remaining honest stubs: progressive/arithmetic/12-bit JPEG (needs
+  PIL) and inter-frame video codecs like H.264 (needs pyav) — swap in a
+  decode(payload)->ndarray with the same contract on a cluster image
+  that has the libs.
 
 Kernels are ``mapInPandas`` (Arrow batches, vectorized numpy per batch)
 — never per-row Python.
@@ -298,8 +299,13 @@ def _decode_real(payload: bytes) -> np.ndarray:
         from csd363_sin_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from csd363_sin_spark.functions.avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
     raise NotImplementedError(
-        "payload is not BMP/PPM/PNG/JPEG — video needs pyav"
+        "payload is not BMP/PPM/PNG/JPEG/MJPEG-AVI — other codecs need "
+        "PIL/pyav"
     )
 
 
@@ -397,15 +403,16 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, decoder: str = "fake
 
 def sample_frames(media: DataFrame, every_k: int = 2, decoder: str = "fake") -> DataFrame:
     """Frame sampling for video payloads: one output row per kept frame
-    (media_id, frame_idx, frame_mean)."""
-    if decoder == "real":
-        raise NotImplementedError("real frame sampling requires pyav")
+    (media_id, frame_idx, frame_mean).  ``decoder="real"`` decodes
+    MJPEG-AVI bytes natively (functions/avi.py); other video codecs
+    raise naming pyav."""
+    decode = _pick_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, idxs, means = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = _decode_fake(bytes(payload))
+                arr = decode(bytes(payload))
                 for fi in range(0, arr.shape[0], every_k):
                     mids.append(mid)
                     idxs.append(fi)

@@ -93,3 +93,56 @@ def test_real_decoder_routes_jpeg():
     dec = _decode_real(encode_jpeg(img, quality=95))
     assert dec.shape == (1, 9, 11)
     assert np.abs(dec[0].astype(int) - img.astype(int)).max() <= 8
+
+
+def test_avi_mjpeg_roundtrip():
+    from csd363_sin_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    for shape in [(5, 16, 24), (3, 7, 9)]:  # odd dims exercise RIFF padding
+        n, h, w = shape
+        frames = np.stack([_gray(h, w, s) for s in range(n)])
+        dec = decode_avi_mjpeg(encode_avi_mjpeg(frames, quality=95))
+        assert dec.shape == shape
+        assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 8
+
+
+def test_avi_rejects_non_mjpeg_and_non_avi():
+    from csd363_sin_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    frames = np.stack([_gray(8, 8)])
+    avi = bytearray(encode_avi_mjpeg(frames))
+    # corrupt the frame's JPEG SOI so it reads as a foreign codec
+    idx = avi.find(b"\xff\xd8", 12)
+    avi[idx] = 0x00
+    with pytest.raises(NotImplementedError, match="pyav"):
+        decode_avi_mjpeg(bytes(avi))
+
+
+def test_sample_frames_real_avi_e2e(spark):
+    from csd363_sin_spark.functions.avi import encode_avi_mjpeg
+    from csd363_sin_spark.functions.multimodal import sample_frames
+
+    rows = []
+    expect = {}
+    for i in range(6):
+        n = 3 + i % 3
+        frames = np.stack([_gray(8, 12, seed=i * 10 + f) for f in range(n)])
+        rows.append((i, "video", bytearray(encode_avi_mjpeg(frames, quality=95)), 12, 8, 0, n))
+        expect[i] = frames
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    got = sample_frames(media, every_k=2, decoder="real").collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_mean"]
+    for i, frames in expect.items():
+        kept = list(range(0, frames.shape[0], 2))
+        assert sorted(by_id[i]) == kept
+        for f in kept:
+            # JPEG-lossy mean stays within a couple of gray levels
+            assert abs(by_id[i][f] - float(frames[f].mean())) < 2.5
