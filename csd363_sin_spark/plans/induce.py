@@ -113,6 +113,36 @@ def induce_graph(transcripts: DataFrame, binarize: bool = False) -> Graph:
     return Graph(vertices=vertices, edges=edges)
 
 
+def graph_from_named_edges(actor_edges: DataFrame) -> Graph:
+    """(src_actor, dst_actor, weight) -> Graph with dense ids.
+
+    The second half of :func:`induce_graph`, exposed for callers that
+    already hold a name-keyed edge table (e.g. the streaming edge-store
+    snapshot, streaming/ingest.read_edge_store) — the resulting Graph is
+    identical to the batch induction on the same underlying transcripts.
+    """
+    actors = (
+        actor_edges.select(F.col("src_actor").alias("actor"))
+        .unionByName(actor_edges.select(F.col("dst_actor").alias("actor")))
+        .distinct()
+    )
+    vertices = dense_ids(actors, "actor").withColumn(
+        "kind", F.split(F.col("actor"), ":")[0]
+    ).select("vertex_id", "actor", "kind")
+    v_src = vertices.select(F.col("actor").alias("src_actor"), F.col("vertex_id").alias("id_a"))
+    v_dst = vertices.select(F.col("actor").alias("dst_actor"), F.col("vertex_id").alias("id_b"))
+    edges = (
+        actor_edges.join(v_src, "src_actor")
+        .join(v_dst, "dst_actor")
+        .select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
+            F.col("weight"),
+        )
+    )
+    return Graph(vertices=vertices, edges=edges)
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Canonical edge table -> both-directions view (standalone helper)."""
     return edges.unionByName(
