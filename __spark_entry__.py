@@ -529,6 +529,30 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "vec_id", "rank")
 
 
+def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Structured-Streaming ingest -> edge store -> exact
+    community refresh (streaming/communities.py).  The store snapshot
+    reproduces batch induction exactly, so this equals ``q_louvain``
+    bit-for-bit — pinned by tests/test_dist_gate_parity.py.  Gives the
+    streaming path per-round driver-gate coverage instead of
+    pytest-only coverage."""
+    import os
+    import tempfile
+
+    from csd363_sin_spark.sources import transcripts_from_events
+    from csd363_sin_spark.streaming.communities import refresh_communities
+    from csd363_sin_spark.streaming.ingest import run_incremental_induction
+
+    t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    d = tempfile.mkdtemp(prefix="gate_stream_")
+    t.write.mode("overwrite").parquet(os.path.join(d, "in"))
+    run_incremental_induction(spark, os.path.join(d, "in"), os.path.join(d, "store"))
+    out = refresh_communities(
+        spark, os.path.join(d, "store"), os.path.join(d, "comms"), version=1
+    )
+    return _canonical_labels(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/2.2)
@@ -550,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
         "pipeline_final": q_pipeline_final,
+        "streaming_refresh": q_streaming_refresh,
         # forced-distributed twins (regression-guard the kernels a
         # 100x-scale run uses; see comment above q_connected_components_dist)
         "connected_components_dist": q_connected_components_dist,

@@ -94,3 +94,11 @@ def test_refine_dist_structural(spark, q_default, q_dist):
         return modularity(g, assign)
 
     assert q_of(b) >= q_of(a) - 0.05
+
+
+def test_streaming_refresh_equals_louvain(spark):
+    # the streaming ingest -> store -> refresh path reproduces the batch
+    # induction + Louvain bit-for-bit (canonical labels)
+    assert _rows(entry.q_streaming_refresh(spark, SF)) == _rows(
+        entry.q_louvain(spark, SF)
+    )
