@@ -152,3 +152,71 @@ def test_decode_features_real_e2e(spark):
     for r in resized:
         arr = _decode_fake(bytes(r["payload"]))
         assert arr.shape == (1, 2, 3)
+
+
+def test_wav_roundtrip_and_features():
+    from csd363_sin_spark.functions.multimodal import _decode_wav, encode_wav
+
+    n, rate = 800, 8000
+    t = np.arange(n) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    x, r = _decode_wav(encode_wav(sig, rate))
+    assert r == rate and len(x) == n
+    assert np.abs(x - sig).max() < 1e-3  # 16-bit quantization bound
+
+    # stereo mixdown: L == -R must cancel to (near) silence
+    import struct as _s
+
+    stereo = np.zeros(2 * n, dtype=np.int16)
+    stereo[0::2] = (sig * 32000).astype(np.int16)
+    stereo[1::2] = -(sig * 32000).astype(np.int16)
+    data = stereo.tobytes()
+    fmt = _s.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    x2, _ = _decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+    assert np.abs(x2).max() < 1e-3
+
+
+def test_audio_features_real_e2e(spark):
+    from csd363_sin_spark.functions.multimodal import audio_features, encode_wav
+
+    rate = 8000
+    rows = []
+    tones = {}
+    for i, freq in enumerate([200.0, 440.0, 1000.0]):
+        t = np.arange(2000) / rate
+        sig = 0.5 * np.sin(2 * np.pi * freq * t)
+        tones[i] = freq
+        rows.append((i, "audio", bytearray(encode_wav(sig, rate)), 0, 0, rate, 0))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    feats = {r["media_id"]: r for r in audio_features(media, decoder="real").collect()}
+    assert set(feats) == set(tones)
+    for i, freq in tones.items():
+        assert feats[i]["sample_rate"] == rate
+        assert feats[i]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)
+        # a pure tone's spectral centroid sits near the tone frequency
+        assert feats[i]["spectral_centroid_hz"] == pytest.approx(freq, rel=0.1)
+        # zero crossings of a sine = 2 * freq per second
+        assert feats[i]["zero_cross_rate"] == pytest.approx(
+            2 * freq / rate, rel=0.05
+        )
+
+
+def test_wav_unsupported_raises():
+    from csd363_sin_spark.functions.multimodal import _decode_wav
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        _decode_wav(b"RIFFxxxxAVI ")
+    # 24-bit PCM: honest stub
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        _decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
