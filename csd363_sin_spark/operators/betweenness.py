@@ -66,7 +66,6 @@ def edge_betweenness_batched(
         "_bid", _F.floor(_F.col("_rank") / batch_size)
     ).persist()
     n_sources = batched.count()
-    ranked.unpersist()
     spark = graph.edges.sparkSession
     total = None
     for i in range(int(math.ceil(n_sources / batch_size)) if n_sources else 0):
@@ -93,6 +92,7 @@ def edge_betweenness_batched(
             release(prev)
         release(raw)  # retire this batch's bet checkpoint (folded into total)
     batched.unpersist()
+    release(ranked)  # dense_ids hands back a checkpoint-backed frame
     if total is None:
         return spark.createDataFrame([], "src long, dst long, betweenness double")
     handle = getattr(total, "_ckpt_jrdd", None)

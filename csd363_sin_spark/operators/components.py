@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
-from csd363_sin_spark.plans.lineage import materialize
+from csd363_sin_spark.plans.lineage import materialize, release
 
 
 def _sym(pairs: DataFrame) -> DataFrame:
@@ -141,9 +141,11 @@ def connected_components(
         ).collect()[0]
         sig = (sig_row["c"], sig_row["s"])
         if sig == prev_sig and pairs_new.subtract(pairs).isEmpty():
+            release(pairs)
             pairs = pairs_new
             break
         prev_sig = sig
+        release(pairs)
         pairs = pairs_new
 
     # at fixpoint: every (u, v) has v = component min < u

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
-from csd363_sin_spark.plans.lineage import materialize
+from csd363_sin_spark.plans.lineage import adopt, materialize, release
 
 
 def _plogp(x: float) -> float:
@@ -315,6 +315,7 @@ def flow_power_iteration(
             .groupBy(F.col("dst").alias("vertex_id"))
             .agg(F.sum(F.col("share") * F.col("p")).alias("inp"))
         )
+        old_p = p
         p = materialize(
             p.join(inflow, "vertex_id", "left")
             .fillna({"inp": 0.0})
@@ -322,6 +323,8 @@ def flow_power_iteration(
                 "vertex_id", (0.5 * F.col("p") + 0.5 * F.col("inp")).alias("p")
             )
         )
+        release(old_p)
+    release(share)
     return p
 
 
@@ -387,8 +390,6 @@ def _infomap_move_phase(
         )
     )
     assign = materialize(vertices.select("vertex_id", F.col("vertex_id").alias("comm")))
-
-    from csd363_sin_spark.plans.lineage import release
 
     use_delta = delta_kin and edges.filter(
         F.col("weight") != F.floor("weight")
@@ -535,7 +536,11 @@ def _infomap_move_phase(
         else:
             moved = None
         release(old_moved)
-        assign = next_assign.select("vertex_id", "comm")
+        release(vstate)
+        release(mod_stats)
+        old_assign = assign
+        assign = adopt(next_assign.select("vertex_id", "comm"), next_assign)
+        release(old_assign)
         if moves == 0:
             break
     sym.unpersist()
@@ -623,11 +628,20 @@ def infomap_distributed(
         )
         L = map_equation_codelength_df(graph, new_composed)
         if L >= L_prev - min_gain:
+            release(new_composed)
+            release(assign)
             break
+        release(composed)
         composed, L_prev = new_composed, L
+        old_edges, old_vertices = edges, vertices
         edges, vertices = _contract(edges, assign)
         edges = materialize(edges)
         vertices = materialize(vertices)
+        # previous level's blocks are dead once the contraction is
+        # materialized — retire them (level 0's edge frame dominates)
+        release(assign)
+        release(old_edges)
+        release(old_vertices)
         if vertices.count() <= 1:
             break
         _snapshot(_level + 1, done=False)
@@ -638,6 +652,7 @@ def infomap_distributed(
             "vertex_id", F.col("root").alias("comm")
         )
     )
+    release(composed)
     composed = out
     _snapshot(-1, done=True)
     return out, L_prev

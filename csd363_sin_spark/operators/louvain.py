@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
-from csd363_sin_spark.plans.lineage import materialize
+from csd363_sin_spark.plans.lineage import adopt, materialize, release
 
 
 @dataclass
@@ -221,8 +221,6 @@ def _local_move_phase(
     # phases pay zero overhead (no eager cand materialization, k_in stays
     # fused into the downstream aggregation); after arming, each superstep
     # touches only the movers' incident edges instead of the 2|E| view.
-    from csd363_sin_spark.plans.lineage import release
-
     use_delta = delta_kin and edges.filter(
         F.col("weight") != F.floor("weight")
     ).isEmpty()
@@ -324,7 +322,14 @@ def _local_move_phase(
         else:
             moved = None  # full recompute next superstep
         release(old_moved)
-        assign = next_assign.select("vertex_id", "comm")
+        old_assign = assign
+        assign = adopt(next_assign.select("vertex_id", "comm"), next_assign)
+        # next_assign (and moved, when armed) are eagerly materialized
+        # above, so the previous superstep's assignment blocks are dead —
+        # retire them instead of pinning one RDD per superstep in the
+        # block manager for the whole phase.
+        if old_assign is not assign:
+            release(old_assign)
         if on_superstep is not None:
             on_superstep(step, moves, assign)
         if moves == 0:
@@ -445,7 +450,9 @@ def _local_move_phase_csr(
         moves = next_assign.filter(F.col("_moved")).count()
         state.unpersist()
         comm_tot.unpersist()
-        assign = next_assign.select("vertex_id", "comm")
+        old_assign = assign
+        assign = adopt(next_assign.select("vertex_id", "comm"), next_assign)
+        release(old_assign)
         if moves == 0:
             break
     blocks.unpersist()
@@ -788,15 +795,27 @@ def louvain(
         levels = level + 1
         if q_prev is not None and q - q_prev <= min_gain:
             if q > q_prev:
+                release(composed)
                 composed, history = new_composed, history + [q]
+            else:
+                release(new_composed)
+            release(assign)
             break
+        release(composed)
         composed = new_composed
         history.append(q)
         q_prev = q
 
+        old_edges, old_vertices = edges, vertices
         edges, vertices = _contract(edges, assign)
         edges = materialize(edges)
         vertices = materialize(vertices)
+        # the contracted level is eagerly materialized, so the previous
+        # level's edge/vertex/assignment blocks are dead — at scale the
+        # level-0 edge frame is the largest object in the block manager.
+        release(assign)
+        release(old_edges)
+        release(old_vertices)
         if vertices.count() <= 1:
             break
         _snapshot(level + 1, done=False)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
-from csd363_sin_spark.plans.lineage import materialize
+from csd363_sin_spark.plans.lineage import materialize, release
 
 
 def _pagerank_driver(
@@ -109,7 +109,7 @@ def pagerank(
     dangling = degs.filter(F.col("degree") == 0).select("vertex_id").persist()
     has_dangling = not dangling.isEmpty()
 
-    ranks = materialize(graph.vertices.select(
+    ranks = last_cut = materialize(graph.vertices.select(
         "vertex_id", F.lit(1.0 / n).alias("rank")
     ))
 
@@ -143,7 +143,8 @@ def pagerank(
         )
         # lineage/stats cut every few iterations is enough (plan depth
         # stays bounded); cutting every iteration doubles serialization
-        if check_convergence or it % 3 == 2 or it == max_iter - 1:
+        new_is_cut = check_convergence or it % 3 == 2 or it == max_iter - 1
+        if new_is_cut:
             new_ranks = materialize(new_ranks)
 
         if check_convergence:
@@ -154,10 +155,16 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .collect()[0][0]
             )
-            ranks = new_ranks
+            # new_ranks is materialized and err is computed — the previous
+            # checkpoint's blocks are dead; don't pin one per iteration
+            release(last_cut)
+            ranks = last_cut = new_ranks
             if err < n * tol:
                 break
         else:
+            if new_is_cut:
+                release(last_cut)
+                last_cut = new_ranks
             ranks = new_ranks
     shares.unpersist()
     dangling.unpersist()

@@ -65,7 +65,13 @@ def dense_ids(
         .join(F.broadcast(offset_df), "_pid")
         .select(key, (F.col("_rn") + F.col("_offset")).alias(id_col))
     )
-    out = out.persist()
-    out.count()
+    # checkpoint (not a bare persist): pins the ids so recompute can never
+    # re-sample range boundaries, cuts the lineage back to a LogicalRDD,
+    # and — unlike the old persist() — hands callers a releasable handle
+    # (plans.lineage.release) so long pipelines don't accumulate one
+    # cached dictionary per induction (ADVICE r2)
+    from csd363_sin_spark.plans.lineage import materialize
+
+    out = materialize(out)
     parted.unpersist()
     return out

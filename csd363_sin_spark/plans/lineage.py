@@ -46,6 +46,15 @@ def materialize(df: DataFrame, reliable: bool = False) -> DataFrame:
     return out
 
 
+def adopt(derived: DataFrame, src: DataFrame) -> DataFrame:
+    """Carry ``src``'s checkpoint handle onto ``derived`` (a narrow
+    projection/rename of it) so ``release(derived)`` frees the blocks."""
+    jrdd = getattr(src, "_ckpt_jrdd", None)
+    if jrdd is not None:
+        derived._ckpt_jrdd = jrdd
+    return derived
+
+
 def release(df: DataFrame | None) -> None:
     """Free the cached blocks behind a :func:`materialize`-d frame.
 
