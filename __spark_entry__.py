@@ -169,6 +169,30 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return named.join(roots, "comp_id").select("actor", "comp_actor")
 
 
+_LPA_GATE_ITERS = 4  # unrolled as CTE layers in the DuckDB oracle
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic synchronous LPA, K=4 supersteps.
+
+    Labels are vertex ids; dense_ids is key-order dense so mapping the
+    label id back to its actor string reproduces exactly the label the
+    actor-string oracle computes (smallest-id tie-break == smallest-actor
+    tie-break)."""
+    from csd363_sin_spark.operators.lpa import label_propagation
+
+    g = _graph(spark, sf_dir)
+    lab = label_propagation(g, max_iterations=_LPA_GATE_ITERS)
+    label_names = g.vertices.select(
+        F.col("vertex_id").alias("label"), F.col("actor").alias("comm_actor")
+    )
+    return (
+        lab.join(g.vertices, "vertex_id")
+        .join(label_names, "label")
+        .select("actor", "comm_actor")
+    )
+
+
 def q_modularity_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import modularity
 
@@ -403,6 +427,26 @@ def q_betweenness_topk_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: distributed LPA superstep loop (driver dispatch
+    off) against the SAME unrolled-CTE oracle as q_label_propagation —
+    a green row here is the join+argmax kernel matching DuckDB exactly."""
+    from csd363_sin_spark.operators.lpa import label_propagation
+
+    g = _graph(spark, sf_dir)
+    lab = label_propagation(
+        g, max_iterations=_LPA_GATE_ITERS, local_edges_threshold=0
+    )
+    label_names = g.vertices.select(
+        F.col("vertex_id").alias("label"), F.col("actor").alias("comm_actor")
+    )
+    return (
+        lab.join(g.vertices, "vertex_id")
+        .join(label_names, "label")
+        .select("actor", "comm_actor")
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -561,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
         "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
         # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
         "conductance_fixed_partition": q_conductance_fixed_partition,
@@ -578,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forced-distributed twins (regression-guard the kernels a
         # 100x-scale run uses; see comment above q_connected_components_dist)
         "connected_components_dist": q_connected_components_dist,
+        "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "louvain_dist": q_louvain_dist,
         "gn_refine_dist": q_gn_refine_dist,
@@ -625,6 +671,37 @@ stats AS (
 ),
 m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
 """
+
+
+def _lpa_sql(k: int) -> str:
+    """Unrolled-CTE mirror of operators/lpa.py's deterministic spec over
+    actor strings: layer i = weighted neighbor vote against layer i-1's
+    labels, ties to the lexicographically smallest label (== smallest
+    dense id; ids are key-order dense), isolates keep their label.  Score
+    sums are integral-valued doubles so DuckDB and Spark agree exactly."""
+    parts = [", l0 AS (SELECT actor, actor AS label FROM verts)"]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, v{i} AS (
+  SELECT s.u AS actor, l.label, sum(s.weight) AS score
+  FROM sym s JOIN l{i - 1} l ON l.actor = s.v
+  GROUP BY 1, 2
+),
+p{i} AS (
+  SELECT actor, label FROM (
+    SELECT actor, label,
+           row_number() OVER (
+             PARTITION BY actor ORDER BY score DESC, label ASC
+           ) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT l.actor, COALESCE(p.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN p{i} p USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, label AS comm_actor FROM l{k}")
+    return "".join(parts)
 
 
 def _stats_cte(part_sql: str) -> str:
@@ -991,6 +1068,10 @@ JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
         # SAME oracle: a green row here is the large-star/small-star
         # kernel (not the driver union-find) matching DuckDB exactly
         "connected_components_dist": cc_sql,
+        "label_propagation": p + _lpa_sql(_LPA_GATE_ITERS),
+        # same-oracle twin: green == the distributed join+argmax superstep
+        # kernel (not the driver dict loop) matching DuckDB exactly
+        "label_propagation_dist": p + _lpa_sql(_LPA_GATE_ITERS),
         "modularity_fixed_partition": p
         + s
         + """

@@ -58,6 +58,14 @@ def main() -> None:
     pr = timed("pagerank", lambda: pagerank(g, weighted=True))
     timed("pagerank_collect_top", lambda: pr.orderBy("rank", ascending=False).limit(10).collect())
 
+    from csd363_sin_spark.operators.lpa import label_propagation
+
+    timed(
+        "label_propagation",
+        lambda: label_propagation(g, max_iterations=10)
+        .groupBy("label").count().count(),
+    )
+
     # fixed-partition metric bundle (one shared aggregation pattern)
     from pyspark.sql import functions as F
 
@@ -123,6 +131,11 @@ def main() -> None:
     timed_dist(
         "dist_pagerank",
         lambda: pagerank(g, weighted=True, local_edges_threshold=0).count(),
+    )
+    timed_dist(
+        "dist_label_propagation",
+        lambda: label_propagation(g, max_iterations=10, local_edges_threshold=0)
+        .groupBy("label").count().count(),
     )
     res_d = timed_dist("dist_louvain", lambda: louvain(g, local_phase_edges=0))
     from csd363_sin_spark.operators.infomap import infomap_distributed

@@ -1,0 +1,148 @@
+"""Label propagation — deterministic synchronous weighted LPA.
+
+The north rule names label propagation as a core link-graph operator
+alongside PageRank / connected components / triangle count; the reference
+covers the *modularity-gain* LPA variant inside Louvain (reference
+algorithms/louvain_wrapper.py drives python-louvain's one-level moves),
+but ships no plain LPA.  This module supplies the classic operator
+(Raghavan et al. 2007, "Near linear time algorithm to detect community
+structures in large-scale networks") with a fully deterministic spec so
+Spark, the driver kernel, and the DuckDB oracle agree bit-for-bit:
+
+* ``label_0(v) = v`` (the vertex's own dense id);
+* superstep ``t``: every vertex with >= 1 neighbor adopts
+  ``argmax_L sum(w(v,u) for u in N(v) if label_{t-1}(u) == L)``,
+  ties broken toward the SMALLEST label; isolates keep their label;
+* stop at a fixpoint (labels identical to the previous superstep) or
+  after ``max_iterations``.
+
+Synchronous + smallest-label tie-break makes the run reproducible (no
+RNG, no visit order) and SQL-expressible: the driver gate mirrors K
+supersteps as unrolled CTE layers in DuckDB over actor strings — valid
+because :func:`csd363_sin_spark.plans.ids.dense_ids` is key-order dense,
+so smallest-id tie-breaks coincide with smallest-actor-string tie-breaks.
+
+Scale notes (the distributed path): one superstep = one join of the
+symmetric edge view against the |V|-row label table plus one
+(vertex, label) partial-aggregated shuffle and one argmax aggregation —
+the same two-exchange shape as a Louvain local-move superstep, with the
+big edge side pre-partitioned and persisted once so only the label table
+moves per superstep.  ``materialize`` truncates lineage each superstep
+(the iterative-DataFrame pitfall) and superseded label frames are
+released.  Dispatch parity with the driver kernel is exact when edge
+weights are integral-valued doubles (conversation co-occurrence counts
+are), because per-label score sums are then order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import adopt, materialize, release
+
+
+def _lpa_driver(graph: Graph, max_iterations: int) -> DataFrame:
+    """Driver-side kernel — identical spec, one collect, for graphs at or
+    below the dispatch threshold (mirror of the PageRank/Louvain/CC
+    driver paths: the gate-scale graphs are far cheaper to fold on the
+    driver than to run O(iterations) shuffle rounds on)."""
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in graph.vertices.select("vertex_id").collect():
+        adj[int(r["vertex_id"])] = []
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    labels = {v: v for v in adj}
+    for _ in range(max_iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            if not nbrs:
+                new[v] = labels[v]
+                continue
+            scores: dict[int, float] = {}
+            for u, w in nbrs:
+                lu = labels[u]
+                scores[lu] = scores.get(lu, 0.0) + w
+            # max score, then smallest label
+            new[v] = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return graph.edges.sparkSession.createDataFrame(
+        sorted(labels.items()), "vertex_id long, label long"
+    )
+
+
+def label_propagation(
+    graph: Graph,
+    max_iterations: int = 20,
+    use_reliable_checkpoint: bool = False,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """Return ``(vertex_id long, label long)`` — converged LPA labels.
+
+    Graphs at or below ``local_edges_threshold`` edges run the driver
+    kernel; larger graphs (or threshold 0) run the distributed superstep
+    loop.  Both paths implement the identical deterministic spec.
+    """
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+    ):
+        return _lpa_driver(graph, max_iterations)
+
+    num_part = max(1, graph.edges.sparkSession.sparkContext.defaultParallelism)
+    # the O(E) side of every superstep join, shuffled once and pinned:
+    # keyed by dst so the per-superstep join only moves the |V|-row labels
+    sym = materialize(
+        graph.edges_sym().repartition(num_part, "dst"), use_reliable_checkpoint
+    )
+    labels = materialize(
+        graph.vertices.select(
+            "vertex_id", F.col("vertex_id").alias("label")
+        ),
+        use_reliable_checkpoint,
+    )
+    try:
+        for _ in range(max_iterations):
+            votes = (
+                sym.join(
+                    labels.select(F.col("vertex_id").alias("dst"), "label"), "dst"
+                )
+                .groupBy(F.col("src").alias("vertex_id"), "label")
+                .agg(F.sum("weight").alias("score"))
+            )
+            # argmax by (score, -label): one aggregation, no window —
+            # max of the struct is the best score with the smallest label
+            picked = (
+                votes.groupBy("vertex_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score"), (-F.col("label")).alias("neg")
+                        )
+                    ).alias("m")
+                )
+                .select("vertex_id", (-F.col("m.neg")).alias("new_label"))
+            )
+            merged = materialize(
+                labels.join(picked, "vertex_id", "left").select(
+                    "vertex_id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    (F.coalesce("new_label", "label") != F.col("label"))
+                    .cast("long")
+                    .alias("_chg"),
+                ),
+                use_reliable_checkpoint,
+            )
+            changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+            release(labels)
+            labels = adopt(merged.select("vertex_id", "label"), merged)
+            if changed == 0:
+                break
+    finally:
+        release(sym)
+    return labels
