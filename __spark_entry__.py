@@ -245,6 +245,84 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_GATE_ITERS = 8  # unrolled as CTE layers in the DuckDB oracle
+
+
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: weighted PageRank at exactly K=8 power iterations
+    (tol=0 disables early stop), mirrored by an unrolled-CTE DuckDB
+    oracle.  Ranks rounded to 6 dp absorb cross-engine summation-order
+    noise (~1e-14) — the same portability contract as the metric oracles.
+    Together with q_pagerank's convergence run (allclose 1e-6 vs networkx
+    in pytest) this value-hash-pins the per-vertex score semantics the
+    north rule names."""
+    from csd363_sin_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank(g, weighted=True, tol=0.0, max_iter=_PR_GATE_ITERS)
+    return pr.join(g.vertices, "vertex_id").select(
+        "actor", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_pagerank_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed shuffle-per-iteration kernel
+    (driver dispatch off) against the SAME unrolled-CTE oracle."""
+    from csd363_sin_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank(
+        g, weighted=True, tol=0.0, max_iter=_PR_GATE_ITERS, local_edges_threshold=0
+    )
+    return pr.join(g.vertices, "vertex_id").select(
+        "actor", F.round("rank", 6).alias("rank")
+    )
+
+
+_LOUVAIN_PHASE_GATE_STEPS = 5  # unrolled as CTE layers in the DuckDB oracle
+
+
+def q_louvain_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: ONE deterministic down-only Louvain local-move
+    phase (K=5 supersteps), mirrored by an unrolled-CTE DuckDB oracle.
+    Scores are integer-valued by the spec (2m*k_in - k*S'), so the match
+    is exact, not rounded — this value-hash-pins the modularity-gain
+    superstep kernel at the heart of the north star.  Community labels
+    are level-0 vertex ids, mapped back to actor strings (dense ids are
+    key-order dense, so down-only id gating == down-only string gating)."""
+    from csd363_sin_spark.operators.louvain import louvain_phase
+
+    g = _graph(spark, sf_dir)
+    assign = louvain_phase(g, max_supersteps=_LOUVAIN_PHASE_GATE_STEPS)
+    comm_names = g.vertices.select(
+        F.col("vertex_id").alias("comm"), F.col("actor").alias("comm_actor")
+    )
+    return (
+        assign.join(g.vertices, "vertex_id")
+        .join(comm_names, "comm")
+        .select("actor", "comm_actor")
+    )
+
+
+def q_louvain_phase_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed superstep loop (driver dispatch
+    off) against the SAME unrolled-CTE oracle."""
+    from csd363_sin_spark.operators.louvain import louvain_phase
+
+    g = _graph(spark, sf_dir)
+    assign = louvain_phase(
+        g, max_supersteps=_LOUVAIN_PHASE_GATE_STEPS, local_phase_edges=0
+    )
+    comm_names = g.vertices.select(
+        F.col("vertex_id").alias("comm"), F.col("actor").alias("comm_actor")
+    )
+    return (
+        assign.join(g.vertices, "vertex_id")
+        .join(comm_names, "comm")
+        .select("actor", "comm_actor")
+    )
+
+
 def _canonical_labels(named_assign: DataFrame) -> DataFrame:
     """(actor, comm) -> (actor, comm_actor) with comm_actor = min actor in
     the community — id-scheme-independent canonical labeling."""
@@ -614,7 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nmi_fixed_partitions": q_nmi_fixed_partitions,
         # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
+        "pagerank_fixed": q_pagerank_fixed,
         "louvain": q_louvain,
+        "louvain_phase": q_louvain_phase,
         "gn_refine": q_gn_refine,
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
@@ -625,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_dist": q_connected_components_dist,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
+        "pagerank_fixed_dist": q_pagerank_fixed_dist,
+        "louvain_phase_dist": q_louvain_phase_dist,
         "louvain_dist": q_louvain_dist,
         "gn_refine_dist": q_gn_refine_dist,
         "infomap_enhance_dist": q_infomap_enhance_dist,
@@ -679,15 +761,15 @@ def _lpa_sql(k: int) -> str:
     labels, ties to the lexicographically smallest label (== smallest
     dense id; ids are key-order dense), isolates keep their label.  Score
     sums are integral-valued doubles so DuckDB and Spark agree exactly."""
-    parts = [", l0 AS (SELECT actor, actor AS label FROM verts)"]
+    parts = [", l0 AS MATERIALIZED (SELECT actor, actor AS label FROM verts)"]
     for i in range(1, k + 1):
         parts.append(f"""
-, v{i} AS (
+, v{i} AS MATERIALIZED (
   SELECT s.u AS actor, l.label, sum(s.weight) AS score
   FROM sym s JOIN l{i - 1} l ON l.actor = s.v
   GROUP BY 1, 2
 ),
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT actor, label FROM (
     SELECT actor, label,
            row_number() OVER (
@@ -696,11 +778,111 @@ p{i} AS (
     FROM v{i}
   ) WHERE rn = 1
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT l.actor, COALESCE(p.label, l.label) AS label
   FROM l{i - 1} l LEFT JOIN p{i} p USING (actor)
 )""")
     parts.append(f"\nSELECT actor, label AS comm_actor FROM l{k}")
+    return "".join(parts)
+
+
+def _pagerank_sql(k: int, alpha: float = 0.85) -> str:
+    """Unrolled-CTE mirror of operators/pagerank.py at exactly ``k``
+    power iterations (weighted, networkx semantics: x0 = 1/n, dangling
+    mass redistributed uniformly, x' = (1-a)/n + a*(M^T x + dangling/n)).
+    Output rounded to 6 dp in both engines."""
+    parts = [
+        f"""
+, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+outw AS (SELECT u, sum(weight) AS out_w FROM sym GROUP BY 1),
+shares AS (
+  SELECT s.u, s.v, s.weight / o.out_w AS share FROM sym s JOIN outw o USING (u)
+),
+dang AS (SELECT actor FROM deg WHERE degree = 0),
+x0 AS MATERIALIZED (SELECT actor, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, d{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(x.rank), 0.0) AS mass
+  FROM x{i - 1} x JOIN dang USING (actor)
+),
+m{i} AS MATERIALIZED (
+  SELECT s.v AS actor, sum(s.share * x.rank) AS in_mass
+  FROM shares s JOIN x{i - 1} x ON x.actor = s.u GROUP BY 1
+),
+x{i} AS MATERIALIZED (
+  SELECT v.actor,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * (COALESCE(m.in_mass, 0.0)
+                      + (SELECT mass FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM verts v LEFT JOIN m{i} m USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
+    return "".join(parts)
+
+
+def _louvain_phase_sql(k: int) -> str:
+    """Unrolled-CTE mirror of one down-only synchronous Louvain local-move
+    phase (operators/louvain.py spec) over actor strings: per superstep,
+    score(v,c) = 2m*k_in(v,c) - k_v*(S(c) - [c==comm(v)]*k_v); move to the
+    best-scoring neighbor community iff strictly better than staying AND
+    the target sorts below the current community; isolates never move.
+    Every score is integer-valued (integral co-occurrence weights), so
+    DuckDB and Spark agree exactly — no rounding."""
+    parts = [
+        """
+, mm AS (SELECT sum(weight) AS m FROM edges),
+kv AS (
+  SELECT verts.actor, COALESCE(s.k, 0.0) AS k
+  FROM verts LEFT JOIN (
+    SELECT u AS actor, sum(weight) AS k FROM sym GROUP BY 1
+  ) s USING (actor)
+),
+a0 AS MATERIALIZED (SELECT actor, actor AS comm FROM verts)"""
+    ]
+    for i in range(1, k + 1):
+        j = i - 1
+        parts.append(f"""
+, st{i} AS MATERIALIZED (SELECT a.actor, a.comm, kv.k FROM a{j} a JOIN kv USING (actor)),
+ct{i} AS MATERIALIZED (SELECT comm, sum(k) AS S FROM st{i} GROUP BY 1),
+ki{i} AS MATERIALIZED (
+  SELECT s.u AS actor, a.comm AS c_nbr, sum(s.weight) AS k_in
+  FROM sym s JOIN a{j} a ON a.actor = s.v
+  GROUP BY 1, 2
+),
+sc{i} AS MATERIALIZED (
+  SELECT ki.actor, st.comm, st.k, ki.c_nbr,
+         2.0 * (SELECT m FROM mm) * ki.k_in
+         - st.k * (ct.S - CASE WHEN ki.c_nbr = st.comm THEN st.k ELSE 0.0 END)
+         AS score
+  FROM ki{i} ki
+  JOIN st{i} st USING (actor)
+  JOIN ct{i} ct ON ct.comm = ki.c_nbr
+),
+bt{i} AS MATERIALIZED (
+  SELECT actor, c_nbr AS target, score AS bscore FROM (
+    SELECT actor, c_nbr, score,
+           row_number() OVER (
+             PARTITION BY actor ORDER BY score DESC, c_nbr ASC
+           ) AS rn
+    FROM sc{i}) WHERE rn = 1
+),
+cu{i} AS MATERIALIZED (
+  SELECT actor, max(CASE WHEN c_nbr = comm THEN score END) AS cur_opt
+  FROM sc{i} GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT st.actor,
+         CASE WHEN b.bscore > COALESCE(cu.cur_opt, -st.k * (cs.S - st.k))
+                   AND b.target < st.comm
+              THEN b.target ELSE st.comm END AS comm
+  FROM st{i} st
+  JOIN ct{i} cs ON cs.comm = st.comm
+  LEFT JOIN bt{i} b USING (actor)
+  LEFT JOIN cu{i} cu USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, comm AS comm_actor FROM a{k}")
     return "".join(parts)
 
 
@@ -964,7 +1146,7 @@ c0 AS (
     prev = "c0"
     for i in range(1, iters + 1):
         sql += f""",
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT vec_id, v, cluster FROM (
     SELECT e.vec_id, e.v, {prev}.cluster,
       row_number() OVER (
@@ -974,7 +1156,7 @@ a{i} AS (
     FROM e CROSS JOIN {prev}
   ) WHERE rn = 1
 ),
-m{i} AS (
+m{i} AS MATERIALIZED (
   SELECT cluster, pos, round(avg(x), 6) AS mx FROM (
     SELECT cluster, unnest(v) AS x,
            unnest(range(1, len(v) + 1)) AS pos
@@ -1072,6 +1254,14 @@ JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
         # same-oracle twin: green == the distributed join+argmax superstep
         # kernel (not the driver dict loop) matching DuckDB exactly
         "label_propagation_dist": p + _lpa_sql(_LPA_GATE_ITERS),
+        "pagerank_fixed": p + _pagerank_sql(_PR_GATE_ITERS),
+        # same-oracle twin: green == the distributed shuffle-per-iteration
+        # power-iteration kernel matching DuckDB exactly
+        "pagerank_fixed_dist": p + _pagerank_sql(_PR_GATE_ITERS),
+        "louvain_phase": p + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS),
+        # same-oracle twin: green == the distributed k_in gather + argmax
+        # decision kernel matching DuckDB exactly, integer-score precise
+        "louvain_phase_dist": p + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS),
         "modularity_fixed_partition": p
         + s
         + """

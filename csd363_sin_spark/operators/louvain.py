@@ -828,3 +828,34 @@ def louvain(
         supersteps=total_steps,
         history=history,
     )
+
+
+def louvain_phase(
+    graph: Graph,
+    max_supersteps: int = 6,
+    weighted: bool = True,
+    local_phase_edges: int = 100_000,
+) -> DataFrame:
+    """One deterministic down-only local-move phase on the ORIGINAL
+    (level-0) graph; returns ``(vertex_id long, comm long)``.
+
+    This is the ANSI-SQL-mirrorable unit of Louvain: every score is
+    integer-valued (module docstring), so the driver kernel, the
+    distributed superstep loop, and the driver gate's unrolled-CTE DuckDB
+    oracle agree bit-for-bit.  ``louvain()`` composes these phases with
+    contraction; exposing the single phase lets the correctness gate
+    value-hash-check the superstep kernel itself, not just row counts."""
+    spark = graph.edges.sparkSession
+    w = F.col("weight") if weighted else F.lit(1.0)
+    edges = graph.edges.select("src", "dst", w.alias("weight"))
+    vertices = graph.vertices.select("vertex_id")
+    m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    if m == 0.0:
+        return vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+    if local_phase_edges > 0 and edges.count() <= local_phase_edges:
+        assign, _ = _local_move_phase_driver(
+            spark, edges, vertices, m, max_supersteps
+        )
+    else:
+        assign, _ = _local_move_phase(edges, vertices, m, max_supersteps)
+    return assign
