@@ -417,6 +417,46 @@ def q_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_BET_GATE_DEPTH = 8  # BFS unroll depth for the exact-betweenness oracle
+
+
+def _betweenness_exact_topk(spark, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.betweenness import edge_betweenness_batched
+
+    g = _graph(spark, sf_dir)
+    bet = edge_betweenness_batched(
+        g, batch_size=640, local_edges_threshold=local_edges_threshold
+    )
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    # src < dst and ids are key-order dense, so src_actor < dst_actor —
+    # already the oracle's LEAST/GREATEST canonical orientation
+    return (
+        bet.join(va, "src")
+        .join(vb, "dst")
+        .select("src_actor", "dst_actor", F.round("betweenness", 4).alias("betweenness"))
+        .orderBy(F.desc("betweenness"), F.asc("src_actor"), F.asc("dst_actor"))
+        .limit(20)
+    )
+
+
+def q_betweenness_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: EXACT all-sources edge betweenness, top-20 by
+    4-dp-rounded value, mirrored by an unrolled BFS + backward-pass
+    DuckDB oracle (see _betweenness_sql).  Complements the rows-only
+    sampled q_betweenness_topk: this row value-hash-pins the Brandes
+    semantics the GN family is built on."""
+    return _betweenness_exact_topk(spark, sf_dir, 100_000)
+
+
+def q_betweenness_exact_topk_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed batched multi-source Brandes
+    dataflow (driver dispatch off, 2 source batches at gate scale)
+    against the SAME oracle — green means the level-synchronous
+    forward/backward kernel matches DuckDB exactly."""
+    return _betweenness_exact_topk(spark, sf_dir, 0)
+
+
 def q_connected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: large-star/small-star kernel (driver dispatch off)."""
     from csd363_sin_spark.operators.components import connected_components
@@ -698,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn_refine": q_gn_refine,
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
+        "betweenness_exact_topk": q_betweenness_exact_topk,
         "pipeline_final": q_pipeline_final,
         "streaming_refresh": q_streaming_refresh,
         # forced-distributed twins (regression-guard the kernels a
@@ -711,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn_refine_dist": q_gn_refine_dist,
         "infomap_enhance_dist": q_infomap_enhance_dist,
         "betweenness_topk_dist": q_betweenness_topk_dist,
+        "betweenness_exact_topk_dist": q_betweenness_exact_topk_dist,
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
         "doc_language_id": q_doc_language_id,
@@ -883,6 +925,74 @@ a{i} AS MATERIALIZED (
   LEFT JOIN cu{i} cu USING (actor)
 )""")
     parts.append(f"\nSELECT actor, comm AS comm_actor FROM a{k}")
+    return "".join(parts)
+
+
+def _betweenness_sql(depth: int) -> str:
+    """Unrolled-CTE mirror of exact all-sources Brandes edge betweenness
+    (operators/betweenness.py semantics = nx.edge_betweenness_centrality
+    normalized=False): forward BFS layers (per-layer sigma path counts,
+    visited-set anti-join), then deepest-first backward accumulation
+    c(v,w) = sigma_v/sigma_w * (1 + delta_w) summed per undirected edge
+    and halved.  ``depth`` must be >= the graph diameter (sf0.01 gate
+    graph: diameter 3; layers beyond it are empty and cost nothing).
+    Output is the top-20 by 4-dp-ROUNDED betweenness with actor
+    tie-breaks, so cross-engine FP summation noise (~1e-9 on values of
+    magnitude 1e3+) cannot reorder the cut."""
+    parts = [
+        """
+, f0 AS MATERIALIZED (SELECT actor AS s, actor AS v, 1.0 AS sigma FROM verts),
+vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for d in range(1, depth + 1):
+        parts.append(f"""
+, f{d} AS MATERIALIZED (
+  SELECT b.s, e.v AS v, sum(b.sigma) AS sigma
+  FROM f{d - 1} b
+  JOIN sym e ON e.u = b.v
+  LEFT JOIN vis{d - 1} x ON x.s = b.s AND x.v = e.v
+  WHERE x.v IS NULL
+  GROUP BY 1, 2
+),
+vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
+)""")
+    # backward: deepest layer first (delta = 0 there), then each layer's
+    # vertex deltas feed the next-shallower layer's edge contributions
+    for d in range(depth, 0, -1):
+        if d == depth:
+            parts.append(f"""
+, g{d} AS MATERIALIZED (
+  SELECT a.s, a.v AS v, b.v AS w, a.sigma / b.sigma AS c
+  FROM f{d - 1} a
+  JOIN sym e ON e.u = a.v
+  JOIN f{d} b ON b.s = a.s AND b.v = e.v
+)""")
+        else:
+            parts.append(f"""
+, dl{d} AS MATERIALIZED (
+  SELECT s, v, sum(c) AS delta FROM g{d + 1} GROUP BY 1, 2
+),
+g{d} AS MATERIALIZED (
+  SELECT a.s, a.v AS v, b.v AS w,
+         a.sigma / b.sigma * (1.0 + COALESCE(dl.delta, 0.0)) AS c
+  FROM f{d - 1} a
+  JOIN sym e ON e.u = a.v
+  JOIN f{d} b ON b.s = a.s AND b.v = e.v
+  LEFT JOIN dl{d} dl ON dl.s = b.s AND dl.v = b.v
+)""")
+    union = " UNION ALL ".join(f"SELECT v, w, c FROM g{d}" for d in range(1, depth + 1))
+    parts.append(f"""
+, allg AS ({union}),
+eb AS (
+  SELECT LEAST(v, w) AS src_actor, GREATEST(v, w) AS dst_actor,
+         sum(c) / 2.0 AS b
+  FROM allg GROUP BY 1, 2
+)
+SELECT src_actor, dst_actor, round(b, 4) AS betweenness
+FROM eb
+ORDER BY round(b, 4) DESC, src_actor ASC, dst_actor ASC
+LIMIT 20""")
     return "".join(parts)
 
 
@@ -1262,6 +1372,11 @@ JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
         # same-oracle twin: green == the distributed k_in gather + argmax
         # decision kernel matching DuckDB exactly, integer-score precise
         "louvain_phase_dist": p + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS),
+        "betweenness_exact_topk": p + _betweenness_sql(_BET_GATE_DEPTH),
+        # same-oracle twin: green == the batched multi-source Brandes
+        # dataflow (forward frontier expansion + deepest-first backward
+        # accumulation) matching DuckDB exactly
+        "betweenness_exact_topk_dist": p + _betweenness_sql(_BET_GATE_DEPTH),
         "modularity_fixed_partition": p
         + s
         + """
