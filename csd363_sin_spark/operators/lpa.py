@@ -94,12 +94,15 @@ def label_propagation(
     ):
         return _lpa_driver(graph, max_iterations)
 
-    num_part = max(1, graph.edges.sparkSession.sparkContext.defaultParallelism)
+    spark = graph.edges.sparkSession
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # the O(E) side of every superstep join, shuffled once and pinned:
-    # keyed by dst so the per-superstep join only moves the |V|-row labels
-    sym = materialize(
-        graph.edges_sym().repartition(num_part, "dst"), use_reliable_checkpoint
-    )
+    # keyed by dst so the per-superstep join only moves the |V|-row labels.
+    # persist (NOT materialize): a localCheckpoint re-wrap hides the hash
+    # partitioning from Catalyst, which would re-shuffle the 2|E| side
+    # every superstep — the exact pitfall louvain's sym view documents
+    sym = graph.edges_sym().repartition(num_part, "dst").persist()
+    sym.count()
     labels = materialize(
         graph.vertices.select(
             "vertex_id", F.col("vertex_id").alias("label")
@@ -144,5 +147,5 @@ def label_propagation(
             if changed == 0:
                 break
     finally:
-        release(sym)
+        sym.unpersist()
     return labels
