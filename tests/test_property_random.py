@@ -107,3 +107,19 @@ def test_minhash_candidates_subset_of_exact_on_random_docs(spark, texts):
     }
     # LSH output is exact-verified -> no false positives, ever
     assert lsh <= exact
+
+
+@given(edges=edge_lists(max_n=12, max_m=24))
+@settings(**SETTINGS)
+def test_lpa_driver_matches_distributed_on_random_graphs(spark, edges):
+    from csd363_sin_spark.operators.lpa import label_propagation
+
+    g = graph_from_edges(spark, edges)
+    driver = {
+        r["vertex_id"]: r["label"] for r in label_propagation(g, 6).collect()
+    }
+    dist = {
+        r["vertex_id"]: r["label"]
+        for r in label_propagation(g, 6, local_edges_threshold=0).collect()
+    }
+    assert driver == dist
