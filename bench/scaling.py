@@ -80,6 +80,14 @@ assign, steps = _local_move_phase(
 assign.count()
 t_lv = time.time() - t0
 
+# distributed LPA supersteps (north-rule-named operator): fixed 4
+# rounds of the join+argmax kernel; deterministic, so both levels do
+# identical work and the efficiency ratio is exact
+from csd363_sin_spark.operators.lpa import label_propagation
+t0 = time.time()
+label_propagation(g, max_iterations=4, local_edges_threshold=0).count()
+t_lpa = time.time() - t0
+
 # distributed map-equation supersteps (infomap kernel) — same shape of
 # evidence for the Infomap scale path
 from csd363_sin_spark.operators.infomap import _infomap_move_phase
@@ -112,6 +120,8 @@ print(json.dumps({
     "louvain_supersteps": steps,
     "louvain_sec": round(t_lv, 2),
     "louvain_edges_per_sec": round(n_edges * 2 * steps / t_lv),
+    "lpa_sec": round(t_lpa, 2),
+    "lpa_edges_per_sec": round(n_edges * 2 * 4 / t_lpa),
     "infomap_supersteps": isteps,
     "infomap_sec": round(t_im, 2),
     "infomap_edges_per_sec": round(n_edges * 2 * isteps / t_im),
@@ -188,6 +198,9 @@ def main() -> int:
                 high["louvain_edges_per_sec"]
                 / (factor * low["louvain_edges_per_sec"]),
                 3,
+            ),
+            "lpa": round(
+                high["lpa_edges_per_sec"] / (factor * low["lpa_edges_per_sec"]), 3
             ),
             "infomap": round(
                 high["infomap_edges_per_sec"]

@@ -324,3 +324,114 @@ def pagerank_csr(
     blocks.unpersist()
     dangling.unpersist()
     return ranks.select("vertex_id", "rank")
+
+
+def lpa_csr(
+    graph: Graph,
+    max_iterations: int = 20,
+    num_blocks: int | None = None,
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """Label propagation via Arrow kernels over CSR blocks.
+
+    Identical deterministic spec to :func:`csd363_sin_spark.operators.
+    lpa.label_propagation` (synchronous weighted neighbor vote, smallest-
+    label ties, isolates keep their label, fixpoint stop) — asserted
+    bit-identical by tests/test_csr.py.  The per-superstep neighbor-label
+    vote runs as a numpy/pandas gather inside a cogrouped-Arrow kernel:
+    each block joins its sources' labels block-locally (only the |V|-row
+    label vector is exchanged per superstep, never the O(|E|) adjacency)
+    and emits per-(neighbor, label) weight partials, pre-aggregated
+    within the block — the same map-side-combine shape as pagerank_csr's
+    segment-sum.  Completes the north-star CSR kernel family across all
+    four named link-graph operators (PageRank, CC via csr_gather BFS,
+    Louvain gain gather, LPA vote gather).
+    """
+    spark = graph.edges.sparkSession
+    if num_blocks is None:
+        num_blocks = max(1, spark.sparkContext.defaultParallelism)
+    blocks = build_blocks(
+        graph, num_blocks=num_blocks, weighted=True, salt_threshold=salt_threshold
+    ).persist()
+    blocks.count()
+
+    labels = materialize(
+        graph.vertices.select(
+            "vertex_id",
+            F.col("vertex_id").alias("label"),
+            F.pmod(F.col("vertex_id"), F.lit(num_blocks)).cast("int").alias("part_id"),
+        )
+    )
+
+    def kernel(key, block_pdf: pd.DataFrame, label_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vertex_id": [], "label": [], "partial": []}).astype(
+            {"vertex_id": "int64", "label": "int64", "partial": "float64"}
+        )
+        if block_pdf.empty or label_pdf.empty:
+            return empty
+        lmap = pd.Series(
+            label_pdf["label"].to_numpy(dtype=np.int64),
+            index=label_pdf["vertex_id"].to_numpy(dtype=np.int64),
+        )
+        parts = []
+        for _, row in block_pdf.iterrows():
+            srcs = np.asarray(row["src_sorted"], dtype=np.int64)
+            offs = np.asarray(row["offsets"], dtype=np.int64)
+            dsts = np.asarray(row["dst"], dtype=np.int64)
+            ws = np.asarray(row["weight"], dtype=np.float64)
+            if len(srcs) == 0:
+                continue
+            src_labels = lmap.reindex(srcs).to_numpy()
+            per_edge_label = np.repeat(src_labels, np.diff(offs)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {"vertex_id": dsts, "label": per_edge_label, "partial": ws}
+                )
+            )
+        if not parts:
+            return empty
+        # block-local combine: one partial row per (neighbor, label)
+        return (
+            pd.concat(parts)
+            .groupby(["vertex_id", "label"], as_index=False, sort=False)["partial"]
+            .sum()
+        )
+
+    try:
+        for _ in range(max_iterations):
+            votes = (
+                blocks.groupBy("part_id")
+                .cogroup(labels.groupBy("part_id"))
+                .applyInPandas(kernel, "vertex_id long, label long, partial double")
+                .groupBy("vertex_id", "label")
+                .agg(F.sum("partial").alias("score"))
+            )
+            picked = (
+                votes.groupBy("vertex_id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("label")).alias("neg"))
+                    ).alias("m")
+                )
+                .select("vertex_id", (-F.col("m.neg")).alias("new_label"))
+            )
+            merged = materialize(
+                labels.join(picked, "vertex_id", "left").select(
+                    "vertex_id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    "part_id",
+                    (F.coalesce("new_label", "label") != F.col("label"))
+                    .cast("long")
+                    .alias("_chg"),
+                )
+            )
+            changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+            from csd363_sin_spark.plans.lineage import adopt, release
+
+            release(labels)
+            labels = adopt(merged.select("vertex_id", "label", "part_id"), merged)
+            if changed == 0:
+                break
+    finally:
+        blocks.unpersist()
+    return labels.select("vertex_id", "label")

@@ -138,3 +138,35 @@ def test_betweenness_csr_gather_parity(spark):
         assert set(join_side) == set(csr_side)
         for e in join_side:
             assert csr_side[e] == pytest.approx(join_side[e], abs=1e-9)
+
+
+def test_lpa_csr_matches_operator(spark):
+    from csd363_sin_spark.operators.lpa import label_propagation
+    from csd363_sin_spark.plans.csr import lpa_csr
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    ref = {r["vertex_id"]: r["label"] for r in label_propagation(g, 6).collect()}
+    got = {r["vertex_id"]: r["label"] for r in lpa_csr(g, max_iterations=6).collect()}
+    assert got == ref
+
+
+def test_lpa_csr_salted_hub_and_isolates(spark):
+    from csd363_sin_spark.operators.lpa import label_propagation
+    from csd363_sin_spark.plans.csr import lpa_csr
+    from csd363_sin_spark.plans.induce import Graph
+
+    g = graph_from_edges(
+        spark, [(0, i) for i in range(1, 21)] + [(21, 22), (22, 23)]
+    )
+    iso = spark.createDataFrame(
+        [(50, "v:50", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    ref = {r["vertex_id"]: r["label"] for r in label_propagation(g, 5).collect()}
+    got = {
+        r["vertex_id"]: r["label"]
+        for r in lpa_csr(g, max_iterations=5, salt_threshold=6).collect()
+    }
+    assert got == ref
+    assert got[50] == 50
