@@ -565,6 +565,38 @@ def q_label_propagation_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the CSR/Arrow vote-gather kernel (plans/csr.py
+    lpa_csr — numpy gather over cogrouped CSR blocks) against the SAME
+    unrolled-CTE oracle as q_label_propagation.  A green row here is the
+    Arrow kernel path, not the join dataflow, matching DuckDB exactly."""
+    from csd363_sin_spark.plans.csr import lpa_csr
+
+    g = _graph(spark, sf_dir)
+    lab = lpa_csr(g, max_iterations=_LPA_GATE_ITERS)
+    label_names = g.vertices.select(
+        F.col("vertex_id").alias("label"), F.col("actor").alias("comm_actor")
+    )
+    return (
+        lab.join(g.vertices, "vertex_id")
+        .join(label_names, "label")
+        .select("actor", "comm_actor")
+    )
+
+
+def q_pagerank_fixed_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the CSR/Arrow gather-scatter PageRank kernel
+    (plans/csr.py pagerank_csr) at exactly K=8 power iterations against
+    the SAME unrolled-CTE oracle as q_pagerank_fixed."""
+    from csd363_sin_spark.plans.csr import pagerank_csr
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank_csr(g, weighted=True, tol=0.0, max_iter=_PR_GATE_ITERS)
+    return pr.join(g.vertices, "vertex_id").select(
+        "actor", F.round("rank", 6).alias("rank")
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -753,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_enhance_dist": q_infomap_enhance_dist,
         "betweenness_topk_dist": q_betweenness_topk_dist,
         "betweenness_exact_topk_dist": q_betweenness_exact_topk_dist,
+        # CSR/Arrow kernel twins (the plans/csr.py north-star layout paths)
+        "label_propagation_csr": q_label_propagation_csr,
+        "pagerank_fixed_csr": q_pagerank_fixed_csr,
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
         "doc_language_id": q_doc_language_id,
@@ -1364,10 +1399,14 @@ JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
         # same-oracle twin: green == the distributed join+argmax superstep
         # kernel (not the driver dict loop) matching DuckDB exactly
         "label_propagation_dist": p + _lpa_sql(_LPA_GATE_ITERS),
+        # same-oracle twin: green == the CSR/Arrow vote-gather kernel
+        "label_propagation_csr": p + _lpa_sql(_LPA_GATE_ITERS),
         "pagerank_fixed": p + _pagerank_sql(_PR_GATE_ITERS),
         # same-oracle twin: green == the distributed shuffle-per-iteration
         # power-iteration kernel matching DuckDB exactly
         "pagerank_fixed_dist": p + _pagerank_sql(_PR_GATE_ITERS),
+        # same-oracle twin: green == the CSR/Arrow gather-scatter kernel
+        "pagerank_fixed_csr": p + _pagerank_sql(_PR_GATE_ITERS),
         "louvain_phase": p + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS),
         # same-oracle twin: green == the distributed k_in gather + argmax
         # decision kernel matching DuckDB exactly, integer-score precise
