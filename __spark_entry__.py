@@ -649,6 +649,16 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (keep-one-per-cluster dedup view): connected
+    components over the MinHash+LSH pair graph — A~B and B~C collapse to
+    one canonical doc even when A~C was never emitted.  Oracle-checked
+    end to end (md5-portable hash family + recursive-CTE closure)."""
+    from csd363_sin_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding (hamming <= 3), oracle-checked: 60-bit md5-portable
     hash family (the production default stays 64-bit xxhash64).
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1136,14 +1147,46 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+dups AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b,
+         round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+  FROM cands c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
 )
-SELECT c.doc_a, c.doc_b,
-       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
-FROM cands c
-JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
+"""
+    )
+
+
+def _dedup_clusters_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """dedup_clusters oracle: transitive closure (recursive CTE) over the
+    MinHash+LSH dup pairs, canonical = min doc_id, plus cluster sizes —
+    mirroring functions/dedup.py dedup_clusters(hash_mode="md5")."""
+    return (
+        _minhash_lsh_sql(n=n, threshold=threshold).replace(
+            "WITH toksrc AS", "WITH RECURSIVE toksrc AS", 1
+        )
+        + """
+, reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN (
+    SELECT doc_a AS u, doc_b AS v FROM dups
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM dups
+  ) e ON r.b = e.u
+),
+canon AS MATERIALIZED (
+  SELECT a AS doc_id, min(b) AS canonical_doc_id FROM reach GROUP BY a
+)
+SELECT c.doc_id, c.canonical_doc_id, s.cluster_size
+FROM canon c
+JOIN (
+  SELECT canonical_doc_id, count(*) AS cluster_size FROM canon GROUP BY 1
+) s USING (canonical_doc_id)
 """
     )
 
@@ -1572,7 +1615,11 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """,
-        "minhash_lsh_dups": _minhash_lsh_sql(),
+        "minhash_lsh_dups": _minhash_lsh_sql()
+        + "SELECT doc_a, doc_b, jaccard FROM dups",
+        # transitive closure over the SAME dup pairs: recursive CTE vs the
+        # engine's large-star/small-star CC kernel over the pair graph
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -336,3 +336,56 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash+LSH
+    dup-pair graph — the keep-one-per-cluster view a training-data
+    pipeline actually applies (pairs alone over-delete: A~B and B~C must
+    collapse to ONE kept doc even when A~C was never emitted as a pair).
+
+    Returns ``(doc_id, canonical_doc_id, cluster_size)`` for EVERY input
+    doc; singletons map to themselves with cluster_size 1; the canonical
+    doc is the minimum doc_id of the cluster (deterministic).  Keep rows
+    where ``doc_id = canonical_doc_id`` to dedup the corpus.
+
+    Scale: pair generation is the banded equi-join (no all-pairs), and
+    the transitive closure reuses the engine's large-star/small-star
+    connected-components kernel (O(log n) rounds, driver union-find
+    dispatch below 100k pairs) — both already 100 TB-shaped.
+    """
+    from csd363_sin_spark.operators.components import connected_components
+    from csd363_sin_spark.plans.induce import Graph
+
+    pairs = minhash_lsh_pairs(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, hash_mode=hash_mode,
+    )
+    verts = docs.select(
+        F.col("doc_id").cast("long").alias("vertex_id"),
+        F.col("doc_id").cast("string").alias("actor"),
+        F.lit("doc").alias("kind"),
+    )
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = connected_components(Graph(vertices=verts, edges=edges))
+    canon = comp.select(
+        F.col("vertex_id").alias("doc_id"),
+        F.col("comp_id").alias("canonical_doc_id"),
+    )
+    sizes = canon.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_doc_id").select(
+        "doc_id", "canonical_doc_id", "cluster_size"
+    )

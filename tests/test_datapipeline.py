@@ -108,6 +108,31 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(0, 2)] == pytest.approx(expected, abs=1e-6)
 
 
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even if the A~C pair was never
+    emitted; unrelated docs stay singletons mapping to themselves."""
+    from csd363_sin_spark.functions.dedup import dedup_clusters
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (12, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+        (20, "completely different text about spark engines and scale"),
+        (21, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, n=3, threshold=0.4).collect()
+    }
+    assert len(got) == 5  # every input doc appears exactly once
+    assert got[10] == got[11] == got[12] == (10, 3)
+    assert got[20] == (20, 1) and got[21] == (21, 1)
+    # keep-one view: exactly one canonical per cluster
+    kept = [d for d, (c, _) in got.items() if d == c]
+    assert sorted(kept) == [10, 20, 21]
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"])
