@@ -158,6 +158,46 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson degree-assortativity coefficient (one corr() aggregate over
+    the symmetric half-edge/degree join) — identical SQL in DuckDB."""
+    from csd363_sin_spark.operators.degree import degree_assortativity
+
+    return degree_assortativity(_graph(spark, sf_dir))
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangles + local clustering coefficient (nx.clustering
+    semantics), oracle-checked against the same closed-wedge SQL as G9."""
+    from csd363_sin_spark.operators.triangles import clustering_coefficient
+
+    g = _graph(spark, sf_dir)
+    return (
+        clustering_coefficient(g)
+        .join(g.vertices, "vertex_id")
+        .select("actor", "triangles", "clustering")
+    )
+
+
+def q_link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted edges by Adamic-Adar over non-adjacent pairs
+    (common-neighbors + Jaccard + Adamic-Adar columns), oracle-checked:
+    the wedge join, anti-join, and scores are plain SQL in DuckDB.
+    Deterministic: 6-dp-rounded score desc, then (u_actor, v_actor)."""
+    from csd363_sin_spark.operators.linkpred import link_prediction_topk
+
+    g = _graph(spark, sf_dir)
+    va = g.vertices.select(F.col("vertex_id").alias("u"), F.col("actor").alias("u_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("v"), F.col("actor").alias("v_actor"))
+    # u < v on key-order dense ids == u_actor < v_actor on names
+    return (
+        link_prediction_topk(g, k=20)
+        .join(va, "u")
+        .join(vb, "v")
+        .select("u_actor", "v_actor", "common_neighbors", "jaccard", "adamic_adar")
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.operators.components import connected_components
 
@@ -625,6 +665,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-token ratio, mean word length,
+    top-bigram ratio, duplicate-bigram fraction) — mirrored in DuckDB via
+    unnest + the same two-level aggregation."""
+    from csd363_sin_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically PII-AUGMENTED documents: the
+    synthetic corpus contains no PII, so the query appends one email, one
+    IPv4 and one phone number derived from doc_id (identical expression
+    in the SQL oracle), then redacts — green means the regex family and
+    replacement order match DuckDB's RE2 byte-for-byte."""
+    from csd363_sin_spark.functions.text import redact_pii
+
+    sid = F.col("doc_id").cast("string")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), sid, F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +1 555 010 12"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.dedup import dedup_exact
 
@@ -657,6 +728,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.dedup import dedup_clusters
 
     return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: per near-dup cluster keep the max-quality doc
+    (ties -> lowest doc_id).  Oracle-checked end to end: closure prefix +
+    quality CTE + cluster-partitioned row_number in DuckDB."""
+    from csd363_sin_spark.functions.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_degrees": q_vertex_degrees,
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
+        "clustering_coefficient": q_clustering_coefficient,
+        "degree_assortativity": q_degree_assortativity,
+        "link_prediction_topk": q_link_prediction_topk,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         # metrics (SURVEY §2.4)
@@ -804,9 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "doc_repetition": q_doc_repetition,
+        "redact_pii": q_redact_pii,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1055,7 +1141,33 @@ def _stats_cte(part_sql: str) -> str:
 # --- documents-side oracle plumbing: generated from the SAME python
 # constants as the Spark operators (csd363_sin_spark/functions/text.py)
 # so the two tokenizers cannot drift.
-from csd363_sin_spark.functions.text import _EN_STOPWORDS, LANG_MARKERS  # noqa: E402
+from csd363_sin_spark.functions.text import (  # noqa: E402
+    _EN_STOPWORDS,
+    LANG_MARKERS,
+    PII_PATTERNS,
+)
+
+
+def _redact_pii_sql() -> str:
+    """redact_pii oracle over the SAME deterministic PII augmentation as
+    q_redact_pii, built from the shared PII_PATTERNS constants (RE2 and
+    Java regex agree on this restricted syntax; DuckDB needs the explicit
+    'g' flag to match Spark's replace-all default)."""
+    aug = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' tel +1 555 010 12' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    )
+    red = "text"
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all(text, '{lit}')) AS BIGINT) AS n_{name}")
+        red = f"regexp_replace({red}, '{lit}', '{tag}', 'g')"
+    return (
+        f"WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)\n"
+        f"SELECT doc_id, {red} AS redacted,\n  " + ",\n  ".join(counts) + "\nFROM aug"
+    )
 
 _DOC_PRELUDE = r"""
 WITH toksrc AS (
@@ -1077,6 +1189,24 @@ _LANG_SCORE_SQL = ",\n    ".join(
     for lang, words in sorted(LANG_MARKERS.items())
 )
 _SW_SQL = _sql_list(_EN_STOPWORDS)
+
+# doc-quality CTE over toksrc (shared by the doc_quality and
+# dedup_keep_best oracles) — mirrors functions/text.py quality_score
+_QUALITY_CTE = f"""
+, q AS (
+  SELECT doc_id, round((len_ok + punct_ok + sw_score) / 3.0, 6) AS quality
+  FROM (
+    SELECT doc_id,
+      CASE WHEN length(text) >= 50 THEN 1.0 ELSE 0.0 END AS len_ok,
+      CASE WHEN (CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.3
+           THEN 1.0 ELSE 0.0 END AS punct_ok,
+      LEAST(1.0, len(list_intersect(list_distinct(toks), {_SW_SQL})) / 4.0) AS sw_score
+    FROM toksrc
+  )
+)
+"""
 
 
 # portable 60-bit hash in DuckDB SQL (= functions/dedup.py portable_hash64)
@@ -1161,10 +1291,10 @@ dups AS MATERIALIZED (
     )
 
 
-def _dedup_clusters_sql(n: int = 3, threshold: float = 0.5) -> str:
-    """dedup_clusters oracle: transitive closure (recursive CTE) over the
-    MinHash+LSH dup pairs, canonical = min doc_id, plus cluster sizes —
-    mirroring functions/dedup.py dedup_clusters(hash_mode="md5")."""
+def _dedup_closure_prefix(n: int = 3, threshold: float = 0.5) -> str:
+    """Shared oracle prefix: MinHash+LSH dup pairs -> transitive closure
+    (recursive CTE) -> canonical = min doc_id per cluster + cluster sizes.
+    Mirrors functions/dedup.py dedup_clusters(hash_mode="md5")."""
     return (
         _minhash_lsh_sql(n=n, threshold=threshold).replace(
             "WITH toksrc AS", "WITH RECURSIVE toksrc AS", 1
@@ -1181,12 +1311,46 @@ def _dedup_clusters_sql(n: int = 3, threshold: float = 0.5) -> str:
 ),
 canon AS MATERIALIZED (
   SELECT a AS doc_id, min(b) AS canonical_doc_id FROM reach GROUP BY a
-)
-SELECT c.doc_id, c.canonical_doc_id, s.cluster_size
-FROM canon c
-JOIN (
+),
+csize AS (
   SELECT canonical_doc_id, count(*) AS cluster_size FROM canon GROUP BY 1
-) s USING (canonical_doc_id)
+)
+"""
+    )
+
+
+def _dedup_clusters_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return (
+        _dedup_closure_prefix(n=n, threshold=threshold)
+        + """
+SELECT c.doc_id, c.canonical_doc_id, s.cluster_size
+FROM canon c JOIN csize s USING (canonical_doc_id)
+"""
+    )
+
+
+def _dedup_keep_best_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """dedup_keep_best oracle: the closure prefix + the doc_quality CTE +
+    a cluster-partitioned row_number window (quality DESC, doc_id ASC) —
+    mirroring functions/dedup.py dedup_keep_best(hash_mode="md5")."""
+    return (
+        _dedup_closure_prefix(n=n, threshold=threshold)
+        + _QUALITY_CTE
+        + """
+, best AS (
+  SELECT canonical_doc_id, doc_id AS best_doc_id,
+         round(quality, 6) AS best_quality
+  FROM (
+    SELECT c.canonical_doc_id, c.doc_id, q.quality,
+           row_number() OVER (PARTITION BY c.canonical_doc_id
+                              ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+    FROM canon c JOIN q USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, b.best_doc_id, b.best_quality, s.cluster_size
+FROM canon c
+JOIN best b USING (canonical_doc_id)
+JOIN csize s USING (canonical_doc_id)
 """
     )
 
@@ -1433,6 +1597,62 @@ FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
 """,
+        "degree_assortativity": p
+        + """
+SELECT round(corr(a.degree, b.degree), 6) AS assortativity
+FROM sym
+JOIN deg a ON a.actor = sym.u
+JOIN deg b ON b.actor = sym.v
+""",
+        "clustering_coefficient": p
+        + """
+, wedge AS (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+),
+tri AS (
+  SELECT actor, count(*) AS t FROM (
+    SELECT a AS actor FROM wedge
+    UNION ALL SELECT b FROM wedge
+    UNION ALL SELECT c FROM wedge
+  ) GROUP BY 1
+)
+SELECT d.actor,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+             THEN 2.0 * COALESCE(tri.t, 0) / (d.degree * (d.degree - 1))
+             ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tri ON tri.actor = d.actor
+""",
+        "link_prediction_topk": p
+        + """
+, cn AS (
+  SELECT s1.v AS u, s2.v AS v,
+         count(*) AS common_neighbors,
+         sum(1.0 / ln(d.degree)) AS aa
+  FROM sym s1
+  JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN deg d ON d.actor = s1.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN edges e ON e.src_actor = cn.u AND e.dst_actor = cn.v
+  WHERE e.src_actor IS NULL
+)
+SELECT n.u AS u_actor, n.v AS v_actor,
+       CAST(n.common_neighbors AS BIGINT) AS common_neighbors,
+       round(n.common_neighbors
+             / (du.degree + dv.degree - n.common_neighbors), 6) AS jaccard,
+       round(n.aa, 6) AS adamic_adar
+FROM nonadj n
+JOIN deg du ON du.actor = n.u
+JOIN deg dv ON dv.actor = n.v
+ORDER BY round(n.aa, 6) DESC, n.u ASC, n.v ASC
+LIMIT 20
+""",
         "connected_components": cc_sql,
         # the forced-distributed twin is value-hash-checked against the
         # SAME oracle: a green row here is the large-star/small-star
@@ -1544,25 +1764,41 @@ SELECT doc_id,
 FROM scored
 """,
         "doc_quality": _DOC_PRELUDE
-        + f"""
-, q AS (
-  SELECT doc_id,
-    CASE WHEN length(text) >= 50 THEN 1.0 ELSE 0.0 END AS len_ok,
-    CASE WHEN (CASE WHEN length(text) > 0
-               THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.3
-         THEN 1.0 ELSE 0.0 END AS punct_ok,
-    LEAST(1.0, len(list_intersect(list_distinct(toks), {_SW_SQL})) / 4.0) AS sw_score
-  FROM toksrc
-)
-SELECT doc_id, round((len_ok + punct_ok + sw_score) / 3.0, 6) AS quality FROM q
-""",
+        + _QUALITY_CTE
+        + "SELECT doc_id, quality FROM q",
         "doc_fingerprint": _DOC_PRELUDE
         + """
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
        length(array_to_string(toks, ' ')) AS norm_len
 FROM toksrc
 """,
+        "doc_repetition": _DOC_PRELUDE
+        + """
+, tok AS (SELECT doc_id, unnest(toks) AS tok FROM toksrc),
+tokc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+toka AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_token_ratio,
+         round(sum(c * length(tok)) / sum(c), 6) AS mean_word_len
+  FROM tokc GROUP BY 1
+),
+bgt AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM toksrc
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgt GROUP BY 1, 2),
+bga AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_ratio,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
+           AS dup_bigram_frac
+  FROM bgc GROUP BY 1
+)
+SELECT t.doc_id, t.top_token_ratio, t.mean_word_len,
+       COALESCE(b.top_bigram_ratio, 0.0) AS top_bigram_ratio,
+       COALESCE(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+FROM toka t LEFT JOIN bga b USING (doc_id)
+""",
+        "redact_pii": _redact_pii_sql(),
         "dedup_exact": _DOC_PRELUDE
         + """
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)
@@ -1620,6 +1856,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         # transitive closure over the SAME dup pairs: recursive CTE vs the
         # engine's large-star/small-star CC kernel over the pair graph
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

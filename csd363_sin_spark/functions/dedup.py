@@ -389,3 +389,50 @@ def dedup_clusters(
     return canon.join(sizes, "canonical_doc_id").select(
         "doc_id", "canonical_doc_id", "cluster_size"
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster dedup: within each near-dup
+    cluster (see :func:`dedup_clusters`) keep the doc with the HIGHEST
+    quality score (functions/text.py quality_score), ties broken by
+    lowest doc_id — the selection a real training-data pipeline applies
+    (min-doc_id keeps an arbitrary copy; this keeps the best one).
+
+    Returns ``(doc_id, best_doc_id, best_quality, cluster_size)`` for
+    EVERY input doc; filter ``doc_id = best_doc_id`` for the kept corpus.
+
+    Scale: adds one cluster-partitioned window (row_number over
+    (quality DESC, doc_id ASC)) and one join to what dedup_clusters
+    already pays — the window is partitioned by cluster id, never global.
+    """
+    from pyspark.sql import Window
+
+    from csd363_sin_spark.functions.text import quality_score
+
+    clusters = dedup_clusters(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, hash_mode=hash_mode,
+    )
+    scored = clusters.join(quality_score(docs), "doc_id")
+    w = Window.partitionBy("canonical_doc_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_doc_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.round("quality", 6).alias("best_quality"),
+        )
+    )
+    return clusters.join(best, "canonical_doc_id").select(
+        "doc_id", "best_doc_id", "best_quality", "cluster_size"
+    )

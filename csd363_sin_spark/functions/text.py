@@ -108,6 +108,101 @@ def quality_score(docs: DataFrame, min_chars: int = 50, max_punct: float = 0.3) 
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    filters a training-data pipeline applies to drop degenerate /
+    boilerplate documents:
+
+    * ``top_token_ratio``   count of the most frequent token / all tokens
+    * ``mean_word_len``     mean token length over all token instances
+    * ``top_bigram_ratio``  count of the most frequent 2-gram / all 2-grams
+    * ``dup_bigram_frac``   fraction of 2-gram instances whose 2-gram
+      occurs more than once
+
+    Docs with fewer than two tokens get 0.0 for the bigram columns.
+
+    Scale design: two explode → two-level hash aggregations, both keyed
+    by (doc_id, gram) then doc_id — shuffle volume O(total tokens) with
+    map-side combine, no per-doc quadratic work and no Python.  The
+    within-doc alternative (higher-order-function frequency scan) is
+    O(len²) per document, which a 100 TB corpus with long docs cannot
+    afford.
+    """
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    tok = base.select("doc_id", F.explode("toks").alias("tok"))
+    tokc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    toka = tokc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio"),
+        F.round(F.sum(F.col("c") * F.length("tok")) / F.sum("c"), 6).alias(
+            "mean_word_len"
+        ),
+    )
+    bgs = F.expr(
+        """CASE WHEN size(toks) >= 2
+           THEN transform(sequence(0, size(toks) - 2),
+                          i -> concat(toks[i], ' ', toks[i + 1]))
+           ELSE CAST(array() AS array<string>) END"""
+    )
+    bgc = (
+        base.select("doc_id", F.explode(bgs).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bga = bgc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_ratio"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return (
+        toka.join(bga, "doc_id", "left")
+        .fillna({"top_bigram_ratio": 0.0, "dup_bigram_frac": 0.0})
+        .select(
+            "doc_id",
+            "top_token_ratio",
+            "mean_word_len",
+            "top_bigram_ratio",
+            "dup_bigram_frac",
+        )
+    )
+
+
+# PII patterns — deliberately restricted to syntax shared by Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.  Order matters and
+# is fixed: emails first (their local part may contain digits), then IPv4
+# (dots break the phone pattern, so no overlap), then phone-like runs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4 addresses / phone-like digit
+    runs with typed placeholders and count each kind — the redaction pass
+    a training-data pipeline runs before anything else ships.
+
+    Returns ``(doc_id, redacted, n_email, n_ip, n_phone)``.  Counts are
+    measured on the ORIGINAL text (the three patterns cannot overlap, see
+    ``PII_PATTERNS``); the replacement is applied sequentially in the
+    fixed pattern order.  Pure JVM expressions (regexp_count /
+    regexp_replace) — one narrow map stage, no shuffle, trivially
+    100 TB-shaped.
+    """
+    text = F.col("text")
+    redacted = text
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return docs.select("doc_id", redacted.alias("redacted"), *counts)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 of the normalized token
     stream (whitespace-canonicalized, lowercased, punctuation-stripped) —

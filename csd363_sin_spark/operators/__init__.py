@@ -1,2 +1,12 @@
-from csd363_sin_spark.operators.degree import degree_stats, density, analyze_graph  # noqa: F401
+from csd363_sin_spark.operators.degree import (  # noqa: F401
+    degree_stats,
+    density,
+    analyze_graph,
+    degree_assortativity,
+)
 from csd363_sin_spark.operators.components import connected_components  # noqa: F401
+from csd363_sin_spark.operators.triangles import (  # noqa: F401
+    triangle_count,
+    triangles_per_vertex,
+    clustering_coefficient,
+)

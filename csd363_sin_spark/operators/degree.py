@@ -68,3 +68,25 @@ def analyze_graph(graph: Graph, components: DataFrame | None = None) -> dict:
             100.0 * crow["largest"] / out["num_nodes"] if out["num_nodes"] else 0.0
         )
     return out
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """Pearson degree-assortativity coefficient — matches
+    nx.degree_assortativity_coefficient on simple undirected graphs:
+    the correlation of (deg(u), deg(v)) over directed half-edges (each
+    undirected edge counted in both orientations, the standard
+    joint-degree-distribution convention).
+
+    Plan: two broadcast-sized joins of the half-edge table with the
+    degree table and ONE corr() aggregate — a single map-side-combinable
+    pass over 2|E| rows, trivially 100 TB-shaped.
+    """
+    deg = graph.degrees()
+    du = deg.select(F.col("vertex_id").alias("src"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("vertex_id").alias("dst"), F.col("degree").alias("dv"))
+    return (
+        graph.edges_sym()
+        .join(du, "src")
+        .join(dv, "dst")
+        .agg(F.round(F.corr("du", "dv"), 6).alias("assortativity"))
+    )

@@ -47,3 +47,23 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
         .join(counts, "vertex_id", "left")
         .fillna({"triangles": 0})
     )
+
+
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient — matches nx.clustering on
+    simple graphs: 2*triangles / (deg * (deg-1)), 0.0 when deg < 2.
+
+    Plan: the same closed-wedge join as triangle_count (one pass over the
+    canonical edge table), a corner-explode hash aggregation, and one
+    broadcast-sized join with the degree table — no new shuffle shapes
+    beyond what G9 already pays, so the 100 TB story is unchanged.
+    """
+    tri = triangles_per_vertex(graph)
+    deg = graph.degrees()
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "vertex_id").select(
+        "vertex_id", "triangles", F.round(coeff, 6).alias("clustering")
+    )

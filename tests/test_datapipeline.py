@@ -302,3 +302,84 @@ def test_ivf_topk_recall_and_determinism(spark):
     key = lambda r: (r["probe_id"], r["rank"])
     assert sorted([(r["probe_id"], r["rank"], r["vec_id"]) for r in approx]) == \
            sorted([(r["probe_id"], r["rank"], r["vec_id"]) for r in again])
+
+
+def test_repetition_stats_hand_computed(spark):
+    from csd363_sin_spark.functions.text import repetition_stats
+
+    rows = [
+        # toks: [a b a b a] -> top tok a:3/5; bigrams: ab ba ab ba ->
+        # top 2/4, ALL duplicated -> dup frac 1.0; mean len 1.0
+        (1, "a b a b a"),
+        # all-distinct tokens, no repeated bigram
+        (2, "one two three"),
+        # single token: no bigrams -> 0.0 columns
+        (3, "lonely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_token_ratio"] == pytest.approx(3 / 5)
+    assert got[1]["mean_word_len"] == pytest.approx(1.0)
+    assert got[1]["top_bigram_ratio"] == pytest.approx(2 / 4)
+    assert got[1]["dup_bigram_frac"] == pytest.approx(1.0)
+    assert got[2]["top_token_ratio"] == pytest.approx(1 / 3)
+    assert got[2]["mean_word_len"] == pytest.approx(11 / 3)
+    assert got[2]["top_bigram_ratio"] == pytest.approx(1 / 2)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["top_token_ratio"] == 1.0
+    assert got[3]["top_bigram_ratio"] == 0.0
+    assert got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    from csd363_sin_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or jo@ex.io thanks"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1 555 010 1234 or 0800-123-4567 now"),
+        (4, "clean text with no pii at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[2]["redacted"] == "server <IP> and <IP> up"
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 2, 0)
+    assert got[3]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 2)
+    assert got[4]["redacted"] == rows[3][1]
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_dedup_keep_best_quality_argmax(spark):
+    """keep_best must pick the highest-quality doc per cluster (NOT the
+    min doc_id), ties broken by lowest doc_id; singletons keep themselves."""
+    from csd363_sin_spark.functions.dedup import dedup_keep_best
+    from csd363_sin_spark.functions.text import quality_score
+
+    # punctuation is stripped by the shared tokenizer, so doc 10 has the
+    # SAME shingles as doc 11 (guaranteed cluster) but a punct ratio > 0.3
+    # -> lower quality; doc 12 differs in one trailing word (still near-dup)
+    base = "alpha beta gamma delta epsilon zeta eta and the of to in"
+    punct = " !?!?;;;!?!?;;;!?!?;;;!?!?;;;!?!?;;;"
+    rows = [
+        (10, base + " kappa" + punct),  # near-dup, LOW quality (punct-heavy)
+        (11, base + " kappa"),
+        (12, base + " lambda"),
+        (20, "completely unrelated text about spark engines at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[11] > q[10]  # the premise of the test
+    got = {
+        r["doc_id"]: (r["best_doc_id"], r["best_quality"], r["cluster_size"])
+        for r in dedup_keep_best(docs, n=3, threshold=0.4).collect()
+    }
+    assert len(got) == 4
+    # cluster {10,11,12}: best is NOT min-id 10 — it's the max-quality doc
+    best_id, best_q, size = got[10]
+    assert size == 3 and best_q == max(q[10], q[11], q[12])
+    assert best_id == min(d for d in (10, 11, 12) if q[d] == best_q)
+    assert got[10] == got[11] == got[12]
+    assert got[20] == (20, q[20], 1)

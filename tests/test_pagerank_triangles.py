@@ -107,3 +107,50 @@ def test_triangles_triangle_free(spark):
     assert triangle_count(g) == 0
     per = triangles_per_vertex(g)
     assert per.filter(per.triangles > 0).isEmpty()
+
+
+def test_clustering_coefficient_vs_networkx(spark):
+    from csd363_sin_spark.operators.triangles import clustering_coefficient
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    expected = nx.clustering(nxg)
+    got = {
+        r["vertex_id"]: r["clustering"]
+        for r in clustering_coefficient(g).collect()
+    }
+    assert set(got) == set(expected)
+    for v in expected:
+        assert got[v] == pytest.approx(expected[v], abs=1e-6)
+
+
+def test_clustering_coefficient_degenerate(spark):
+    from csd363_sin_spark.operators.triangles import clustering_coefficient
+
+    # path graph: every coefficient 0; endpoints have degree 1 (no NaN/div0)
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(4)])
+    got = {r["vertex_id"]: r["clustering"] for r in clustering_coefficient(g).collect()}
+    assert got == {i: 0.0 for i in range(5)}
+
+
+def test_degree_assortativity_vs_definition(spark):
+    from csd363_sin_spark.operators.degree import degree_assortativity
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=11)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    deg = dict(nxg.degree())
+    xs, ys = [], []
+    for u, v in nxg.edges():
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    got = degree_assortativity(g).collect()[0]["assortativity"]
+    assert got == pytest.approx(expected, abs=1e-6)
+    # star graph: perfectly disassortative, r = -1 exactly... only with
+    # degree variance on both endpoints; star has constant corr -> NaN?
+    # K(1,3) has du in {3,1}: every edge pairs 3 with 1 -> r = -1
+    star = graph_from_edges(spark, [(0, i) for i in range(1, 4)])
+    r = degree_assortativity(star).collect()[0]["assortativity"]
+    assert r == pytest.approx(-1.0, abs=1e-9)
