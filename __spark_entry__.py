@@ -322,6 +322,40 @@ def q_pagerank_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOUVAIN_PHASE_GATE_STEPS = 5  # unrolled as CTE layers in the DuckDB oracle
 
 
+def _personalized_pagerank(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.pagerank import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vertex_id")
+    ppr = personalized_pagerank(
+        g,
+        seeds,
+        weighted=True,
+        tol=0.0,
+        max_iter=_PR_GATE_ITERS,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return ppr.join(g.vertices, "vertex_id").select(
+        "actor", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: random-walk-with-restart from the tool-vertex seed
+    set (uniform teleport over actors LIKE 'tool:%'), K=8 unrolled power
+    iterations against the SAME CTE family as pagerank_fixed with a
+    per-vertex teleport vector."""
+    return _personalized_pagerank(spark, sf_dir, 100_000)
+
+
+def q_personalized_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed personalized kernel (driver
+    dispatch off) — green pins the per-vertex teleport join path."""
+    return _personalized_pagerank(spark, sf_dir, 0)
+
+
 def q_louvain_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: ONE deterministic down-only Louvain local-move
     phase (K=5 supersteps), mirrored by an unrolled-CTE DuckDB oracle.
@@ -858,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
         "pagerank_fixed": q_pagerank_fixed,
+        "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
         "gn_refine": q_gn_refine,
@@ -872,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "pagerank_fixed_dist": q_pagerank_fixed_dist,
+        "personalized_pagerank_dist": q_personalized_pagerank_dist,
         "louvain_phase_dist": q_louvain_phase_dist,
         "louvain_dist": q_louvain_dist,
         "gn_refine_dist": q_gn_refine_dist,
@@ -960,11 +996,15 @@ l{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _pagerank_sql(k: int, alpha: float = 0.85) -> str:
+def _pagerank_sql(k: int, alpha: float = 0.85, reset_pred: str | None = None) -> str:
     """Unrolled-CTE mirror of operators/pagerank.py at exactly ``k``
-    power iterations (weighted, networkx semantics: x0 = 1/n, dangling
-    mass redistributed uniformly, x' = (1-a)/n + a*(M^T x + dangling/n)).
-    Output rounded to 6 dp in both engines."""
+    power iterations (weighted, networkx semantics: x0 = p, dangling
+    mass redistributed proportionally to p, x' = (1-a)*p + a*(M^T x +
+    dangling*p)).  ``reset_pred`` (a SQL predicate over ``actor``)
+    selects the personalization seed set (uniform over it); ``None`` =
+    classic uniform teleport p = 1/n.  Output rounded to 6 dp in both
+    engines."""
+    pred = reset_pred if reset_pred is not None else "TRUE"
     parts = [
         f"""
 , nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
@@ -973,7 +1013,11 @@ shares AS (
   SELECT s.u, s.v, s.weight / o.out_w AS share FROM sym s JOIN outw o USING (u)
 ),
 dang AS (SELECT actor FROM deg WHERE degree = 0),
-x0 AS MATERIALIZED (SELECT actor, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+p0 AS (SELECT actor, CASE WHEN {pred} THEN 1.0 ELSE 0.0 END AS w FROM verts),
+pvec AS MATERIALIZED (
+  SELECT actor, w / (SELECT sum(w) FROM p0) AS p FROM p0
+),
+x0 AS MATERIALIZED (SELECT actor, p AS rank FROM pvec)"""
     ]
     for i in range(1, k + 1):
         parts.append(f"""
@@ -987,10 +1031,10 @@ m{i} AS MATERIALIZED (
 ),
 x{i} AS MATERIALIZED (
   SELECT v.actor,
-         (1.0 - {alpha}) / (SELECT n FROM nn)
+         (1.0 - {alpha}) * pv.p
          + {alpha} * (COALESCE(m.in_mass, 0.0)
-                      + (SELECT mass FROM d{i}) / (SELECT n FROM nn)) AS rank
-  FROM verts v LEFT JOIN m{i} m USING (actor)
+                      + (SELECT mass FROM d{i}) * pv.p) AS rank
+  FROM verts v JOIN pvec pv USING (actor) LEFT JOIN m{i} m USING (actor)
 )""")
     parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
     return "".join(parts)
@@ -1665,6 +1709,10 @@ LIMIT 20
         # same-oracle twin: green == the CSR/Arrow vote-gather kernel
         "label_propagation_csr": p + _lpa_sql(_LPA_GATE_ITERS),
         "pagerank_fixed": p + _pagerank_sql(_PR_GATE_ITERS),
+        "personalized_pagerank": p
+        + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
+        "personalized_pagerank_dist": p
+        + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         # same-oracle twin: green == the distributed shuffle-per-iteration
         # power-iteration kernel matching DuckDB exactly
         "pagerank_fixed_dist": p + _pagerank_sql(_PR_GATE_ITERS),

@@ -29,7 +29,12 @@ from csd363_sin_spark.plans.lineage import materialize, release
 
 
 def _pagerank_driver(
-    graph: Graph, alpha: float, tol: float, max_iter: int, weighted: bool
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    weighted: bool,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Driver-side numpy power iteration for a graph small enough to
     collect — the SAME semantics (init, dangling redistribution, L1
@@ -64,11 +69,22 @@ def _pagerank_driver(
     dangling = out_w == 0
     share = w / np.where(out_w[src] == 0, 1.0, out_w[src])
 
-    x = np.full(n, 1.0 / n)
+    # teleport distribution: uniform, or the normalized reset vector
+    # (networkx `personalization` semantics: x0 = p, teleport to p,
+    # dangling mass redistributed proportionally to p)
+    if reset is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.zeros(n)
+        for r in reset.collect():
+            p[idx[int(r["vertex_id"])]] = float(r["p"])
+        p /= p.sum()
+
+    x = p.copy()
     for _ in range(max_iter):
         in_mass = np.bincount(dst, weights=share * x[src], minlength=n)
         d_mass = float(x[dangling].sum()) if dangling.any() else 0.0
-        x_new = (1.0 - alpha) / n + alpha * (in_mass + d_mass / n)
+        x_new = (1.0 - alpha) * p + alpha * (in_mass + d_mass * p)
         err = float(np.abs(x_new - x).sum())
         x = x_new
         if tol > 0.0 and err < n * tol:
@@ -86,14 +102,27 @@ def pagerank(
     max_iter: int = 100,
     weighted: bool = True,
     local_edges_threshold: int = 100_000,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
-    """Return ``(vertex_id long, rank double)`` summing to 1."""
+    """Return ``(vertex_id long, rank double)`` summing to 1.
+
+    ``reset``: optional ``(vertex_id, p)`` teleport distribution
+    (normalized internally; vertices absent from it get p = 0) — the
+    networkx ``personalization`` semantics: x0 = p, (1-α) restarts land
+    on p, dangling mass is redistributed proportionally to p.  ``None``
+    keeps the classic uniform teleport (and its cheaper scalar-base
+    plan: the personalized path pays one extra broadcast-sized join per
+    iteration, nothing more).
+    """
     spark = graph.edges.sparkSession
     n = graph.vertices.count()
     if n == 0:
         return spark.createDataFrame([], "vertex_id long, rank double")
+    if reset is not None:
+        tot = float(reset.agg(F.sum("p")).collect()[0][0])
+        reset = reset.select("vertex_id", (F.col("p") / F.lit(tot)).alias("p"))
     if graph.edges.count() <= local_edges_threshold:
-        return _pagerank_driver(graph, alpha, tol, max_iter, weighted)
+        return _pagerank_driver(graph, alpha, tol, max_iter, weighted, reset)
 
     w = F.col("weight") if weighted else F.lit(1.0)
     sym = graph.edges_sym().select("src", "dst", w.alias("w"))
@@ -109,9 +138,24 @@ def pagerank(
     dangling = degs.filter(F.col("degree") == 0).select("vertex_id").persist()
     has_dangling = not dangling.isEmpty()
 
-    ranks = last_cut = materialize(graph.vertices.select(
-        "vertex_id", F.lit(1.0 / n).alias("rank")
-    ))
+    if reset is not None:
+        # full teleport vector (zeros for vertices outside the reset set),
+        # persisted: it is joined once per iteration and never changes
+        pvec = (
+            graph.vertices.select("vertex_id")
+            .join(reset, "vertex_id", "left")
+            .fillna({"p": 0.0})
+            .persist()
+        )
+        pvec.count()
+        ranks = last_cut = materialize(
+            pvec.select("vertex_id", F.col("p").alias("rank"))
+        )
+    else:
+        pvec = None
+        ranks = last_cut = materialize(graph.vertices.select(
+            "vertex_id", F.lit(1.0 / n).alias("rank")
+        ))
 
     check_convergence = tol > 0.0
     for it in range(max_iter):
@@ -131,16 +175,31 @@ def pagerank(
             dangling_mass = float(d_row or 0.0)
         else:
             dangling_mass = 0.0
-        base = (1.0 - alpha) / n + alpha * dangling_mass / n
-        new_ranks = (
-            graph.vertices.select("vertex_id")
-            .join(contribs, "vertex_id", "left")
-            .fillna({"in_mass": 0.0})
-            .select(
-                "vertex_id",
-                (F.lit(base) + F.lit(alpha) * F.col("in_mass")).alias("rank"),
+        if pvec is None:
+            base = (1.0 - alpha) / n + alpha * dangling_mass / n
+            new_ranks = (
+                graph.vertices.select("vertex_id")
+                .join(contribs, "vertex_id", "left")
+                .fillna({"in_mass": 0.0})
+                .select(
+                    "vertex_id",
+                    (F.lit(base) + F.lit(alpha) * F.col("in_mass")).alias("rank"),
+                )
             )
-        )
+        else:
+            # per-vertex base: (1-α)p + α·d_mass·p (teleport follows p)
+            new_ranks = (
+                pvec.join(contribs, "vertex_id", "left")
+                .fillna({"in_mass": 0.0})
+                .select(
+                    "vertex_id",
+                    (
+                        F.lit(1.0 - alpha) * F.col("p")
+                        + F.lit(alpha)
+                        * (F.col("in_mass") + F.lit(dangling_mass) * F.col("p"))
+                    ).alias("rank"),
+                )
+            )
         # lineage/stats cut every few iterations is enough (plan depth
         # stays bounded); cutting every iteration doubles serialization
         new_is_cut = check_convergence or it % 3 == 2 or it == max_iter - 1
@@ -168,7 +227,40 @@ def pagerank(
             ranks = new_ranks
     shares.unpersist()
     dangling.unpersist()
+    if pvec is not None:
+        pvec.unpersist()
     return ranks
+
+
+def personalized_pagerank(
+    graph: Graph,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    weighted: bool = True,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """Random-walk-with-restart scores from a seed set: PageRank whose
+    teleport distribution is uniform over ``seeds`` (a DataFrame with a
+    ``vertex_id`` column) — the standard link-graph relatedness query
+    ("what is near THESE nodes"), networkx
+    ``pagerank(personalization=...)`` semantics.
+
+    Same kernels and scale shape as :func:`pagerank`; the personalized
+    distributed path adds one broadcast-sized join with the (persisted,
+    |V|-row) teleport vector per iteration.
+    """
+    reset = seeds.select("vertex_id").distinct().withColumn("p", F.lit(1.0))
+    return pagerank(
+        graph,
+        alpha=alpha,
+        tol=tol,
+        max_iter=max_iter,
+        weighted=weighted,
+        local_edges_threshold=local_edges_threshold,
+        reset=reset,
+    )
 
 
 def visit_rates(graph: Graph) -> DataFrame:

@@ -109,6 +109,38 @@ def test_triangles_triangle_free(spark):
     assert per.filter(per.triangles > 0).isEmpty()
 
 
+def test_personalized_pagerank_vs_networkx(spark):
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    from csd363_sin_spark.operators.pagerank import personalized_pagerank
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=5)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    seed_ids = [
+        r["vertex_id"]
+        for r in g.vertices.filter("kind = 'tool'").collect()
+    ]
+    pers = {v: (1.0 if v in set(seed_ids) else 0.0) for v in nxg}
+    expected = _pagerank_python(
+        nxg, alpha=0.85, tol=1e-8, weight="weight", personalization=pers
+    )
+    seeds = g.vertices.filter("kind = 'tool'").select("vertex_id")
+    for thr in (100_000, 0):  # driver dispatch AND distributed kernel
+        got = {
+            r["vertex_id"]: r["rank"]
+            for r in personalized_pagerank(
+                g, seeds, tol=1e-10, local_edges_threshold=thr
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for v in expected:
+            assert got[v] == pytest.approx(expected[v], abs=1e-6)
+        # teleport mass concentrates near seeds: every non-seed vertex
+        # with no edges would get 0 (none here), seeds outrank uniform
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_clustering_coefficient_vs_networkx(spark):
     from csd363_sin_spark.operators.triangles import clustering_coefficient
 
