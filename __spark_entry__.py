@@ -198,6 +198,34 @@ def q_link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _core_number(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.kcore import core_number
+
+    g = _graph(spark, sf_dir)
+    return (
+        core_number(g, local_edges_threshold=local_edges_threshold)
+        .join(g.vertices, "vertex_id")
+        .select("actor", "core")
+    )
+
+
+def q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: exact k-core decomposition (Montresor h-index
+    iteration from c0 = degree; integer-exact, = nx.core_number),
+    mirrored by an unrolled-CTE DuckDB oracle (4 layers >= the gate
+    graph's 2-superstep fixpoint; extra layers are no-ops)."""
+    return _core_number(spark, sf_dir, 100_000)
+
+
+def q_core_number_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed histogram-h-index kernel (driver
+    dispatch off) against the SAME oracle — green pins the clamp +
+    suffix-count formulation to the exact core numbers."""
+    return _core_number(spark, sf_dir, 0)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.operators.components import connected_components
 
@@ -881,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
+        "core_number": q_core_number,
+        "core_number_dist": q_core_number_dist,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         # metrics (SURVEY §2.4)
@@ -1037,6 +1067,37 @@ x{i} AS MATERIALIZED (
   FROM verts v JOIN pvec pv USING (actor) LEFT JOIN m{i} m USING (actor)
 )""")
     parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
+    return "".join(parts)
+
+
+def _core_number_sql(rounds: int = 4) -> str:
+    """Unrolled-CTE mirror of operators/kcore.py core_number: ``rounds``
+    h-index supersteps from c0 = degree.  The h-index here is the direct
+    sorted-rank form max(min(rank, value)) — a different but exactly
+    equivalent integer formula to the engine's skew-free histogram form,
+    so green pins the clamp + suffix-count algebra.  Rounds beyond the
+    fixpoint are no-ops (c is monotone), so any rounds >= the gate
+    graph's fixpoint depth (2 at sf0.01) is exact."""
+    parts = [
+        """
+, c0 AS MATERIALIZED (SELECT actor, CAST(degree AS BIGINT) AS c FROM deg)"""
+    ]
+    for i in range(1, rounds + 1):
+        j = i - 1
+        parts.append(f"""
+, pr{i} AS MATERIALIZED (
+  SELECT s.u AS actor, x.c AS cn,
+         row_number() OVER (PARTITION BY s.u ORDER BY x.c DESC) AS rn
+  FROM sym s JOIN c{j} x ON x.actor = s.v
+),
+h{i} AS MATERIALIZED (
+  SELECT actor, max(least(rn, cn)) AS h FROM pr{i} GROUP BY 1
+),
+c{i} AS MATERIALIZED (
+  SELECT c.actor, CAST(least(c.c, COALESCE(h.h, 0)) AS BIGINT) AS c
+  FROM c{j} c LEFT JOIN h{i} h USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, c AS core FROM c{rounds}")
     return "".join(parts)
 
 
@@ -1697,6 +1758,8 @@ JOIN deg dv ON dv.actor = n.v
 ORDER BY round(n.aa, 6) DESC, n.u ASC, n.v ASC
 LIMIT 20
 """,
+        "core_number": p + _core_number_sql(),
+        "core_number_dist": p + _core_number_sql(),
         "connected_components": cc_sql,
         # the forced-distributed twin is value-hash-checked against the
         # SAME oracle: a green row here is the large-star/small-star
