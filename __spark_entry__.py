@@ -727,6 +727,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (idf = ln(N/df), 6-dp rounded score,
+    (score DESC, term ASC) ranking) — full SQL mirror in DuckDB."""
+    from csd363_sin_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition: doc count, token total,
+    mean quality — the data-mixing report, mirrored 1:1 in SQL."""
+    from csd363_sin_spark.functions.text import corpus_mix
+
+    return corpus_mix(_docs(spark, sf_dir))
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-token ratio, mean word length,
     top-bigram ratio, duplicate-bigram fraction) — mirrored in DuckDB via
@@ -955,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_repetition": q_doc_repetition,
         "redact_pii": q_redact_pii,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_mix": q_corpus_mix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1910,6 +1928,42 @@ SELECT t.doc_id, t.top_token_ratio, t.mean_word_len,
 FROM toka t LEFT JOIN bga b USING (doc_id)
 """,
         "redact_pii": _redact_pii_sql(),
+        "tfidf_top_terms": _DOC_PRELUDE
+        + """
+, tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT n FROM nn) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
+""",
+        "corpus_mix": _DOC_PRELUDE
+        + """
+, tstats AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+  FROM toksrc
+)"""
+        + _QUALITY_CTE
+        + """
+SELECT d.source, d.lang, count(*) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q.quality), 6) AS mean_quality
+FROM documents d
+JOIN tstats t USING (doc_id)
+JOIN q USING (doc_id)
+GROUP BY 1, 2
+""",
         "dedup_exact": _DOC_PRELUDE
         + """
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)

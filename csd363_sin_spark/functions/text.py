@@ -169,6 +169,66 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword /
+    domain-signal extraction step of a corpus pipeline.
+
+    Exact formula (deterministic, oracle-portable): ``tf`` = term count
+    in the doc, ``idf = ln(N / df)`` with N = total docs and df = number
+    of docs containing the term; ``score = round(tf * idf, 6)``; rank by
+    (score DESC, term ASC) within each doc, keep rank <= k.  Returns
+    ``(doc_id, term, tf, score, rank)``.
+
+    Scale: one explode → (doc, term) hash agg (map-side combined), a
+    term-keyed df agg joined back on term (hub terms are exactly the
+    high-df ones, whose idf → 0 — skew on the join key is absorbed by
+    AQE), and a per-doc window over <= distinct-terms rows.  N is one
+    scalar aggregate, folded in as a literal.
+    """
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus composition report: document count,
+    total whitespace tokens, and mean quality score — the data-mixing
+    summary a training run is planned against.  One join of two
+    per-doc relations plus one grouped aggregation; trivially scales."""
+    per_doc = token_stats(docs).select("doc_id", "n_tokens").join(
+        quality_score(docs), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(per_doc, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+
+
 # PII patterns — deliberately restricted to syntax shared by Java regex
 # (Spark) and RE2 (DuckDB): no backrefs, no lookaround.  Order matters and
 # is fixed: emails first (their local part may contain digits), then IPv4

@@ -352,6 +352,51 @@ def test_redact_pii(spark):
     assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from csd363_sin_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    idf = lambda df: math.log(3 / df)
+    # doc 1: apple tf=2 df=1 -> 2*ln3 top; banana tf=1 df=2 second
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][2] == pytest.approx(round(2 * idf(1), 6), abs=1e-9)
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 df=2 top; common idf = ln(1) = 0 -> score 0
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 2)] == ("common", 1, 0.0)
+    # ubiquitous term never outranks a distinctive one
+    assert all(term != "common" for (d, rk), (term, *_ ) in got.items() if rk == 1)
+
+
+def test_corpus_mix_hand_computed(spark):
+    from csd363_sin_spark.functions.text import corpus_mix, quality_score, token_stats
+
+    rows = [
+        (1, "one two three", "en", "web"),
+        (2, "four five", "en", "web"),
+        (3, "sechs sieben", "de", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["total_tokens"], r["mean_quality"])
+        for r in corpus_mix(docs).collect()
+    }
+    assert got[("web", "en")] == (2, 5, round((q[1] + q[2]) / 2, 6))
+    assert got[("books", "de")] == (1, 2, q[3])
+
+
 def test_dedup_keep_best_quality_argmax(spark):
     """keep_best must pick the highest-quality doc per cluster (NOT the
     min doc_id), ties broken by lowest doc_id; singletons keep themselves."""
