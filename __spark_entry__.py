@@ -226,6 +226,57 @@ def q_core_number_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _core_number(spark, sf_dir, 0)
 
 
+def _bfs_distances(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.bfs import landmark_distances
+
+    g = _graph(spark, sf_dir)
+    lm_named = g.vertices.select(
+        F.col("vertex_id").alias("landmark"), F.col("actor").alias("landmark_actor")
+    )
+    return (
+        landmark_distances(
+            g, n_landmarks=4, max_depth=6, local_edges_threshold=local_edges_threshold
+        )
+        .join(lm_named, "landmark")
+        .join(g.vertices, "vertex_id")
+        .select("landmark_actor", "actor", "dist")
+    )
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: exact multi-source BFS distances from the 4
+    highest-degree landmarks (ties to smallest id == smallest actor),
+    depth <= 6; mirrored by an unrolled layered-expansion SQL oracle
+    (min layer of first appearance = BFS distance)."""
+    return _bfs_distances(spark, sf_dir, 100_000)
+
+
+def q_bfs_distances_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed Pregel-BFS kernel (driver dispatch
+    off) against the SAME oracle — green pins the frontier-expansion +
+    anti-join-dedup kernel to exact distances."""
+    return _bfs_distances(spark, sf_dir, 0)
+
+
+def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: closeness + harmonic centrality of the 4 landmark
+    vertices, composed on the BFS state — one aggregation over the
+    min-dist relation, mirrored 1:1 in SQL."""
+    from csd363_sin_spark.operators.bfs import landmark_closeness
+
+    g = _graph(spark, sf_dir)
+    lm_named = g.vertices.select(
+        F.col("vertex_id").alias("landmark"), "actor"
+    )
+    return (
+        landmark_closeness(g, n_landmarks=4, max_depth=6)
+        .join(lm_named, "landmark")
+        .select("actor", "n_reached", "closeness", "harmonic")
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.operators.components import connected_components
 
@@ -314,6 +365,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_GATE_ITERS = 8  # unrolled as CTE layers in the DuckDB oracle
+
+
+def _eigencentrality(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.eigenvector import eigenvector_centrality
+
+    g = _graph(spark, sf_dir)
+    ec = eigenvector_centrality(
+        g, max_iter=_PR_GATE_ITERS, tol=0.0, local_edges_threshold=local_edges_threshold
+    )
+    return ec.join(g.vertices, "vertex_id").select(
+        "actor", F.round("score", 6).alias("score")
+    )
+
+
+def q_eigencentrality_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: weighted eigenvector centrality at exactly K=8
+    max-normalized power iterations (tol=0), mirrored by an unrolled-CTE
+    DuckDB oracle; 6-dp rounding absorbs cross-engine summation-order
+    noise — the same portability contract as pagerank_fixed."""
+    return _eigencentrality(spark, sf_dir, 100_000)
+
+
+def q_eigencentrality_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed gather-per-iteration kernel
+    (driver dispatch off) against the SAME unrolled-CTE oracle."""
+    return _eigencentrality(spark, sf_dir, 0)
 
 
 def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +822,38 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source subsample (src0 at 10%, src1 at 90%,
+    everything else 50%) keyed on a portable md5 bucket of doc_id —
+    mirrored exactly in SQL."""
+    from csd363_sin_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"src0": 100, "src1": 900}, default_permille=500
+    )
+
+
+def q_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 5% holdout split keyed on an md5 bucket of doc_id — the
+    assignment is a pure function of the key, so re-runs and corpus
+    growth never move a document across the split."""
+    from csd363_sin_spark.functions.sampling import train_holdout_split
+
+    return train_holdout_split(_docs(spark, sf_dir), holdout_permille=50)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram overlap of every candidate
+    doc against a deterministic ~5% 'benchmark' subset (md5 bucket of
+    doc_id % 20 == 0); full SQL mirror."""
+    from csd363_sin_spark.functions.dedup import contamination_check
+    from csd363_sin_spark.functions.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(hash_bucket(F.col("doc_id"), "bench", 20) == 0)
+    return contamination_check(docs, bench, n=3)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-token ratio, mean word length,
     top-bigram ratio, duplicate-bigram fraction) — mirrored in DuckDB via
@@ -927,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_topk": q_link_prediction_topk,
         "core_number": q_core_number,
         "core_number_dist": q_core_number_dist,
+        "bfs_distances": q_bfs_distances,
+        "bfs_distances_dist": q_bfs_distances_dist,
+        "landmark_closeness": q_landmark_closeness,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         # metrics (SURVEY §2.4)
@@ -938,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
         "pagerank_fixed": q_pagerank_fixed,
+        "eigencentrality_fixed": q_eigencentrality_fixed,
+        "eigencentrality_fixed_dist": q_eigencentrality_fixed_dist,
         "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
@@ -973,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_mix": q_corpus_mix,
+        "stratified_sample": q_stratified_sample,
+        "train_holdout_split": q_train_holdout_split,
+        "contamination_check": q_contamination_check,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1010,6 +1129,56 @@ stats AS (
   FROM allcomms a LEFT JOIN comm_stats cs USING (comm)
 ),
 m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
+"""
+
+
+def _bfs_sql(n_landmarks: int = 4, depth: int = 6) -> str:
+    """Mirror of operators/bfs.py landmark_distances: landmarks = top-n by
+    (degree DESC, actor ASC) (ids are key-order dense, so id tie-break ==
+    actor tie-break), then ``depth`` unrolled expansion layers; a vertex's
+    BFS distance is the first layer it appears in (min over layers), so no
+    visited-set bookkeeping is needed in SQL."""
+    parts = [
+        f"""
+, lmk AS (SELECT actor FROM deg ORDER BY degree DESC, actor ASC LIMIT {n_landmarks}),
+b0 AS MATERIALIZED (SELECT actor AS lm, actor AS v FROM lmk)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f"""
+, b{i} AS MATERIALIZED (
+  SELECT DISTINCT p.lm, s.v FROM b{i - 1} p JOIN sym s ON s.u = p.v
+)"""
+        )
+    layers = "\n  UNION ALL ".join(
+        f"SELECT lm, v, {i} AS dist FROM b{i}" for i in range(depth + 1)
+    )
+    parts.append(
+        f"""
+, reach AS (
+  {layers}
+),
+mind AS (
+  SELECT lm, v, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY 1, 2
+)
+"""
+    )
+    return "".join(parts)
+
+
+def _bfs_distances_final() -> str:
+    return "SELECT lm AS landmark_actor, v AS actor, dist FROM mind"
+
+
+def _closeness_final() -> str:
+    """Closeness/harmonic of the landmarks over the min-dist relation —
+    mirrors operators/bfs.py landmark_closeness."""
+    return """
+SELECT lm AS actor,
+       count(*) AS n_reached,
+       round(count(*) / CAST(sum(dist) AS DOUBLE), 6) AS closeness,
+       round(sum(1.0 / dist), 6) AS harmonic
+FROM mind WHERE dist > 0 GROUP BY 1
 """
 
 
@@ -1085,6 +1254,30 @@ x{i} AS MATERIALIZED (
   FROM verts v JOIN pvec pv USING (actor) LEFT JOIN m{i} m USING (actor)
 )""")
     parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
+    return "".join(parts)
+
+
+def _eigencentrality_sql(k: int) -> str:
+    """Unrolled-CTE mirror of operators/eigenvector.py at exactly ``k``
+    max-normalized ``x' = (A + I) x`` power iterations from x0 = 1:
+    comb = x + sum over incident edges of weight * x(neighbor), then
+    divide by max(comb).  Output rounded to 6 dp in both engines."""
+    parts = ["\n, e0 AS MATERIALIZED (SELECT actor, 1.0 AS score FROM verts)"]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, g{i} AS MATERIALIZED (
+  SELECT s.v AS actor, sum(s.weight * x.score) AS gather
+  FROM sym s JOIN e{i - 1} x ON x.actor = s.u GROUP BY 1
+),
+c{i} AS MATERIALIZED (
+  SELECT x.actor, x.score + COALESCE(g.gather, 0.0) AS comb
+  FROM e{i - 1} x LEFT JOIN g{i} g USING (actor)
+),
+mx{i} AS MATERIALIZED (SELECT max(comb) AS mx FROM c{i}),
+e{i} AS MATERIALIZED (
+  SELECT actor, comb / (SELECT mx FROM mx{i}) AS score FROM c{i}
+)""")
+    parts.append(f"\nSELECT actor, round(score, 6) AS score FROM e{k}")
     return "".join(parts)
 
 
@@ -1778,6 +1971,11 @@ LIMIT 20
 """,
         "core_number": p + _core_number_sql(),
         "core_number_dist": p + _core_number_sql(),
+        "bfs_distances": p + _bfs_sql() + _bfs_distances_final(),
+        # same-oracle twin: green == the Pregel frontier-expansion kernel
+        # (not the driver BFS) producing exact distances
+        "bfs_distances_dist": p + _bfs_sql() + _bfs_distances_final(),
+        "landmark_closeness": p + _bfs_sql() + _closeness_final(),
         "connected_components": cc_sql,
         # the forced-distributed twin is value-hash-checked against the
         # SAME oracle: a green row here is the large-star/small-star
@@ -1790,6 +1988,10 @@ LIMIT 20
         # same-oracle twin: green == the CSR/Arrow vote-gather kernel
         "label_propagation_csr": p + _lpa_sql(_LPA_GATE_ITERS),
         "pagerank_fixed": p + _pagerank_sql(_PR_GATE_ITERS),
+        "eigencentrality_fixed": p + _eigencentrality_sql(_PR_GATE_ITERS),
+        # same-oracle twin: green == the distributed gather kernel (not
+        # the numpy driver loop) matching DuckDB exactly
+        "eigencentrality_fixed_dist": p + _eigencentrality_sql(_PR_GATE_ITERS),
         "personalized_pagerank": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p
@@ -1963,6 +2165,46 @@ FROM documents d
 JOIN tstats t USING (doc_id)
 JOIN q USING (doc_id)
 GROUP BY 1, 2
+""",
+        "stratified_sample": f"""
+SELECT doc_id, source, lang, bucket FROM (
+  SELECT doc_id, source, lang,
+         {_ph("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+  FROM documents
+)
+WHERE bucket < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 900 ELSE 500 END
+""",
+        "train_holdout_split": f"""
+SELECT doc_id,
+       CASE WHEN bucket < 50 THEN 'holdout' ELSE 'train' END AS split,
+       bucket
+FROM (
+  SELECT doc_id,
+         {_ph("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+  FROM documents
+)
+""",
+        "contamination_check": _DOC_PRELUDE
+        + _sh_cte(3)
+        + f"""
+, bench AS (
+  SELECT doc_id FROM documents
+  WHERE {_ph("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 = 0
+),
+cand_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  LEFT JOIN bench b USING (doc_id) WHERE b.doc_id IS NULL
+),
+bsh AS (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand_sh GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM cand_sh
+  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+         AS contamination
+FROM sizes s LEFT JOIN hits h USING (doc_id)
 """,
         "dedup_exact": _DOC_PRELUDE
         + """

@@ -148,6 +148,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    docs: DataFrame, bench: DataFrame, n: int = 3, broadcast_bench: bool = True
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate training document
+    NOT in the benchmark set, the fraction of its distinct word n-grams
+    that appear anywhere in the benchmark corpus.
+
+    Returns ``(doc_id, n_shingles, n_hit, contamination)`` where
+    ``contamination = round(n_hit / n_shingles, 6)`` — 1.0 means every
+    n-gram of the doc occurs in some benchmark document (a verbatim or
+    near-verbatim leak); filter at a policy threshold downstream.
+
+    Scale: benchmark suites are tiny relative to a 100 TB corpus (MBs of
+    eval text), so the distinct benchmark-shingle set is broadcast and
+    the scan is one map-side semi-join + per-doc aggregation — no
+    all-pairs work, no shuffle of the corpus side beyond the count agg.
+    Set ``broadcast_bench=False`` if the benchmark set is genuinely
+    large; the plan degrades to a shuffled semi-join and still scales.
+    """
+    candidates = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    doc_sh = _shingles(candidates, n)
+    bench_sh = _shingles(bench, n).select("shingle").distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 32, hash_mode: str = "xxhash64"
 ) -> DataFrame:

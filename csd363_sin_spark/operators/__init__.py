@@ -5,6 +5,14 @@ from csd363_sin_spark.operators.degree import (  # noqa: F401
     degree_assortativity,
 )
 from csd363_sin_spark.operators.components import connected_components  # noqa: F401
+from csd363_sin_spark.operators.bfs import (  # noqa: F401
+    landmark_closeness,
+    landmark_distances,
+    select_landmarks,
+)
+from csd363_sin_spark.operators.eigenvector import (  # noqa: F401
+    eigenvector_centrality,
+)
 from csd363_sin_spark.operators.triangles import (  # noqa: F401
     triangle_count,
     triangles_per_vertex,

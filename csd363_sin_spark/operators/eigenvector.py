@@ -1,0 +1,128 @@
+"""Eigenvector centrality (weighted power iteration) — beyond the reference.
+
+The HITS-family importance score on an undirected graph (where hubs ==
+authorities == the principal eigenvector of the weighted adjacency):
+iterate ``x' = (A + I) x`` and renormalize, starting from the all-ones
+vector.  The +I shift is networkx's recurrence — it makes the iteration
+aperiodic, so it converges on bipartite graphs too (pure ``A x``
+oscillates on a star), while leaving the fixpoint eigenvector unchanged.
+Normalization is by the MAX component, not the L2 norm — max-norm is a
+pure division (no sqrt), which keeps every intermediate value exactly
+reproducible in the DuckDB SQL oracle; the fixpoint direction is the
+same (the two normalizations differ only by a positive scalar).
+
+Scale design: each power iteration is the same shape as a PageRank
+superstep — one map-side-combined ``groupBy(dst).sum(weight * x)``
+gather over the symmetric edge view (the only O(E) exchange), one |V|
+-row join to re-attach isolates, and one scalar max.  The sym view is
+persisted with visible partitioning once; per-iteration state is
+``materialize``d so lineage stays flat.  Driver dispatch below
+``local_edges_threshold`` runs the identical recurrence as a numpy
+kernel (cross-path parity ~1e-15, pinned by tests at 1e-9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import Graph
+from csd363_sin_spark.plans.lineage import materialize, release
+
+
+def _eigenvector_driver(graph: Graph, max_iter: int, tol: float) -> DataFrame:
+    import numpy as np
+
+    spark = graph.edges.sparkSession
+    ids = sorted(
+        int(r["vertex_id"]) for r in graph.vertices.select("vertex_id").collect()
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    edges = graph.edges.select("src", "dst", "weight").collect()
+    n = len(ids)
+    src = np.fromiter(
+        (idx[int(r["src"])] for r in edges), dtype=np.int64, count=len(edges)
+    )
+    dst = np.fromiter(
+        (idx[int(r["dst"])] for r in edges), dtype=np.int64, count=len(edges)
+    )
+    w = np.fromiter((float(r["weight"]) for r in edges), dtype=np.float64, count=len(edges))
+    x = np.ones(n, dtype=np.float64)
+    for _ in range(max_iter):
+        g = x.copy()  # the +I term
+        np.add.at(g, dst, w * x[src])
+        np.add.at(g, src, w * x[dst])
+        mx = g.max() if n else 0.0
+        if mx == 0.0:
+            x = g
+            break
+        xn = g / mx
+        if tol > 0.0 and float(np.abs(xn - x).sum()) < tol:
+            x = xn
+            break
+        x = xn
+    return spark.createDataFrame(
+        [(v, float(x[i])) for v, i in idx.items()], "vertex_id long, score double"
+    )
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """``(vertex_id long, score double)`` with scores max-normalized to
+    [0, 1].  ``tol=0`` disables early stop (fixed-work oracle mode);
+    isolates score 0."""
+    if graph.edges.count() <= local_edges_threshold:
+        return _eigenvector_driver(graph, max_iter, tol)
+
+    sym = (
+        graph.edges_sym()
+        .select("src", "dst", "weight")
+        .repartition("dst")
+        .persist()
+    )
+    sym.count()
+    verts = graph.vertices.select("vertex_id")
+    x = materialize(verts.select("vertex_id", F.lit(1.0).alias("score")))
+    for _ in range(max_iter):
+        xs = x.select(F.col("vertex_id").alias("src"), F.col("score").alias("xs"))
+        gather = (
+            sym.join(xs, "src")
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum(F.col("weight") * F.col("xs")).alias("gather"))
+        )
+        combined = materialize(
+            x.join(gather, "vertex_id", "left")
+            .fillna({"gather": 0.0})
+            .select(
+                "vertex_id", (F.col("score") + F.col("gather")).alias("comb")
+            )
+        )
+        mx = combined.agg(F.max("comb")).collect()[0][0]
+        if mx is None or mx == 0.0:  # empty vertex set only
+            release(combined)
+            break
+        new_x = materialize(
+            combined.select(
+                "vertex_id", (F.col("comb") / F.lit(float(mx))).alias("score")
+            )
+        )
+        release(combined)
+        if tol > 0.0:
+            delta = (
+                new_x.withColumnRenamed("score", "s_new")
+                .join(x, "vertex_id")
+                .agg(F.sum(F.abs(F.col("s_new") - F.col("score"))))
+                .collect()[0][0]
+            )
+        else:
+            delta = None
+        release(x)
+        x = new_x
+        if delta is not None and delta < tol:
+            break
+    sym.unpersist()
+    return x

@@ -1,0 +1,78 @@
+"""Landmark BFS distances: exact vs networkx, both dispatch paths identical."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from csd363_sin_spark.operators.bfs import landmark_distances, select_landmarks
+from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+from tests.conftest import graph_to_networkx
+
+
+def _collect(df):
+    return {(r["landmark"], r["vertex_id"]): r["dist"] for r in df.collect()}
+
+
+def _nx_expected(g, n_landmarks, max_depth):
+    nxg = graph_to_networkx(g)
+    deg = dict(nxg.degree())
+    landmarks = sorted(deg, key=lambda v: (-deg[v], v))[:n_landmarks]
+    out = {}
+    for lm in landmarks:
+        for v, d in nx.single_source_shortest_path_length(
+            nxg, lm, cutoff=max_depth
+        ).items():
+            out[(lm, v)] = d
+    return out
+
+
+def test_bfs_vs_networkx_both_paths(spark):
+    t = synth_transcripts(spark, n_convs=80, n_tools=12, n_clusters=3, seed=23)
+    g = induce_graph(t)
+    expected = _nx_expected(g, 4, 6)
+    driver = _collect(landmark_distances(g, 4, 6))
+    dist = _collect(landmark_distances(g, 4, 6, local_edges_threshold=0))
+    assert driver == expected
+    assert dist == expected  # bit-identical integer math on both paths
+
+
+def test_landmark_closeness_vs_networkx(spark):
+    import pytest
+
+    from csd363_sin_spark.operators.bfs import landmark_closeness
+
+    t = synth_transcripts(spark, n_convs=80, n_tools=12, n_clusters=3, seed=23)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    deg = dict(nxg.degree())
+    got = {
+        r["landmark"]: (r["n_reached"], r["closeness"], r["harmonic"])
+        for r in landmark_closeness(g, n_landmarks=4, max_depth=20).collect()
+    }
+    assert set(got) == set(sorted(deg, key=lambda v: (-deg[v], v))[:4])
+    for lm, (n_reached, clo, har) in got.items():
+        dists = nx.single_source_shortest_path_length(nxg, lm)
+        assert n_reached == len(dists) - 1
+        assert clo == pytest.approx(
+            nx.closeness_centrality(nxg, lm, wf_improved=False), abs=1e-6
+        )
+        assert har == pytest.approx(
+            sum(1.0 / d for v, d in dists.items() if v != lm), abs=1e-6
+        )
+
+
+def test_bfs_depth_cutoff_and_disconnect(spark):
+    # path 0-1-2-3-4 plus disconnected edge 5-6; landmark = highest degree
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)])
+    got = _collect(landmark_distances(g, n_landmarks=1, max_depth=2))
+    lm = [r["vertex_id"] for r in select_landmarks(g, 1).collect()][0]
+    assert lm == 1  # degree-2 ties (1,2,3) break to the smallest id
+    assert got == {(1, 1): 0, (1, 0): 1, (1, 2): 1, (1, 3): 2}
+    # disconnected component never appears
+    assert all(v not in (5, 6) for (_, v) in got)
+    dist_path = _collect(
+        landmark_distances(g, n_landmarks=1, max_depth=2, local_edges_threshold=0)
+    )
+    assert dist_path == got

@@ -352,6 +352,77 @@ def test_redact_pii(spark):
     assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
 
 
+def _py_bucket(key: str, salt: str, buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16) % buckets
+
+
+def test_stratified_sample_matches_python_hash(spark):
+    from csd363_sin_spark.functions.sampling import stratified_sample
+
+    rows = [(i, f"text {i}", "en", "A" if i % 2 == 0 else "B") for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # rate 0 for A (drop all), 1000 for B (keep all)
+    got = stratified_sample(docs, {"A": 0, "B": 1000}, default_permille=500)
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {i for i in range(200) if i % 2 == 1}
+    # default rate path: kept set == python md5 buckets, bucket col correct
+    got2 = {
+        r["doc_id"]: r["bucket"]
+        for r in stratified_sample(docs, {}, default_permille=300).collect()
+    }
+    exp = {
+        i: _py_bucket(str(i), "sample", 1000)
+        for i in range(200)
+        if _py_bucket(str(i), "sample", 1000) < 300
+    }
+    assert got2 == exp
+
+
+def test_train_holdout_split_stable_and_total(spark):
+    from csd363_sin_spark.functions.sampling import train_holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(300)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["split"] for r in train_holdout_split(docs, 100).collect()}
+    assert len(got) == 300
+    exp_holdout = {i for i in range(300) if _py_bucket(str(i), "split", 1000) < 100}
+    assert {k for k, v in got.items() if v == "holdout"} == exp_holdout
+    # growing the corpus never reassigns an existing doc
+    bigger = spark.createDataFrame(
+        [(i, "t") for i in range(600)], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["split"] for r in train_holdout_split(bigger, 100).collect()}
+    assert all(got2[k] == v for k, v in got.items())
+
+
+def test_contamination_check_hand_computed(spark):
+    from csd363_sin_spark.functions.dedup import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # bench
+            (2, "a b c x"),      # shingles {a b c, b c x} -> 1 hit -> 0.5
+            (3, "z z y"),        # {z z y} -> 0 hits -> 0.0
+            (4, "a b c d"),      # exact leak -> {a b c, b c d} -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contamination"])
+        for r in contamination_check(docs, bench, n=3).collect()
+    }
+    assert set(got) == {2, 3, 4}  # bench docs excluded
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (2, 2, 1.0)
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     import math
 

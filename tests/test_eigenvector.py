@@ -1,0 +1,66 @@
+"""Eigenvector centrality: vs networkx (up to normalization) + path parity."""
+
+from __future__ import annotations
+
+import math
+
+import networkx as nx
+import pytest
+
+from csd363_sin_spark.operators.eigenvector import eigenvector_centrality
+from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+from tests.conftest import graph_to_networkx
+
+
+def _collect(df):
+    return {r["vertex_id"]: r["score"] for r in df.collect()}
+
+
+def _l2_normalized(scores):
+    nrm = math.sqrt(sum(v * v for v in scores.values()))
+    return {k: v / nrm for k, v in scores.items()}
+
+
+def test_eigenvector_vs_networkx(spark):
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=31)
+    g = induce_graph(t)
+    got = _l2_normalized(_collect(eigenvector_centrality(g, max_iter=500, tol=1e-13)))
+    exp = nx.eigenvector_centrality(
+        graph_to_networkx(g), weight="weight", max_iter=1000, tol=1e-12
+    )
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+
+
+def test_eigenvector_path_parity_fixed_iters(spark):
+    # tol=0 => both paths run the identical 8-step recurrence
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=31)
+    g = induce_graph(t)
+    driver = _collect(eigenvector_centrality(g, max_iter=8, tol=0.0))
+    dist = _collect(
+        eigenvector_centrality(g, max_iter=8, tol=0.0, local_edges_threshold=0)
+    )
+    assert set(driver) == set(dist)
+    for v in driver:
+        assert driver[v] == pytest.approx(dist[v], abs=1e-9)
+
+
+def test_eigenvector_star_and_isolate(spark):
+    # star 0-(1,2,3) is bipartite — converges ONLY because of the +I
+    # shift; center -> 1.0, leaves -> 1/sqrt(3); the isolate's score
+    # decays geometrically toward 0
+    from csd363_sin_spark.plans.induce import Graph
+
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (0, 3)])
+    iso = spark.createDataFrame(
+        [(9, "v:9", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    got = _collect(eigenvector_centrality(g, max_iter=200, tol=1e-13))
+    assert got[0] == pytest.approx(1.0, abs=1e-9)
+    for leaf in (1, 2, 3):
+        assert got[leaf] == pytest.approx(1 / math.sqrt(3), abs=1e-6)
+    assert got[9] < 1e-6
