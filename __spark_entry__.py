@@ -260,6 +260,114 @@ def q_bfs_distances_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bfs_distances(spark, sf_dir, 0)
 
 
+def _truss(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.ktruss import truss_number
+
+    g = _graph(spark, sf_dir)
+    named_u = g.vertices.select(F.col("vertex_id").alias("u"), F.col("actor").alias("actor_u"))
+    named_v = g.vertices.select(F.col("vertex_id").alias("v"), F.col("actor").alias("actor_v"))
+    return (
+        truss_number(g, local_edges_threshold=local_edges_threshold)
+        .join(named_u, "u")
+        .join(named_v, "v")
+        .select("actor_u", "actor_v", "truss")
+    )
+
+
+def q_truss_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: full k-truss decomposition (per-edge truss
+    numbers, nx.k_truss semantics), mirrored by a chained unrolled-CTE
+    peel in DuckDB (phase k keeps edges closing >= k-2 triangles;
+    padded rounds past each fixpoint are no-ops)."""
+    return _truss(spark, sf_dir, 100_000)
+
+
+def q_truss_number_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed batch-peel kernel (driver dispatch
+    off) against the SAME oracle — green pins the triangle-join support
+    recount + batch removal to exact truss numbers."""
+    return _truss(spark, sf_dir, 0)
+
+
+def q_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: double-sweep BFS diameter lower bound (endpoints +
+    length), mirrored by two chained unrolled layer expansions in SQL."""
+    from csd363_sin_spark.operators.bfs import diameter_double_sweep
+
+    g = _graph(spark, sf_dir)
+    named_a = g.vertices.select(
+        F.col("vertex_id").alias("vertex_a"), F.col("actor").alias("actor_a")
+    )
+    named_b = g.vertices.select(
+        F.col("vertex_id").alias("vertex_b"), F.col("actor").alias("actor_b")
+    )
+    return (
+        diameter_double_sweep(g, max_depth=6)
+        .join(named_a, "vertex_a")
+        .join(named_b, "vertex_b")
+        .select("actor_a", "actor_b", "diameter_lb")
+    )
+
+
+def _weighted_distances(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.bfs import weighted_distances
+
+    g = _graph(spark, sf_dir)
+    lm_named = g.vertices.select(
+        F.col("vertex_id").alias("landmark"), F.col("actor").alias("landmark_actor")
+    )
+    return (
+        weighted_distances(g, n_landmarks=4, local_edges_threshold=local_edges_threshold)
+        .join(lm_named, "landmark")
+        .join(g.vertices, "vertex_id")
+        .select("landmark_actor", "actor", F.round("dist", 6).alias("dist"))
+    )
+
+
+def q_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: exact weighted shortest-path distances from the 4
+    landmarks (driver Dijkstra), mirrored by an unrolled min-plus
+    relaxation CTE (rounds >= the graph's max shortest-path hop count;
+    extra rounds are no-ops at the fixpoint)."""
+    return _weighted_distances(spark, sf_dir, 100_000)
+
+
+def q_weighted_distances_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed Bellman-Ford superstep kernel
+    against the SAME oracle — green pins the min-plus relaxation +
+    signature fixpoint to exact distances."""
+    return _weighted_distances(spark, sf_dir, 0)
+
+
+def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: community contraction (the public coarsening
+    operator) under the deterministic fixed partition — coarse edges
+    with summed weights, mirrored 1:1 in SQL."""
+    from csd363_sin_spark.operators.structure import contract_graph
+
+    g = _graph(spark, sf_dir)
+    assign = g.vertices.select("vertex_id", _part_spark().alias("comm"))
+    cg = contract_graph(g, assign)
+    return cg.edges.select(
+        F.col("src").alias("comm_a"), F.col("dst").alias("comm_b"), "weight"
+    )
+
+
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-vertex mean neighbor degree (local
+    assortativity profile), 0.0 for isolates."""
+    from csd363_sin_spark.operators.degree import avg_neighbor_degree
+
+    g = _graph(spark, sf_dir)
+    return (
+        avg_neighbor_degree(g)
+        .join(g.vertices, "vertex_id")
+        .select("actor", "avg_nbr_degree")
+    )
+
+
 def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: closeness + harmonic centrality of the 4 landmark
     vertices, composed on the BFS state — one aggregation over the
@@ -806,6 +914,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc add-one-smoothed corpus-unigram NLL quality score —
+    mirrored 1:1 in SQL (T and V are scalar aggregates)."""
+    from csd363_sin_spark.functions.text import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc (idf = ln(N/df), 6-dp rounded score,
     (score DESC, term ASC) ranking) — full SQL mirror in DuckDB."""
@@ -1040,7 +1156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number_dist": q_core_number_dist,
         "bfs_distances": q_bfs_distances,
         "bfs_distances_dist": q_bfs_distances_dist,
+        "weighted_distances": q_weighted_distances,
+        "weighted_distances_dist": q_weighted_distances_dist,
         "landmark_closeness": q_landmark_closeness,
+        "diameter_double_sweep": q_diameter_double_sweep,
+        "community_graph": q_community_graph,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "truss_number": q_truss_number,
+        "truss_number_dist": q_truss_number_dist,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         # metrics (SURVEY §2.4)
@@ -1089,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_mix": q_corpus_mix,
+        "doc_unigram_lm": q_doc_unigram_lm,
         "stratified_sample": q_stratified_sample,
         "train_holdout_split": q_train_holdout_split,
         "contamination_check": q_contamination_check,
@@ -1132,6 +1256,50 @@ m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
 """
 
 
+def _truss_sql(k_max: int = 24, rounds_per_phase: int = 3) -> str:
+    """Chained unrolled-CTE mirror of operators/ktruss.py truss_number:
+    f2 = all canonical edges; phase k (3..k_max) peels f_{k-1} down to the
+    k-truss with ``rounds_per_phase`` batched remove-below-support rounds
+    (the sf0.01 gate graph needs 1-2 per phase; extra rounds are no-ops
+    at the fixpoint, and an UNDER-padded phase would show up as a gate
+    hash mismatch, not a silent pass); truss(e) = k for e in f_k minus
+    f_{k+1}.  Max truss at sf0.01 is 20, so k_max=24 is comfortably past
+    the empty tail."""
+    parts = [
+        "\n, f2 AS MATERIALIZED (SELECT src_actor AS u, dst_actor AS v FROM edges)"
+    ]
+    for k in range(3, k_max + 1):
+        prev = f"f{k - 1}"
+        for r in range(1, rounds_per_phase + 1):
+            cur = f"f{k}" if r == rounds_per_phase else f"p{k}_{r}"
+            parts.append(f"""
+, {cur}_adj AS MATERIALIZED (
+  SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+),
+{cur}_sup AS MATERIALIZED (
+  SELECT e.u, e.v, count(*) AS sup
+  FROM {prev} e
+  JOIN {cur}_adj a ON a.u = e.u
+  JOIN {cur}_adj b ON b.u = e.v AND b.v = a.v
+  GROUP BY 1, 2
+),
+{cur} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  LEFT JOIN {cur}_sup s ON s.u = e.u AND s.v = e.v
+  WHERE COALESCE(s.sup, 0) >= {k - 2}
+)""")
+            prev = cur
+    assigns = "\nUNION ALL\n".join(
+        f"SELECT u, v, CAST({k} AS BIGINT) AS truss FROM "
+        f"(SELECT u, v FROM f{k} EXCEPT SELECT u, v FROM f{k + 1})"
+        for k in range(2, k_max)
+    )
+    parts.append(
+        f"\nSELECT u AS actor_u, v AS actor_v, truss FROM (\n{assigns}\n)"
+    )
+    return "".join(parts)
+
+
 def _bfs_sql(n_landmarks: int = 4, depth: int = 6) -> str:
     """Mirror of operators/bfs.py landmark_distances: landmarks = top-n by
     (degree DESC, actor ASC) (ids are key-order dense, so id tie-break ==
@@ -1164,6 +1332,71 @@ mind AS (
 """
     )
     return "".join(parts)
+
+
+def _weighted_dist_sql(n_landmarks: int = 4, rounds: int = 6) -> str:
+    """Mirror of operators/bfs.py weighted_distances: ``rounds`` unrolled
+    min-plus relaxation layers from the 4 top-degree landmarks (the
+    sf0.01 max shortest-path hop count is 3; extra rounds are fixpoint
+    no-ops).  Integral edge weights keep every sum exact in FP."""
+    parts = [
+        f"""
+, wlmk AS (SELECT actor FROM deg ORDER BY degree DESC, actor ASC LIMIT {n_landmarks}),
+w0 AS MATERIALIZED (SELECT actor AS lm, actor AS v, 0.0 AS dist FROM wlmk)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+, w{i} AS MATERIALIZED (
+  SELECT lm, v, min(dist) AS dist FROM (
+    SELECT lm, v, dist FROM w{i - 1}
+    UNION ALL
+    SELECT x.lm, s.v, x.dist + s.weight AS dist
+    FROM w{i - 1} x JOIN sym s ON s.u = x.v
+  ) GROUP BY 1, 2
+)""")
+    parts.append(
+        f"""
+SELECT lm AS landmark_actor, v AS actor, round(dist, 6) AS dist FROM w{rounds}
+"""
+    )
+    return "".join(parts)
+
+
+def _double_sweep_sql(depth: int = 6) -> str:
+    """Mirror of operators/bfs.py diameter_double_sweep: sweep A from the
+    top-degree vertex (ties: smallest actor), farthest = (max dist,
+    smallest actor); sweep B from there; output B's farthest + dist."""
+
+    def sweep(prefix: str, seed: str) -> str:
+        out = [
+            f"\n, {prefix}0 AS MATERIALIZED (SELECT actor AS v FROM {seed})"
+        ]
+        for i in range(1, depth + 1):
+            out.append(f"""
+, {prefix}{i} AS MATERIALIZED (
+  SELECT DISTINCT s.v FROM {prefix}{i - 1} x JOIN sym s ON s.u = x.v
+)""")
+        layers = "\n  UNION ALL ".join(
+            f"SELECT v, {i} AS dist FROM {prefix}{i}" for i in range(depth + 1)
+        )
+        out.append(f"""
+, {prefix}mind AS (
+  SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM ({layers}) GROUP BY 1
+)""")
+        return "".join(out)
+
+    return (
+        "\n, seed_a AS (SELECT actor FROM deg ORDER BY degree DESC, actor ASC LIMIT 1)"
+        + sweep("swa", "seed_a")
+        + "\n, far_a AS (SELECT v FROM swamind ORDER BY dist DESC, v ASC LIMIT 1)"
+        + "\n, seed_b AS (SELECT v AS actor FROM far_a)"
+        + sweep("swb", "seed_b")
+        + """
+SELECT fa.v AS actor_a, bm.v AS actor_b, bm.dist AS diameter_lb
+FROM (SELECT v, dist FROM swbmind ORDER BY dist DESC, v ASC LIMIT 1) bm
+CROSS JOIN far_a fa
+"""
+    )
 
 
 def _bfs_distances_final() -> str:
@@ -1976,6 +2209,34 @@ LIMIT 20
         # (not the driver BFS) producing exact distances
         "bfs_distances_dist": p + _bfs_sql() + _bfs_distances_final(),
         "landmark_closeness": p + _bfs_sql() + _closeness_final(),
+        "weighted_distances": p + _weighted_dist_sql(),
+        # same-oracle twin: green == the min-plus Bellman-Ford kernel
+        "weighted_distances_dist": p + _weighted_dist_sql(),
+        "diameter_double_sweep": p + _double_sweep_sql(),
+        "community_graph": p
+        + f"""
+SELECT CAST(least(cu, cv) AS BIGINT) AS comm_a,
+       CAST(greatest(cu, cv) AS BIGINT) AS comm_b,
+       sum(weight) AS weight
+FROM (
+  SELECT {_PART_SQL.replace("actor", "e.src_actor")} AS cu,
+         {_PART_SQL.replace("actor", "e.dst_actor")} AS cv,
+         e.weight
+  FROM edges e
+)
+GROUP BY 1, 2
+""",
+        "avg_neighbor_degree": p
+        + """
+SELECT v.actor, COALESCE(x.a, 0.0) AS avg_nbr_degree
+FROM verts v LEFT JOIN (
+  SELECT s.u AS actor, round(avg(d.degree), 6) AS a
+  FROM sym s JOIN deg d ON d.actor = s.v GROUP BY 1
+) x USING (actor)
+""",
+        "truss_number": p + _truss_sql(),
+        # same-oracle twin: green == the batch-peel triangle-join kernel
+        "truss_number_dist": p + _truss_sql(),
         "connected_components": cc_sql,
         # the forced-distributed twin is value-hash-checked against the
         # SAME oracle: a green row here is the large-star/small-star
@@ -2130,6 +2391,18 @@ SELECT t.doc_id, t.top_token_ratio, t.mean_word_len,
 FROM toka t LEFT JOIN bga b USING (doc_id)
 """,
         "redact_pii": _redact_pii_sql(),
+        "doc_unigram_lm": _DOC_PRELUDE
+        + """
+, tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM toksrc WHERE length(trim(text)) > 0
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tv AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln((c + 1) / (SELECT denom FROM tv))), 6) AS avg_nll
+FROM tok JOIN cnt USING (term)
+GROUP BY 1
+""",
         "tfidf_top_terms": _DOC_PRELUDE
         + """
 , tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),

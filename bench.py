@@ -106,6 +106,34 @@ def main() -> None:
 
     total = round(time.time() - t_all, 3)
 
+    # ---- round-3 additions (NOT in the headline total, which stays
+    # apples-to-apples with earlier rounds): new graph + pipeline ops.
+    from csd363_sin_spark.functions.sampling import hash_bucket, stratified_sample
+    from csd363_sin_spark.functions.dedup import contamination_check
+    from csd363_sin_spark.functions.text import tfidf_top_terms, unigram_lm_score
+    from csd363_sin_spark.operators.bfs import diameter_double_sweep, landmark_distances
+    from csd363_sin_spark.operators.eigenvector import eigenvector_centrality
+    from csd363_sin_spark.operators.ktruss import truss_number
+
+    timed("tfidf_top_terms", lambda: tfidf_top_terms(docs, k=3).count())
+    timed("doc_unigram_lm", lambda: unigram_lm_score(docs).count())
+    timed(
+        "stratified_sample",
+        lambda: stratified_sample(docs, {}, default_permille=500).count(),
+    )
+    bench_docs = docs.filter(hash_bucket(F.col("doc_id"), "bench", 20) == 0)
+    timed(
+        "contamination_check",
+        lambda: contamination_check(docs, bench_docs, n=3).count(),
+    )
+    timed("bfs_landmarks", lambda: landmark_distances(g, 4, 8).count())
+    timed("diameter_double_sweep", lambda: diameter_double_sweep(g).collect())
+    timed(
+        "eigencentrality",
+        lambda: eigenvector_centrality(g, max_iter=8, tol=0.0).count(),
+    )
+    timed("truss_number", lambda: truss_number(g).groupBy("truss").count().count())
+
     # ---- forced-distributed section (NOT in the headline total, which
     # stays apples-to-apples with earlier rounds): the same iterative
     # operators with the driver-side adaptive dispatch disabled, so each
@@ -148,6 +176,16 @@ def main() -> None:
         "dist_betweenness_topk",
         lambda: edge_betweenness(g, k_sources=64, local_edges_threshold=0)
         .orderBy(F.desc("betweenness")).limit(20).collect(),
+    )
+    timed_dist(
+        "dist_bfs_landmarks",
+        lambda: landmark_distances(g, 4, 8, local_edges_threshold=0).count(),
+    )
+    timed_dist(
+        "dist_eigencentrality",
+        lambda: eigenvector_centrality(
+            g, max_iter=8, tol=0.0, local_edges_threshold=0
+        ).count(),
     )
     timings.update(dist)
     dist_louvain_eps = (

@@ -108,6 +108,9 @@ vecs = spark.range(2_000_000).select(
 ).persist()
 vecs.count()
 probes = vecs.limit(4).selectExpr("vec_id as probe_id", "embedding as probe_vec")
+# warmup pass: per-executor JIT/codegen of the dot-product expression is a
+# fixed cost that would otherwise be billed to the measured pass
+cosine_topk(vecs, probes.limit(1), k=10).count()
 t0 = time.time()
 cosine_topk(vecs, probes, k=10).count()
 t_ann = time.time() - t0

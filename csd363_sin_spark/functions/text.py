@@ -209,6 +209,42 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model score per document — the cheap
+    KenLM-style quality signal: fit an add-one-smoothed unigram model on
+    the whole corpus, then score each document by its mean token negative
+    log-likelihood (lower = more typical of the corpus; very high = noise
+    / junk, very low = boilerplate).
+
+    Exact formula (oracle-portable): ``p(t) = (c(t) + 1) / (T + V)`` with
+    c = corpus token count, T = total tokens, V = distinct tokens;
+    ``avg_nll = round(avg over doc tokens of -ln p(t), 6)``.  Empty-text
+    docs are excluded.  Returns ``(doc_id, n_tokens, avg_nll)``.
+
+    Scale: one explode, one term-count agg (map-side combined), T and V
+    folded in as literals from a single scalar aggregate, one term join
+    back (high-frequency terms are the skew keys and exactly the ones
+    AQE splits), one per-doc agg.  No Python in the hot path.
+    """
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    tok = base.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(totals["t"] + totals["v"])
+    return (
+        tok.join(cnt, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log((F.col("c") + 1) / F.lit(denom))), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def corpus_mix(docs: DataFrame) -> DataFrame:
     """Per-(source, lang) corpus composition report: document count,
     total whitespace tokens, and mean quality score — the data-mixing

@@ -2,16 +2,24 @@ from csd363_sin_spark.operators.degree import (  # noqa: F401
     degree_stats,
     density,
     analyze_graph,
+    avg_neighbor_degree,
     degree_assortativity,
 )
+from csd363_sin_spark.operators.structure import contract_graph  # noqa: F401
 from csd363_sin_spark.operators.components import connected_components  # noqa: F401
 from csd363_sin_spark.operators.bfs import (  # noqa: F401
+    diameter_double_sweep,
     landmark_closeness,
     landmark_distances,
     select_landmarks,
+    weighted_distances,
 )
 from csd363_sin_spark.operators.eigenvector import (  # noqa: F401
     eigenvector_centrality,
+)
+from csd363_sin_spark.operators.ktruss import (  # noqa: F401
+    k_truss_edges,
+    truss_number,
 )
 from csd363_sin_spark.operators.triangles import (  # noqa: F401
     triangle_count,

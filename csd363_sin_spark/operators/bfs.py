@@ -73,13 +73,15 @@ def landmark_distances(
     n_landmarks: int = 4,
     max_depth: int = 8,
     local_edges_threshold: int = 100_000,
+    landmarks: DataFrame | None = None,
 ) -> DataFrame:
     """``(landmark long, vertex_id long, dist long)`` for every vertex
     within ``max_depth`` hops of each landmark (landmarks themselves at
-    dist 0).  Unreachable / farther vertices are absent."""
-    landmark_ids = [
-        int(r["vertex_id"]) for r in select_landmarks(graph, n_landmarks).collect()
-    ]
+    dist 0).  Unreachable / farther vertices are absent.  ``landmarks``
+    (a vertex_id DataFrame) overrides the degree-based selection."""
+    if landmarks is None:
+        landmarks = select_landmarks(graph, n_landmarks)
+    landmark_ids = [int(r["vertex_id"]) for r in landmarks.collect()]
     if graph.edges.count() <= local_edges_threshold:
         return _bfs_driver(graph, landmark_ids, max_depth)
 
@@ -133,4 +135,142 @@ def landmark_closeness(
         F.count(F.lit(1)).alias("n_reached"),
         F.round(F.count(F.lit(1)) / F.sum("dist"), 6).alias("closeness"),
         F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+    )
+
+
+def _weighted_driver(
+    graph: Graph, landmarks: list[int], max_rounds: int
+) -> DataFrame:
+    import heapq
+
+    spark = graph.edges.sparkSession
+    adj: dict[int, list[tuple[int, float]]] = {
+        int(r["vertex_id"]): [] for r in graph.vertices.select("vertex_id").collect()
+    }
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        a, b, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+        if a != b:
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+    rows = []
+    for lm in landmarks:
+        dist = {lm: 0.0}
+        heap = [(0.0, lm)]
+        while heap:
+            d, v = heapq.heappop(heap)
+            if d > dist.get(v, float("inf")):
+                continue
+            for u, w in adj[v]:
+                nd = d + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(heap, (nd, u))
+        rows.extend((lm, v, dd) for v, dd in dist.items())
+    return spark.createDataFrame(rows, "landmark long, vertex_id long, dist double")
+
+
+def weighted_distances(
+    graph: Graph,
+    n_landmarks: int = 4,
+    max_rounds: int = 64,
+    local_edges_threshold: int = 100_000,
+    landmarks: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted single/multi-source shortest-path distances from the
+    landmark set: ``(landmark long, vertex_id long, dist double)``.
+
+    Distributed kernel: synchronous min-plus relaxation (Bellman-Ford
+    supersteps) — each round joins the current distance relation with
+    the symmetric edge view and folds the relaxed candidates back with
+    one ``min`` aggregation; converged when the (count, sum) signature
+    stops changing (dist is monotone non-increasing and the reached set
+    monotone non-decreasing, so the signature is a valid fixpoint
+    witness with exact-in-FP integral edge weights).  O(E) shuffle per
+    round, round count = max shortest-path hop length; a delta-stepping
+    frontier would trim constant factors but not the shuffle shape.
+    Driver dispatch below ``local_edges_threshold`` runs heap Dijkstra —
+    identical distances (both are exact)."""
+    if landmarks is None:
+        landmarks = select_landmarks(graph, n_landmarks)
+    landmark_ids = [int(r["vertex_id"]) for r in landmarks.collect()]
+    if graph.edges.count() <= local_edges_threshold:
+        return _weighted_driver(graph, landmark_ids, max_rounds)
+
+    spark = graph.edges.sparkSession
+    sym = graph.edges_sym().select("src", "dst", "weight").persist()
+    sym.count()
+    state = materialize(
+        spark.createDataFrame(
+            [(lm, lm, 0.0) for lm in landmark_ids],
+            "landmark long, vertex_id long, dist double",
+        )
+    )
+    sig = (len(landmark_ids), 0.0)
+    for _ in range(max_rounds):
+        relaxed = state.join(
+            sym, state["vertex_id"] == sym["src"]
+        ).select(
+            "landmark",
+            F.col("dst").alias("vertex_id"),
+            (F.col("dist") + F.col("weight")).alias("dist"),
+        )
+        new_state = materialize(
+            state.unionByName(relaxed)
+            .groupBy("landmark", "vertex_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        row = new_state.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        new_sig = (row["n"], float(row["s"]))
+        release(state)
+        state = new_state
+        if new_sig == sig:
+            break
+        sig = new_sig
+    sym.unpersist()
+    return state
+
+
+def _farthest(distances: DataFrame) -> DataFrame:
+    """The deterministic farthest vertex of a single-source BFS state:
+    max dist, ties to the smallest vertex_id."""
+    return (
+        distances.orderBy(F.desc("dist"), F.asc("vertex_id"))
+        .limit(1)
+        .select("vertex_id")
+    )
+
+
+def diameter_double_sweep(
+    graph: Graph, max_depth: int = 32, local_edges_threshold: int = 100_000
+) -> DataFrame:
+    """Double-sweep diameter lower bound: BFS from the top-degree vertex,
+    then BFS again from the farthest vertex found; the second sweep's
+    eccentricity is a (usually tight) lower bound on the true diameter.
+    Returns one row ``(vertex_a long, vertex_b long, diameter_lb long)``
+    — the endpoints of the long path and its length.  Two BFS runs =
+    exactly twice the BFS cost; the standard trick for diameter on
+    graphs where all-pairs is unthinkable."""
+    d1 = landmark_distances(
+        graph,
+        max_depth=max_depth,
+        local_edges_threshold=local_edges_threshold,
+        landmarks=select_landmarks(graph, 1),
+    )
+    a = _farthest(d1)
+    d2 = landmark_distances(
+        graph,
+        max_depth=max_depth,
+        local_edges_threshold=local_edges_threshold,
+        landmarks=a,
+    )
+    return (
+        d2.orderBy(F.desc("dist"), F.asc("vertex_id"))
+        .limit(1)
+        .select(
+            F.col("landmark").alias("vertex_a"),
+            F.col("vertex_id").alias("vertex_b"),
+            F.col("dist").alias("diameter_lb"),
+        )
     )

@@ -70,6 +70,32 @@ def analyze_graph(graph: Graph, components: DataFrame | None = None) -> dict:
     return out
 
 
+def avg_neighbor_degree(graph: Graph) -> DataFrame:
+    """Per-vertex mean neighbor degree — nx.average_neighbor_degree on
+    simple undirected graphs: the local assortativity profile (hubs whose
+    neighbors are leaves vs cores whose neighbors are hubs).  Returns
+    ``(vertex_id, avg_nbr_degree)`` with 0.0 for isolates; 6-dp rounded
+    (the engine-portability contract).
+
+    Plan: one join of the half-edge view with the degree table and one
+    map-side-combined per-vertex avg — the same single O(E) pass shape
+    as the assortativity aggregate, grouped instead of global.
+    """
+    deg = graph.degrees()
+    dv = deg.select(F.col("vertex_id").alias("dst"), F.col("degree").alias("dv"))
+    nbr = (
+        graph.edges_sym()
+        .join(dv, "dst")
+        .groupBy(F.col("src").alias("vertex_id"))
+        .agg(F.round(F.avg("dv"), 6).alias("avg_nbr_degree"))
+    )
+    return (
+        graph.vertices.select("vertex_id")
+        .join(nbr, "vertex_id", "left")
+        .fillna({"avg_nbr_degree": 0.0})
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """Pearson degree-assortativity coefficient — matches
     nx.degree_assortativity_coefficient on simple undirected graphs:

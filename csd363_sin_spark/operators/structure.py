@@ -44,6 +44,36 @@ def remove_isolates(graph: Graph) -> Graph:
     )
 
 
+def contract_graph(graph: Graph, assign: DataFrame, keep_self_loops: bool = True) -> Graph:
+    """Community contraction: the coarse graph whose vertices are the
+    communities of ``assign`` (vertex_id, comm) and whose edge weights
+    sum the underlying edge weights between (or, as self-loops, within)
+    communities — the public version of the level-contraction step the
+    multi-level Louvain/Infomap kernels use internally.
+
+    One double community join + one hash aggregation (map-side combined);
+    edge canonicality (src <= dst) is preserved via least/greatest so the
+    coarse graph composes with every other operator.
+    """
+    a = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c1"))
+    b = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c2"))
+    pairs = graph.edges.join(a, "src").join(b, "dst")
+    if not keep_self_loops:
+        pairs = pairs.filter(F.col("c1") != F.col("c2"))
+    edges = (
+        pairs.groupBy(
+            F.least("c1", "c2").alias("src"), F.greatest("c1", "c2").alias("dst")
+        )
+        .agg(F.sum("weight").alias("weight"))
+    )
+    verts = assign.select(F.col("comm").alias("vertex_id")).distinct().select(
+        "vertex_id",
+        F.concat(F.lit("comm:"), F.col("vertex_id").cast("string")).alias("actor"),
+        F.lit("comm").alias("kind"),
+    )
+    return Graph(vertices=verts, edges=edges)
+
+
 def inter_community_edges(graph: Graph, assign: DataFrame) -> DataFrame:
     """(comm_a, comm_b, num_edges, total_weight) for comm_a < comm_b —
     the inter-community edge counting behind the reference's community

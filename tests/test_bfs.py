@@ -63,6 +63,81 @@ def test_landmark_closeness_vs_networkx(spark):
         )
 
 
+def test_weighted_distances_vs_dijkstra_both_paths(spark):
+    import pytest
+
+    from csd363_sin_spark.operators.bfs import weighted_distances
+
+    t = synth_transcripts(spark, n_convs=80, n_tools=12, n_clusters=3, seed=23)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    deg = dict(nxg.degree())
+    landmarks = sorted(deg, key=lambda v: (-deg[v], v))[:4]
+    exp = {}
+    for lm in landmarks:
+        for v, d in nx.single_source_dijkstra_path_length(
+            nxg, lm, weight="weight"
+        ).items():
+            exp[(lm, v)] = d
+    driver = {
+        (r["landmark"], r["vertex_id"]): r["dist"]
+        for r in weighted_distances(g, 4).collect()
+    }
+    dist = {
+        (r["landmark"], r["vertex_id"]): r["dist"]
+        for r in weighted_distances(g, 4, local_edges_threshold=0).collect()
+    }
+    assert set(driver) == set(exp) == set(dist)
+    for k in exp:
+        assert driver[k] == pytest.approx(exp[k], abs=1e-9)
+        assert dist[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_weighted_vs_unweighted_divergence(spark):
+    # weight-aware routing: direct edge costs 10, two-hop detour costs 2
+    g = graph_from_edges(
+        spark, [(0, 1), (0, 2), (2, 1)], weights=[10.0, 1.0, 1.0]
+    )
+    from csd363_sin_spark.operators.bfs import weighted_distances
+
+    lm = spark.createDataFrame([(0,)], "vertex_id long")
+    got = {
+        r["vertex_id"]: r["dist"]
+        for r in weighted_distances(g, landmarks=lm).collect()
+    }
+    assert got == {0: 0.0, 2: 1.0, 1: 2.0}
+    got_dist = {
+        r["vertex_id"]: r["dist"]
+        for r in weighted_distances(g, landmarks=lm, local_edges_threshold=0).collect()
+    }
+    assert got_dist == got
+
+
+def test_diameter_double_sweep(spark):
+    from csd363_sin_spark.operators.bfs import diameter_double_sweep
+
+    # path graph: double sweep finds the true diameter exactly
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(7)])
+    row = diameter_double_sweep(g).collect()[0]
+    assert row["diameter_lb"] == 7
+    assert {row["vertex_a"], row["vertex_b"]} == {0, 7}
+    # synth graph: lb <= true diameter and == eccentricity of vertex_a
+    t = synth_transcripts(spark, n_convs=80, n_tools=12, n_clusters=3, seed=23)
+    g2 = induce_graph(t)
+    nxg = graph_to_networkx(g2)
+    row2 = diameter_double_sweep(g2).collect()[0]
+    # the sweep runs inside the start vertex's component
+    sub = nxg.subgraph(nx.node_connected_component(nxg, row2["vertex_a"]))
+    ecc = nx.eccentricity(sub, v=row2["vertex_a"])
+    assert row2["diameter_lb"] == ecc
+    assert row2["diameter_lb"] <= nx.diameter(sub)
+    # forced-distributed parity
+    row3 = diameter_double_sweep(g2, local_edges_threshold=0).collect()[0]
+    assert (row3["vertex_a"], row3["vertex_b"], row3["diameter_lb"]) == (
+        row2["vertex_a"], row2["vertex_b"], row2["diameter_lb"],
+    )
+
+
 def test_bfs_depth_cutoff_and_disconnect(spark):
     # path 0-1-2-3-4 plus disconnected edge 5-6; landmark = highest degree
     g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)])

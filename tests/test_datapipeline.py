@@ -450,6 +450,28 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert all(term != "common" for (d, rk), (term, *_ ) in got.items() if rk == 1)
 
 
+def test_unigram_lm_score_hand_computed(spark):
+    import math
+
+    from csd363_sin_spark.functions.text import unigram_lm_score
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus: c(a)=2, c(b)=2, c(c)=1; T=5, V=3, denom=8
+    p = {"a": 3 / 8, "b": 3 / 8, "c": 2 / 8}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in unigram_lm_score(docs).collect()
+    }
+    assert set(got) == {1, 2}  # empty doc excluded
+    exp1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert got[1] == (3, round(exp1, 6))
+    assert got[2] == (2, round(exp2, 6))
+    # junk doc scores higher NLL than a typical one
+    assert got[2][1] > got[1][1]
+
+
 def test_corpus_mix_hand_computed(spark):
     from csd363_sin_spark.functions.text import corpus_mix, quality_score, token_stats
 

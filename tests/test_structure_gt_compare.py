@@ -68,6 +68,51 @@ def test_inter_community_edges(spark):
     assert (rows[0]["comm_a"], rows[0]["comm_b"], rows[0]["num_edges"]) == (0, 1, 1)
 
 
+def test_contract_graph(spark):
+    from csd363_sin_spark.operators.structure import contract_graph
+
+    g = graph_from_edges(spark, TWO_TRI, weights=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    assign = _assign(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    cg = contract_graph(g, assign)
+    got = {(r["src"], r["dst"]): r["weight"] for r in cg.edges.collect()}
+    # intra weights sum into self-loops; the single bridge edge crosses
+    intra0 = sum(
+        w for (u, v), w in zip(TWO_TRI, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+        if u in (0, 1, 2) and v in (0, 1, 2)
+    )
+    intra1 = sum(
+        w for (u, v), w in zip(TWO_TRI, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+        if u in (3, 4, 5) and v in (3, 4, 5)
+    )
+    bridge = sum(
+        w for (u, v), w in zip(TWO_TRI, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+        if (u in (0, 1, 2)) != (v in (0, 1, 2))
+    )
+    assert got == {(0, 0): intra0, (1, 1): intra1, (0, 1): bridge}
+    assert {r["vertex_id"] for r in cg.vertices.collect()} == {0, 1}
+    # no self-loops mode drops the intra mass
+    cg2 = contract_graph(g, assign, keep_self_loops=False)
+    assert {(r["src"], r["dst"]): r["weight"] for r in cg2.edges.collect()} == {
+        (0, 1): bridge
+    }
+
+
+def test_avg_neighbor_degree_vs_networkx(spark):
+    from csd363_sin_spark.operators.degree import avg_neighbor_degree
+
+    g = graph_from_edges(spark, TWO_TRI + [(6, 7)])
+    iso = spark.createDataFrame(
+        [(20, "v:20", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    got = {r["vertex_id"]: r["avg_nbr_degree"] for r in avg_neighbor_degree(g).collect()}
+    nxg = nx.Graph(TWO_TRI + [(6, 7)])
+    exp = nx.average_neighbor_degree(nxg)
+    for v, e in exp.items():
+        assert got[v] == pytest.approx(round(e, 6), abs=1e-9)
+    assert got[20] == 0.0
+
+
 def test_ground_truth_ladder(spark):
     g = graph_from_edges(spark, [(0, 1), (1, 2), (5, 6)])
     cc_gt = {r["vertex_id"]: r["comm"] for r in ground_truth_from_components(g).collect()}

@@ -125,6 +125,69 @@ def main() -> int:
         formatted(cosine_topk(emb, probes, k=5)),
     ))
 
+    # 6. BFS superstep: frontier expansion + anti-join dedup
+    from csd363_sin_spark.operators.bfs import landmark_distances  # noqa: F401
+
+    state = materialize(
+        spark.createDataFrame([(0, 0, 0)], "landmark long, vertex_id long, dist long")
+    )
+    frontier = state
+    sym_d = materialize(g.edges_sym().select("src", "dst"))
+    nxt = (
+        frontier.join(sym_d, frontier["vertex_id"] == sym_d["src"])
+        .select("landmark", F.col("dst").alias("vertex_id"))
+        .distinct()
+        .join(state, ["landmark", "vertex_id"], "left_anti")
+        .withColumn("dist", F.lit(1).cast("long"))
+    )
+    sections.append((
+        "BFS superstep (frontier expansion)",
+        "One join with the symmetric edge view, distinct() dedup with "
+        "map-side partial aggregation (multi-parent fan-in collapses "
+        "before the exchange), one anti-join against the visited state.",
+        formatted(nxt),
+    ))
+
+    # 7. k-truss support recount (the per-round triangle join)
+    from csd363_sin_spark.operators.ktruss import _edge_support
+
+    cur = materialize(
+        g.edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+    )
+    sections.append((
+        "k-truss support recount",
+        "Degree-ordered canonical closed-wedge join (a < b < c) — the "
+        "same hub-safe shape as G9 triangle counting — with the three "
+        "corner edges exploded and hash-aggregated map-side.",
+        formatted(_edge_support(cur)),
+    ))
+
+    # 8. contamination check (broadcast benchmark shingles)
+    from csd363_sin_spark.functions.dedup import contamination_check
+    from csd363_sin_spark.functions.sampling import hash_bucket
+
+    bench = docs.filter(hash_bucket(F.col("doc_id"), "bench", 20) == 0)
+    sections.append((
+        "Benchmark contamination scan",
+        "The benchmark shingle set is BROADCAST (tiny vs the corpus); the "
+        "corpus side streams through a map-side semi-join — no shuffle of "
+        "the 100 TB side beyond its per-doc aggregation.",
+        formatted(contamination_check(docs, bench, n=3)),
+    ))
+
+    # 9. TF-IDF top terms (two aggregates + term join + per-doc window)
+    from csd363_sin_spark.functions.text import tfidf_top_terms
+
+    sections.append((
+        "TF-IDF top terms",
+        "Explode -> (doc, term) hash agg (map-side combined) -> term-keyed "
+        "df agg joined back (hub terms have idf -> 0; AQE splits the skew) "
+        "-> per-doc window over distinct terms only.",
+        formatted(tfidf_top_terms(docs, k=3)),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
