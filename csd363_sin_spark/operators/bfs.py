@@ -86,7 +86,9 @@ def landmark_distances(
         return _bfs_driver(graph, landmark_ids, max_depth)
 
     spark = graph.edges.sparkSession
-    sym = graph.edges_sym().select("src", "dst").persist()
+    # pre-partitioned on the expansion join key: each round exchanges
+    # only the (small) frontier side
+    sym = graph.edges_sym().select("src", "dst").repartition("src").persist()
     sym.count()
     seed = spark.createDataFrame(
         [(lm, lm, 0) for lm in landmark_ids], "landmark long, vertex_id long, dist long"
@@ -197,7 +199,10 @@ def weighted_distances(
         return _weighted_driver(graph, landmark_ids, max_rounds)
 
     spark = graph.edges.sparkSession
-    sym = graph.edges_sym().select("src", "dst", "weight").persist()
+    # pre-partitioned on the relaxation join key (see landmark_distances)
+    sym = (
+        graph.edges_sym().select("src", "dst", "weight").repartition("src").persist()
+    )
     sym.count()
     state = materialize(
         spark.createDataFrame(

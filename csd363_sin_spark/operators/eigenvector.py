@@ -78,10 +78,13 @@ def eigenvector_centrality(
     if graph.edges.count() <= local_edges_threshold:
         return _eigenvector_driver(graph, max_iter, tol)
 
+    # pre-partitioned on the per-iteration join key (src) and persisted
+    # with VISIBLE partitioning, so each gather join exchanges only the
+    # |V|-row score side — the same shuffle-trim as the Louvain sym view
     sym = (
         graph.edges_sym()
         .select("src", "dst", "weight")
-        .repartition("dst")
+        .repartition("src")
         .persist()
     )
     sym.count()
