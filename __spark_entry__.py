@@ -341,6 +341,27 @@ def q_weighted_distances_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weighted_distances(spark, sf_dir, 0)
 
 
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-day co-occurrence edge snapshots (conversation
+    assigned to the day of its first event) — the batch induction keyed
+    by period, mirrored 1:1 in SQL."""
+    from csd363_sin_spark.plans.temporal import temporal_edges
+
+    return temporal_edges(_transcripts(spark, sf_dir), "day")
+
+
+def q_temporal_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-day graph evolution report (convs, active
+    actors, distinct edges, co-occurrence mass)."""
+    from csd363_sin_spark.plans.temporal import temporal_graph_stats
+
+    return temporal_graph_stats(_transcripts(spark, sf_dir), "day")
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: community contraction (the public coarsening
     operator) under the deterministic fixed partition — coarse edges
@@ -1162,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_double_sweep": q_diameter_double_sweep,
         "community_graph": q_community_graph,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "temporal_edges": q_temporal_edges,
+        "temporal_graph_stats": q_temporal_graph_stats,
         "truss_number": q_truss_number,
         "truss_number_dist": q_truss_number_dist,
         "connected_components": q_connected_components,
@@ -1253,6 +1276,26 @@ stats AS (
   FROM allcomms a LEFT JOIN comm_stats cs USING (comm)
 ),
 m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
+"""
+
+
+# temporal CTEs over the prelude's t/conv_actors — mirrors plans/temporal.py
+# (conversation belongs to the day of its first event; strftime '%Y-%m-%d'
+# == Spark date_format 'yyyy-MM-dd')
+_TEMPORAL_CTE = """
+, tper AS (
+  SELECT conv_id, strftime(min(ts), '%Y-%m-%d') AS period FROM t GROUP BY 1
+),
+tpa AS (
+  SELECT c.conv_id, p.period, c.actor
+  FROM conv_actors c JOIN tper p USING (conv_id)
+),
+ted AS (
+  SELECT a.period, a.actor AS src_actor, b.actor AS dst_actor,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM tpa a JOIN tpa b ON a.conv_id = b.conv_id AND a.actor < b.actor
+  GROUP BY 1, 2, 3
+)
 """
 
 
@@ -2233,6 +2276,22 @@ FROM verts v LEFT JOIN (
   SELECT s.u AS actor, round(avg(d.degree), 6) AS a
   FROM sym s JOIN deg d ON d.actor = s.v GROUP BY 1
 ) x USING (actor)
+""",
+        "temporal_edges": p + _TEMPORAL_CTE + """
+SELECT period, src_actor, dst_actor, weight FROM ted
+""",
+        "temporal_graph_stats": p + _TEMPORAL_CTE + """
+, tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),
+tactors AS (
+  SELECT period, count(*) AS n_actors
+  FROM (SELECT DISTINCT period, actor FROM tpa) GROUP BY 1
+),
+tedges AS (
+  SELECT period, count(*) AS n_edges, sum(weight) AS total_weight
+  FROM ted GROUP BY 1
+)
+SELECT c.period, c.n_convs, a.n_actors, e.n_edges, e.total_weight
+FROM tconvs c JOIN tactors a USING (period) JOIN tedges e USING (period)
 """,
         "truss_number": p + _truss_sql(),
         # same-oracle twin: green == the batch-peel triangle-join kernel

@@ -1,0 +1,76 @@
+"""Temporal graph views — per-period co-occurrence snapshots.
+
+The transcripts table carries event time (``ts``), so the engine can
+slice the co-occurrence graph by period and track its evolution — the
+standard "graph over time" analysis (activity growth, density drift,
+when did two communities first touch) that a static induction throws
+away.
+
+A conversation is atomic: it belongs wholly to the period of its FIRST
+event (deterministic min-ts assignment), so each period's edge table is
+exactly the batch induction restricted to that period's conversations —
+no edge is split across periods and the per-period tables sum to the
+full graph's weights.
+
+Scale: one min-ts aggregate per conversation (map-side combined), the
+same bounded per-conversation pair expansion as the batch induction,
+and per-(period, edge) hash aggregation.  Partition-prunable on period
+if the output is written partitioned by day — the layout a 100 TB
+deployment would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.induce import conv_actor_pairs
+
+_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
+def conv_periods(transcripts: DataFrame, granularity: str = "day") -> DataFrame:
+    """(conv_id, period string) — the period of the conversation's first
+    event."""
+    return transcripts.groupBy("conv_id").agg(
+        F.date_format(F.min("ts"), _FMT[granularity]).alias("period")
+    )
+
+
+def temporal_edges(transcripts: DataFrame, granularity: str = "day") -> DataFrame:
+    """Per-period weighted co-occurrence edges:
+    ``(period, src_actor, dst_actor, weight)`` with src < dst — the batch
+    induction keyed by conversation period."""
+    pairs = conv_actor_pairs(transcripts).join(
+        conv_periods(transcripts, granularity), "conv_id"
+    )
+    a = pairs.select("conv_id", "period", F.col("actor").alias("src_actor"))
+    b = pairs.select("conv_id", "period", F.col("actor").alias("dst_actor"))
+    return (
+        a.join(b, ["conv_id", "period"])
+        .filter(F.col("src_actor") < F.col("dst_actor"))
+        .groupBy("period", "src_actor", "dst_actor")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def temporal_graph_stats(
+    transcripts: DataFrame, granularity: str = "day"
+) -> DataFrame:
+    """Per-period graph evolution report: ``(period, n_convs, n_actors,
+    n_edges, total_weight)`` — conversation volume, active-actor count,
+    distinct edge count, and total co-occurrence mass per period."""
+    periods = conv_periods(transcripts, granularity)
+    pairs = conv_actor_pairs(transcripts).join(periods, "conv_id")
+    convs = periods.groupBy("period").agg(F.count(F.lit(1)).alias("n_convs"))
+    actors = (
+        pairs.select("period", "actor")
+        .distinct()
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n_actors"))
+    )
+    edges = temporal_edges(transcripts, granularity).groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("weight").alias("total_weight"),
+    )
+    return convs.join(actors, "period").join(edges, "period")

@@ -1,0 +1,75 @@
+"""Temporal co-occurrence snapshots: hand-computed + batch-consistency."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.temporal import (
+    conv_periods,
+    temporal_edges,
+    temporal_graph_stats,
+)
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def _fixture(spark):
+    rows = [
+        ("A", 0, "user", "t", None, datetime(2024, 1, 1, 5)),
+        ("A", 1, "tool", "t", "x", datetime(2024, 1, 1, 6)),
+        ("B", 0, "tool", "t", "x", datetime(2024, 1, 1, 9)),
+        ("B", 1, "tool", "t", "y", datetime(2024, 1, 2, 1)),  # still day-1 conv
+        ("C", 0, "tool", "t", "x", datetime(2024, 1, 2, 3)),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_temporal_edges_hand_computed(spark):
+    t = _fixture(spark)
+    assert {r["conv_id"]: r["period"] for r in conv_periods(t).collect()} == {
+        "A": "2024-01-01", "B": "2024-01-01", "C": "2024-01-02",
+    }
+    got = {
+        (r["period"], r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in temporal_edges(t).collect()
+    }
+    assert got == {
+        ("2024-01-01", "conv:A", "tool:x"): 1.0,
+        ("2024-01-01", "conv:B", "tool:x"): 1.0,
+        ("2024-01-01", "conv:B", "tool:y"): 1.0,
+        ("2024-01-01", "tool:x", "tool:y"): 1.0,
+        ("2024-01-02", "conv:C", "tool:x"): 1.0,
+    }
+    stats = {
+        r["period"]: (r["n_convs"], r["n_actors"], r["n_edges"], r["total_weight"])
+        for r in temporal_graph_stats(t).collect()
+    }
+    assert stats == {
+        "2024-01-01": (2, 4, 4, 4.0),
+        "2024-01-02": (1, 2, 1, 1.0),
+    }
+
+
+def test_temporal_edges_sum_to_batch_induction(spark):
+    # conversations are atomic, so per-period weights sum to the batch graph
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+    from csd363_sin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    summed = {
+        (r["src_actor"], r["dst_actor"]): r["w"]
+        for r in temporal_edges(t, "day")
+        .groupBy("src_actor", "dst_actor")
+        .agg(F.sum("weight").alias("w"))
+        .collect()
+    }
+    batch = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in induce_actor_edges(t).collect()
+    }
+    assert summed == batch
