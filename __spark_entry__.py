@@ -524,6 +524,35 @@ def q_eigencentrality_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eigencentrality(spark, sf_dir, 0)
 
 
+def _katz(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.eigenvector import katz_centrality
+
+    g = _graph(spark, sf_dir)
+    kc = katz_centrality(
+        g,
+        alpha=0.005,
+        beta=1.0,
+        max_iter=_PR_GATE_ITERS,
+        tol=0.0,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return kc.join(g.vertices, "vertex_id").select(
+        "actor", F.round("score", 6).alias("score")
+    )
+
+
+def q_katz_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Katz centrality (x' = alpha*Ax + beta from x0=0)
+    at exactly K=8 iterations, unrolled-CTE mirror, 6-dp."""
+    return _katz(spark, sf_dir, 100_000)
+
+
+def q_katz_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed Katz gather kernel against the
+    SAME unrolled oracle."""
+    return _katz(spark, sf_dir, 0)
+
+
 def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: weighted PageRank at exactly K=8 power iterations
     (tol=0 disables early stop), mirrored by an unrolled-CTE DuckDB
@@ -1200,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed": q_pagerank_fixed,
         "eigencentrality_fixed": q_eigencentrality_fixed,
         "eigencentrality_fixed_dist": q_eigencentrality_fixed_dist,
+        "katz_fixed": q_katz_fixed,
+        "katz_fixed_dist": q_katz_fixed_dist,
         "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
@@ -1554,6 +1585,25 @@ e{i} AS MATERIALIZED (
   SELECT actor, comb / (SELECT mx FROM mx{i}) AS score FROM c{i}
 )""")
     parts.append(f"\nSELECT actor, round(score, 6) AS score FROM e{k}")
+    return "".join(parts)
+
+
+def _katz_sql(k: int, alpha: float = 0.005, beta: float = 1.0) -> str:
+    """Unrolled-CTE mirror of operators/eigenvector.py katz_centrality at
+    exactly ``k`` iterations of ``x' = alpha * A x + beta`` from x0 = 0.
+    Output rounded to 6 dp in both engines."""
+    parts = ["\n, kz0 AS MATERIALIZED (SELECT actor, 0.0 AS score FROM verts)"]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, kg{i} AS MATERIALIZED (
+  SELECT s.v AS actor, sum(s.weight * x.score) AS gather
+  FROM sym s JOIN kz{i - 1} x ON x.actor = s.u GROUP BY 1
+),
+kz{i} AS MATERIALIZED (
+  SELECT v.actor, {alpha} * COALESCE(g.gather, 0.0) + {beta} AS score
+  FROM verts v LEFT JOIN kg{i} g USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, round(score, 6) AS score FROM kz{k}")
     return "".join(parts)
 
 
@@ -2312,6 +2362,8 @@ FROM tconvs c JOIN tactors a USING (period) JOIN tedges e USING (period)
         # same-oracle twin: green == the distributed gather kernel (not
         # the numpy driver loop) matching DuckDB exactly
         "eigencentrality_fixed_dist": p + _eigencentrality_sql(_PR_GATE_ITERS),
+        "katz_fixed": p + _katz_sql(_PR_GATE_ITERS),
+        "katz_fixed_dist": p + _katz_sql(_PR_GATE_ITERS),
         "personalized_pagerank": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p

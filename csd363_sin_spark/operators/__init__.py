@@ -16,6 +16,7 @@ from csd363_sin_spark.operators.bfs import (  # noqa: F401
 )
 from csd363_sin_spark.operators.eigenvector import (  # noqa: F401
     eigenvector_centrality,
+    katz_centrality,
 )
 from csd363_sin_spark.operators.ktruss import (  # noqa: F401
     k_truss_edges,

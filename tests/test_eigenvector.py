@@ -48,6 +48,36 @@ def test_eigenvector_path_parity_fixed_iters(spark):
         assert driver[v] == pytest.approx(dist[v], abs=1e-9)
 
 
+def test_katz_vs_networkx_and_parity(spark):
+    from csd363_sin_spark.operators.eigenvector import katz_centrality
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=13)
+    g = induce_graph(t)
+    import numpy as np
+
+    nxg = graph_to_networkx(g)
+    # pick a safe alpha below 1/lambda_max of the weighted adjacency
+    import networkx as nx2
+
+    lam = max(
+        abs(np.linalg.eigvalsh(nx2.to_numpy_array(nxg, weight="weight")))
+    )
+    alpha = 0.5 / lam
+    got = _l2_normalized(
+        _collect(katz_centrality(g, alpha=alpha, max_iter=2000, tol=1e-13))
+    )
+    exp = nx.katz_centrality(
+        nxg, alpha=alpha, beta=1.0, weight="weight", max_iter=5000, tol=1e-12
+    )
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+    # fixed-iteration path parity (tol=0 => identical 8-step recurrence)
+    driver = _collect(katz_centrality(g, max_iter=8, tol=0.0))
+    dist = _collect(katz_centrality(g, max_iter=8, tol=0.0, local_edges_threshold=0))
+    for v in driver:
+        assert driver[v] == pytest.approx(dist[v], abs=1e-9)
+
+
 def test_eigenvector_star_and_isolate(spark):
     # star 0-(1,2,3) is bipartite — converges ONLY because of the +I
     # shift; center -> 1.0, leaves -> 1/sqrt(3); the isolate's score
