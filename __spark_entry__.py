@@ -376,6 +376,13 @@ def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the degree distribution (one hash aggregation)."""
+    from csd363_sin_spark.operators.degree import degree_histogram
+
+    return degree_histogram(_graph(spark, sf_dir))
+
+
 def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: per-vertex mean neighbor degree (local
     assortativity profile), 0.0 for isolates."""
@@ -1211,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_closeness": q_landmark_closeness,
         "diameter_double_sweep": q_diameter_double_sweep,
         "community_graph": q_community_graph,
+        "degree_histogram": q_degree_histogram,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
@@ -2318,6 +2326,11 @@ FROM (
   FROM edges e
 )
 GROUP BY 1, 2
+""",
+        "degree_histogram": p
+        + """
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_vertices
+FROM deg GROUP BY 1
 """,
         "avg_neighbor_degree": p
         + """

@@ -70,6 +70,17 @@ def analyze_graph(graph: Graph, components: DataFrame | None = None) -> dict:
     return out
 
 
+def degree_histogram(graph: Graph) -> DataFrame:
+    """``(degree long, n_vertices long)`` — the degree distribution (the
+    first thing anyone plots about a link graph; heavy-tail check before
+    choosing skew strategies).  One |V|-row hash aggregation."""
+    return (
+        graph.degrees()
+        .groupBy(F.col("degree").cast("long").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def avg_neighbor_degree(graph: Graph) -> DataFrame:
     """Per-vertex mean neighbor degree — nx.average_neighbor_degree on
     simple undirected graphs: the local assortativity profile (hubs whose
