@@ -362,6 +362,23 @@ def q_temporal_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_graph_stats(_transcripts(spark, sf_dir), "day")
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-conversation profile (turns, distinct tools,
+    text volume, duration) — the transcript-table analytics a user runs
+    before graphing anything."""
+    from csd363_sin_spark.plans.temporal import conversation_stats
+
+    return conversation_stats(_transcripts(spark, sf_dir))
+
+
+def q_tool_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-tool adoption profile (calls, conversation
+    reach, activity span)."""
+    from csd363_sin_spark.plans.temporal import tool_usage_stats
+
+    return tool_usage_stats(_transcripts(spark, sf_dir))
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: community contraction (the public coarsening
     operator) under the deterministic fixed partition — coarse edges
@@ -1222,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
+        "conversation_stats": q_conversation_stats,
+        "tool_usage_stats": q_tool_usage_stats,
         "truss_number": q_truss_number,
         "truss_number_dist": q_truss_number_dist,
         "connected_components": q_connected_components,
@@ -2342,6 +2361,23 @@ FROM verts v LEFT JOIN (
 """,
         "temporal_edges": p + _TEMPORAL_CTE + """
 SELECT period, src_actor, dst_actor, weight FROM ted
+""",
+        "conversation_stats": p
+        + """
+SELECT conv_id, count(*) AS n_turns,
+       count(DISTINCT tool) AS n_tools,
+       sum(length(text)) AS n_chars,
+       CAST(FLOOR(epoch(max(ts))) AS BIGINT)
+         - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM t GROUP BY 1
+""",
+        "tool_usage_stats": p
+        + """
+SELECT tool, count(*) AS n_calls,
+       count(DISTINCT conv_id) AS n_convs,
+       strftime(min(ts), '%Y-%m-%d') AS first_day,
+       strftime(max(ts), '%Y-%m-%d') AS last_day
+FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
         "temporal_graph_stats": p + _TEMPORAL_CTE + """
 , tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),

@@ -54,6 +54,36 @@ def temporal_edges(transcripts: DataFrame, granularity: str = "day") -> DataFram
     )
 
 
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile: ``(conv_id, n_turns, n_tools, n_chars,
+    duration_sec)`` — turn count, distinct tools invoked, total text
+    volume, and wall-clock span.  One grouped aggregation."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct("tool").alias("n_tools"),
+        F.sum(F.length("text")).alias("n_chars"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
+def tool_usage_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-tool adoption profile: ``(tool, n_calls, n_convs, first_day,
+    last_day)`` — call volume, conversation reach, and the activity
+    span.  One grouped aggregation over tool turns."""
+    return (
+        transcripts.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
+        )
+    )
+
+
 def temporal_graph_stats(
     transcripts: DataFrame, granularity: str = "day"
 ) -> DataFrame:

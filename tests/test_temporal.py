@@ -55,6 +55,29 @@ def test_temporal_edges_hand_computed(spark):
     }
 
 
+def test_conversation_and_tool_stats(spark):
+    from csd363_sin_spark.plans.temporal import conversation_stats, tool_usage_stats
+
+    t = _fixture(spark)
+    cs = {
+        r["conv_id"]: (r["n_turns"], r["n_tools"], r["n_chars"], r["duration_sec"])
+        for r in conversation_stats(t).collect()
+    }
+    assert cs == {
+        "A": (2, 1, 2, 3600),
+        "B": (2, 2, 2, 16 * 3600),
+        "C": (1, 1, 1, 0),
+    }
+    tus = {
+        r["tool"]: (r["n_calls"], r["n_convs"], r["first_day"], r["last_day"])
+        for r in tool_usage_stats(t).collect()
+    }
+    assert tus == {
+        "x": (3, 3, "2024-01-01", "2024-01-02"),
+        "y": (1, 1, "2024-01-02", "2024-01-02"),
+    }
+
+
 def test_temporal_edges_sum_to_batch_induction(spark):
     # conversations are atomic, so per-period weights sum to the batch graph
     from csd363_sin_spark.plans.induce import induce_actor_edges
