@@ -1032,6 +1032,30 @@ def q_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_holdout_split(_docs(spark, sf_dir), holdout_permille=50)
 
 
+def _shard_by_budget(
+    spark: SparkSession, sf_dir: str, local_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.functions.sampling import shard_by_token_budget
+
+    return shard_by_token_budget(
+        _docs(spark, sf_dir), tokens_per_shard=2048, local_threshold=local_threshold
+    )
+
+
+def q_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: token-budget dataset sharding (docs packed into
+    ~2048-token output shards in doc_id order); the prefix sum is a
+    global window in SQL but a range-partition + per-partition offsets
+    plan in Spark (dense_ids pattern — no single-partition funnel)."""
+    return _shard_by_budget(spark, sf_dir, 1_000_000)
+
+
+def q_shard_by_budget_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed two-phase prefix-sum path (driver
+    dispatch off) against the SAME oracle."""
+    return _shard_by_budget(spark, sf_dir, 0)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: 3-gram overlap of every candidate
     doc against a deterministic ~5% 'benchmark' subset (md5 bucket of
@@ -1296,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_lm": q_doc_unigram_lm,
         "stratified_sample": q_stratified_sample,
         "train_holdout_split": q_train_holdout_split,
+        "shard_by_budget": q_shard_by_budget,
+        "shard_by_budget_dist": q_shard_by_budget_dist,
         "contamination_check": q_contamination_check,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1334,6 +1360,25 @@ stats AS (
   FROM allcomms a LEFT JOIN comm_stats cs USING (comm)
 ),
 m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
+"""
+
+
+# token-budget sharding oracle — the global-window form of the engine's
+# two-phase range-partitioned prefix sum (functions/sampling.py).
+# A function because _DOC_PRELUDE is defined further down the module.
+def _shard_sql() -> str:
+    return _DOC_PRELUDE + """
+, tn AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END
+              AS BIGINT) AS n_tokens
+  FROM toksrc
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(COALESCE(sum(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS shard
+FROM tn
 """
 
 
@@ -2617,6 +2662,8 @@ FROM (
   FROM documents
 )
 """,
+        "shard_by_budget": _shard_sql(),
+        "shard_by_budget_dist": _shard_sql(),
         "contamination_check": _DOC_PRELUDE
         + _sh_cte(3)
         + f"""

@@ -59,6 +59,84 @@ def stratified_sample(
     )
 
 
+def shard_by_token_budget(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    num_partitions: int | None = None,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Pack documents into output shards of ~``tokens_per_shard`` tokens
+    in doc_id order — the dataset-writer step of a training pipeline
+    (fixed-budget shards give the loader uniform work units).  Returns
+    ``(doc_id, n_tokens, shard)`` with
+    ``shard = floor(tokens_before_this_doc / tokens_per_shard)``.
+
+    The prefix sum is the scale hazard: a global ``sum() OVER (ORDER
+    BY)`` window funnels the whole corpus through ONE partition.
+    Instead this mirrors ``plans/ids.py dense_ids``: range-repartition by
+    doc_id, per-partition running sums (parallel window), then add
+    per-partition offsets from a tiny collected totals table — one
+    collected row per partition, works at billions of docs.  Corpora at
+    or below ``local_threshold`` docs take the driver path; both paths
+    are identical integer math.
+    """
+    from csd363_sin_spark.functions.text import token_stats
+
+    toks = token_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    spark = toks.sparkSession
+    if local_threshold > 0 and toks.count() <= local_threshold:
+        rows = sorted(
+            ((int(r["doc_id"]), int(r["n_tokens"])) for r in toks.collect())
+        )
+        out, acc = [], 0
+        for doc_id, n in rows:
+            out.append((doc_id, n, acc // tokens_per_shard))
+            acc += n
+        return spark.createDataFrame(
+            out, "doc_id long, n_tokens long, shard long"
+        )
+
+    if num_partitions is None:
+        num_partitions = max(1, spark.sparkContext.defaultParallelism)
+    parted = toks.repartitionByRange(num_partitions, F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    totals = parted.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["t"])
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        parted.withColumn("_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .join(F.broadcast(offset_df), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("_before") + F.col("_offset")) / tokens_per_shard)
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    from csd363_sin_spark.plans.lineage import materialize
+
+    out = materialize(out)
+    parted.unpersist()
+    return out
+
+
 def train_holdout_split(
     docs: DataFrame, holdout_permille: int = 50, salt: str = "split"
 ) -> DataFrame:

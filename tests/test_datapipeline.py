@@ -400,6 +400,31 @@ def test_train_holdout_split_stable_and_total(spark):
     assert all(got2[k] == v for k, v in got.items())
 
 
+def test_shard_by_token_budget_both_paths(spark):
+    from csd363_sin_spark.functions.sampling import shard_by_token_budget
+
+    # doc i has i+1 tokens; budget 10 => shards by prefix sums 0,1,3,6,10,...
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp, acc = {}, 0
+    for i in range(12):
+        exp[i] = (i + 1, acc // 10)
+        acc += i + 1
+    driver = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in shard_by_token_budget(docs, 10).collect()
+    }
+    dist = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in shard_by_token_budget(docs, 10, local_threshold=0).collect()
+    }
+    assert driver == exp
+    assert dist == exp  # two-phase prefix == global prefix, bit-exact
+    # shards are contiguous in doc_id order and budgets respected
+    shards = [v[1] for _, v in sorted(driver.items())]
+    assert shards == sorted(shards)
+
+
 def test_contamination_check_hand_computed(spark):
     from csd363_sin_spark.functions.dedup import contamination_check
 
