@@ -119,23 +119,50 @@ def truss_number(
     graph: Graph,
     local_edges_threshold: int = 100_000,
     max_rounds: int = 10_000,
+    store=None,
+    stage: str = "truss",
 ) -> DataFrame:
     """Full decomposition: ``(u long, v long, truss long)`` for every
-    canonical edge (t >= 2 always; higher = denser embedding)."""
+    canonical edge (t >= 2 always; higher = denser embedding).
+
+    ``store`` (a checkpoint.CheckpointStore) snapshots the surviving
+    edge set, the accumulated truss assignments, and (k, rounds) after
+    every peel round, so a killed run resumes mid-decomposition with
+    identical output — the same per-superstep lineage contract as the
+    Louvain/GN/Infomap kernels."""
     if graph.edges.count() <= local_edges_threshold:
         return _truss_driver(graph)
 
     spark = graph.edges.sparkSession
-    cur = materialize(
-        graph.edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    meta_key = f"{stage}_state"
+    done_df: DataFrame | None = None
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        if meta.get("done"):
+            return materialize(store.load_df(spark, f"{stage}_result"))
+        cur = materialize(store.load_df(spark, f"{stage}_cur"))
+        if store.has_df(f"{stage}_assign"):
+            done_df = materialize(store.load_df(spark, f"{stage}_assign"))
+        k, rounds = int(meta["k"]), int(meta["rounds"])
+    else:
+        cur = materialize(
+            graph.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    done: list[DataFrame] = []
-    k = 2
-    rounds = 0
+        k, rounds = 2, 0
+
+    def _snapshot() -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_cur", cur)
+        if done_df is not None:
+            store.save_df(f"{stage}_assign", done_df)
+        store.save_meta(meta_key, {"k": k, "rounds": rounds, "done": False})
+        store.lineage(stage, rounds, cur, kind="truss_round", k=k)
+
     while cur.count() > 0 and rounds < max_rounds:
         # peel phase for k: edges failing the (k+1)-truss bar get truss k
         s_min = None
@@ -147,16 +174,30 @@ def truss_number(
                 s_min = scored.agg(F.min("sup")).collect()[0][0]
                 release(scored)
                 break
-            done.append(
-                materialize(drop.select("u", "v", F.lit(k).cast("long").alias("truss")))
+            dropped = materialize(
+                drop.select("u", "v", F.lit(k).cast("long").alias("truss"))
             )
+            new_done = materialize(
+                dropped if done_df is None else done_df.unionByName(dropped)
+            )
+            release(dropped)
+            if done_df is not None:
+                release(done_df)
+            done_df = new_done
             nxt = materialize(scored.filter(F.col("sup") >= k - 1).select("u", "v"))
             release(scored)
             release(cur)
             cur = nxt
+            _snapshot()
         # plateau skip: jump to the first threshold that can drop an edge
         k = max(k + 1, (s_min + 2) if s_min is not None else k + 1)
-    out = done[0] if done else spark.createDataFrame([], "u long, v long, truss long")
-    for d in done[1:]:
-        out = out.unionByName(d)
+    out = (
+        done_df
+        if done_df is not None
+        else spark.createDataFrame([], "u long, v long, truss long")
+    )
+    if store is not None:
+        store.save_df(f"{stage}_result", out)
+        store.save_meta(meta_key, {"done": True})
+        store.lineage(stage, -1, out, kind="truss_done")
     return out

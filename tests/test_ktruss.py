@@ -61,6 +61,45 @@ def test_truss_hand_case(spark):
     assert k3_driver == k3_dist == {frozenset(e) for e in k4 + [(0, 4), (0, 5), (4, 5)]}
 
 
+def test_truss_resume_mid_peel(spark, monkeypatch, tmp_path):
+    """Simulated crash between peel rounds: the resumed run continues
+    from the round snapshot and matches an uninterrupted run exactly."""
+    import pytest
+
+    import csd363_sin_spark.operators.ktruss as kt
+    from csd363_sin_spark.checkpoint import CheckpointStore
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    g = graph_from_edges(spark, k4 + [(3, 9), (0, 4), (0, 5), (4, 5)])
+    straight = _collect(truss_number(g, local_edges_threshold=0))
+
+    calls = {"n": 0}
+    orig = kt._edge_support
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 4:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **kw)
+
+    store = CheckpointStore(str(tmp_path), run_id="tr")
+    monkeypatch.setattr(kt, "_edge_support", bomb)
+    with pytest.raises(RuntimeError):
+        truss_number(g, local_edges_threshold=0, store=store, stage="tx")
+    monkeypatch.setattr(kt, "_edge_support", orig)
+    assert store.has_meta("tx_state")  # round snapshot survived the crash
+
+    resumed = _collect(
+        truss_number(g, local_edges_threshold=0, store=store, stage="tx")
+    )
+    assert resumed == straight
+    # a third call short-circuits to the saved result
+    again = _collect(
+        truss_number(g, local_edges_threshold=0, store=store, stage="tx")
+    )
+    assert again == straight
+
+
 def test_truss_triangle_free(spark):
     # a tree: every edge has truss 2
     g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (1, 4)])
