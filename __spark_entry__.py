@@ -1240,6 +1240,30 @@ def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canonical_labels(out)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Structured-Streaming exact dedup — fingerprint
+    sightings maintained by foreachBatch, keepers derived at read time
+    (= batch dedup_exact on the union, split-invariant).  Returns the
+    surviving ``(doc_id, fp)`` pairs; the oracle recomputes them in SQL."""
+    import os
+    import tempfile
+
+    from csd363_sin_spark.streaming.dedup import (
+        read_dedup_decisions,
+        run_streaming_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="gate_sdedup_")
+    inp = os.path.join(d, "in")
+    _docs(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    run_streaming_dedup(spark, inp, os.path.join(d, "store"))
+    return (
+        read_dedup_decisions(spark, os.path.join(d, "store"))
+        .filter(F.col("is_keeper"))
+        .select("doc_id", "fp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/2.2)
@@ -1313,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "doc_repetition": q_doc_repetition,
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2685,6 +2710,12 @@ SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
        round(COALESCE(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE), 6)
          AS contamination
 FROM sizes s LEFT JOIN hits h USING (doc_id)
+""",
+        "streaming_dedup": _DOC_PRELUDE
+        + """
+, keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc),
+keeper AS (SELECT fp, min(doc_id) AS k FROM keyed GROUP BY 1)
+SELECT doc_id, fp FROM keyed JOIN keeper USING (fp) WHERE doc_id = k
 """,
         "dedup_exact": _DOC_PRELUDE
         + """
