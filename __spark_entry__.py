@@ -379,6 +379,17 @@ def q_tool_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_stats(_transcripts(spark, sf_dir))
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic DeepWalk corpus (2 walks x 4 steps
+    per vertex; successor = integer-hash argmin over neighbors) — every
+    step mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.walks import random_walks
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return random_walks(edges, walk_length=4, walks_per_vertex=2)
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: community contraction (the public coarsening
     operator) under the deterministic fixed partition — coarse edges
@@ -1287,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
+        "random_walks": q_random_walks,
         "conversation_stats": q_conversation_stats,
         "tool_usage_stats": q_tool_usage_stats,
         "truss_number": q_truss_number,
@@ -1468,6 +1480,39 @@ def _truss_sql(k_max: int = 24, rounds_per_phase: int = 3) -> str:
     parts.append(
         f"\nSELECT u AS actor_u, v AS actor_v, truss FROM (\n{assigns}\n)"
     )
+    return "".join(parts)
+
+
+def _walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, salt: str = "walk") -> str:
+    """Mirror of operators/walks.py random_walks: per step, the successor
+    is the neighbor minimizing the portable integer hash (tie-break
+    neighbor name) — pure integer math, so the walk corpus is identical
+    in both engines."""
+    parts = [
+        f"""
+, wk0 AS MATERIALIZED (
+  SELECT u AS start_actor, CAST(wid AS BIGINT) AS walk_id, u AS actor
+  FROM (SELECT DISTINCT u FROM sym),
+       (SELECT unnest(range({walks_per_vertex})) AS wid)
+)"""
+    ]
+    for step in range(1, walk_length + 1):
+        parts.append(f"""
+, wk{step} AS MATERIALIZED (
+  SELECT start_actor, walk_id, cand AS actor FROM (
+    SELECT w.start_actor, w.walk_id, s.v AS cand,
+           row_number() OVER (
+             PARTITION BY w.start_actor, w.walk_id
+             ORDER BY {_ph("'" + salt + ":' || w.start_actor || ':' || CAST(w.walk_id AS VARCHAR) || ':" + str(step) + ":' || s.v")}, s.v
+           ) AS rn
+    FROM wk{step - 1} w JOIN sym s ON s.u = w.actor
+  ) WHERE rn = 1
+)""")
+    layers = "\nUNION ALL ".join(
+        f"SELECT start_actor, walk_id, CAST({i} AS BIGINT) AS step, actor FROM wk{i}"
+        for i in range(walk_length + 1)
+    )
+    parts.append(f"\n{layers}")
     return "".join(parts)
 
 
@@ -2449,6 +2494,7 @@ SELECT tool, count(*) AS n_calls,
        strftime(max(ts), '%Y-%m-%d') AS last_day
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
+        "random_walks": p + _walks_sql(),
         "temporal_graph_stats": p + _TEMPORAL_CTE + """
 , tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),
 tactors AS (

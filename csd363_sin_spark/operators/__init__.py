@@ -6,6 +6,7 @@ from csd363_sin_spark.operators.degree import (  # noqa: F401
     degree_assortativity,
 )
 from csd363_sin_spark.operators.structure import contract_graph  # noqa: F401
+from csd363_sin_spark.operators.walks import random_walks  # noqa: F401
 from csd363_sin_spark.operators.components import connected_components  # noqa: F401
 from csd363_sin_spark.operators.bfs import (  # noqa: F401
     diameter_double_sweep,

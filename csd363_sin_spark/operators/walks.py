@@ -1,0 +1,103 @@
+"""Deterministic random walks — graph-embedding corpus prep (DeepWalk).
+
+Embedding pipelines (DeepWalk / node2vec / LINE) start by materializing
+a corpus of random walks; at 100 TB that corpus generation must be a
+distributed dataflow, reproducible across runs and task retries.  RNG
+state breaks both, so each step's neighbor choice is derandomized the
+same way the engine's samplers are: the successor of walk ``(start,
+walk_id)`` at ``step`` is the neighbor minimizing the engine-portable
+``portable_hash64(salt:start:walk_id:step:neighbor)`` — an integer
+argmin, bit-identical in Spark, DuckDB (the gate oracle mirrors every
+step) and across retries, yet uniformly distributed over neighbors.
+
+Scale: walk state is one row per active walk; each step is one join of
+the state against the src-pre-partitioned symmetric edge view (the only
+O(frontier-degree) exchange) followed by a per-walk argmin (window over
+candidate rows — candidates of one walk = one vertex's neighbors, so a
+10M-degree hub makes a 10M-row partition for the walks currently ON it;
+``walks_per_vertex`` keeps that bounded, and hub-heavy deployments can
+swap the window for a two-phase min like similarity.py's top-k).
+Walks that reach an isolated/dead-end vertex terminate early, matching
+DeepWalk semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.functions.dedup import portable_hash64
+from csd363_sin_spark.plans.lineage import materialize
+
+
+def random_walks(
+    edges_named: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    salt: str = "walk",
+) -> DataFrame:
+    """Uniform random walks over actor-named edges
+    ``(src_actor, dst_actor, ...)``: returns ``(start_actor, walk_id,
+    step, actor)`` — one row per visited position, step 0 = the start
+    vertex itself.  Deterministic: a pure function of the edge set and
+    the salt."""
+    sym = (
+        edges_named.select(
+            F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
+        )
+        .unionByName(
+            edges_named.select(
+                F.col("dst_actor").alias("u"), F.col("src_actor").alias("v")
+            )
+        )
+        .repartition("u")
+        .persist()
+    )
+    sym.count()
+    verts = sym.select(F.col("u").alias("start_actor")).distinct()
+    state = materialize(
+        verts.select(
+            "start_actor",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("walk_id"),
+        ).select(
+            "start_actor",
+            F.col("walk_id").cast("long").alias("walk_id"),
+            F.col("start_actor").alias("actor"),
+        )
+    )
+    out = state.withColumn("step", F.lit(0).cast("long"))
+    frames = [out]
+    for step in range(1, walk_length + 1):
+        cand = state.join(sym, state["actor"] == sym["u"]).select(
+            "start_actor",
+            "walk_id",
+            F.col("v").alias("cand"),
+            portable_hash64(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("start_actor"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("v"),
+                )
+            ).alias("h"),
+        )
+        w = Window.partitionBy("start_actor", "walk_id").orderBy("h", "cand")
+        # NOTE: earlier states are NOT released — every step's state is a
+        # slice of the returned corpus (frames below reference them)
+        state = materialize(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("start_actor", "walk_id", F.col("cand").alias("actor"))
+        )
+        frames.append(state.withColumn("step", F.lit(step).cast("long")))
+        if state.isEmpty():
+            break
+    result = frames[0]
+    for f in frames[1:]:
+        result = result.unionByName(f)
+    sym.unpersist()
+    return result.select("start_actor", "walk_id", "step", "actor")
