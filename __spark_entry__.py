@@ -390,6 +390,18 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_length=4, walks_per_vertex=2)
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: skip-gram (center, context) pair counts from the
+    deterministic walk corpus — the embedding-training input."""
+    from csd363_sin_spark.operators.walks import random_walks, skipgram_pairs
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return skipgram_pairs(
+        random_walks(edges, walk_length=4, walks_per_vertex=2), window=2
+    )
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: community contraction (the public coarsening
     operator) under the deterministic fixed partition — coarse edges
@@ -1299,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "conversation_stats": q_conversation_stats,
         "tool_usage_stats": q_tool_usage_stats,
         "truss_number": q_truss_number,
@@ -1512,7 +1525,7 @@ def _walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, salt: str = "wal
         f"SELECT start_actor, walk_id, CAST({i} AS BIGINT) AS step, actor FROM wk{i}"
         for i in range(walk_length + 1)
     )
-    parts.append(f"\n{layers}")
+    parts.append(f"\n, wk_all AS (\n{layers}\n)")
     return "".join(parts)
 
 
@@ -2494,7 +2507,16 @@ SELECT tool, count(*) AS n_calls,
        strftime(max(ts), '%Y-%m-%d') AS last_day
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
-        "random_walks": p + _walks_sql(),
+        "random_walks": p + _walks_sql()
+        + "\nSELECT start_actor, walk_id, step, actor FROM wk_all",
+        "skipgram_pairs": p + _walks_sql() + """
+SELECT a.actor AS center, b.actor AS context, count(*) AS n
+FROM wk_all a JOIN wk_all b
+  ON a.start_actor = b.start_actor AND a.walk_id = b.walk_id
+ AND a.step <> b.step AND abs(a.step - b.step) <= 2
+ AND a.actor <> b.actor
+GROUP BY 1, 2
+""",
         "temporal_graph_stats": p + _TEMPORAL_CTE + """
 , tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),
 tactors AS (

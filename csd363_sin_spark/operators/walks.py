@@ -101,3 +101,30 @@ def random_walks(
         result = result.unionByName(f)
     sym.unpersist()
     return result.select("start_actor", "walk_id", "step", "actor")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus: ``(center, context,
+    n)`` for every ordered pair of distinct vertices co-occurring within
+    ``window`` steps on the same walk, with n = co-occurrence count —
+    the exact input word2vec-style embedding training consumes.
+
+    One self-join per walk keyed on (start_actor, walk_id) with a step-
+    distance band predicate, then a hash aggregation; walk length is a
+    small constant, so the join fan-out per walk is O(L * window)."""
+    a = walks.select(
+        "start_actor", "walk_id", F.col("step").alias("s1"), F.col("actor").alias("center")
+    )
+    b = walks.select(
+        "start_actor", "walk_id", F.col("step").alias("s2"), F.col("actor").alias("context")
+    )
+    return (
+        a.join(b, ["start_actor", "walk_id"])
+        .filter(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+            & (F.col("center") != F.col("context"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
