@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csd363_sin_spark.plans.directed import HANDOFF_EDGES_SQL
 from csd363_sin_spark.plans.induce import Graph, induce_graph
 from csd363_sin_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -1287,6 +1288,132 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# directed layer (plans/directed.py): handoff graph, SCC, directed PR, HITS
+# ---------------------------------------------------------------------------
+
+_DIGRAPH_CACHE: dict = {}
+
+
+def _digraph(spark: SparkSession, sf_dir: str):
+    """Directed handoff graph for a testdata dir (cached + persisted)."""
+    from csd363_sin_spark.plans.directed import (
+        digraph_from_named_edges,
+        handoff_edges,
+    )
+
+    if sf_dir not in _DIGRAPH_CACHE:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dg = digraph_from_named_edges(
+            handoff_edges(transcripts_from_events(events))
+        )
+        dg.vertices.persist().count()
+        dg.edges.persist().count()
+        _DIGRAPH_CACHE[sf_dir] = dg
+    return _DIGRAPH_CACHE[sf_dir]
+
+
+def q_handoff_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: directed consecutive-turn handoff edges (one lag
+    window + one aggregation; plans/directed.py)."""
+    from csd363_sin_spark.plans.directed import handoff_edges
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return handoff_edges(transcripts_from_events(events))
+
+
+def _scc(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.scc import strongly_connected_components
+
+    dg = _digraph(spark, sf_dir)
+    scc = strongly_connected_components(
+        dg, local_edges_threshold=local_edges_threshold
+    )
+    named = scc.join(dg.vertices, "vertex_id").select("actor", "scc_id")
+    roots = named.groupBy("scc_id").agg(F.min("actor").alias("scc_actor"))
+    return named.join(roots, "scc_id").select("actor", "scc_actor")
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: strongly connected components of the handoff
+    graph, labeled by min actor name; DuckDB oracle = recursive
+    mutual-reachability closure."""
+    return _scc(spark, sf_dir, 100_000)
+
+
+def q_scc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the trim + forward-min-coloring + backward-confirm
+    peeling kernel (driver dispatch off) against the SAME oracle."""
+    return _scc(spark, sf_dir, 0)
+
+
+def _pagerank_directed(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.directed_rank import pagerank_directed
+
+    dg = _digraph(spark, sf_dir)
+    pr = pagerank_directed(
+        dg,
+        weighted=True,
+        tol=0.0,
+        max_iter=_PR_GATE_ITERS,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return pr.join(dg.vertices, "vertex_id").select(
+        "actor", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_pagerank_directed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: DIRECTED weighted PageRank (out-strength shares,
+    out-degree-0 dangling redistribution) at exactly K=8 iterations,
+    unrolled-CTE DuckDB mirror, 6-dp — the directed twin of
+    pagerank_fixed."""
+    return _pagerank_directed(spark, sf_dir, 100_000)
+
+
+def q_pagerank_directed_fixed_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-checked: the distributed directed-PageRank kernel (driver
+    dispatch off) against the SAME unrolled oracle."""
+    return _pagerank_directed(spark, sf_dir, 0)
+
+
+_HITS_GATE_ITERS = 8  # unrolled as CTE layers in the DuckDB oracle
+
+
+def _hits(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.directed_rank import hits
+
+    dg = _digraph(spark, sf_dir)
+    hh = hits(
+        dg,
+        iterations=_HITS_GATE_ITERS,
+        weighted=True,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return hh.join(dg.vertices, "vertex_id").select(
+        "actor",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def q_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: HITS hubs/authorities (weighted, L1-normalized
+    per half-step) at exactly K=8 iterations, unrolled-CTE mirror,
+    6-dp."""
+    return _hits(spark, sf_dir, 100_000)
+
+
+def q_hits_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed HITS gather kernel (driver
+    dispatch off) against the SAME unrolled oracle."""
+    return _hits(spark, sf_dir, 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/2.2)
@@ -1318,6 +1445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_number_dist": q_truss_number_dist,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        # directed layer (plans/directed.py)
+        "handoff_edges": q_handoff_edges,
+        "scc": q_scc,
+        "scc_dist": q_scc_dist,
+        "pagerank_directed_fixed": q_pagerank_directed_fixed,
+        "pagerank_directed_fixed_dist": q_pagerank_directed_fixed_dist,
+        "hits_fixed": q_hits_fixed,
+        "hits_fixed_dist": q_hits_fixed_dist,
         # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
         "conductance_fixed_partition": q_conductance_fixed_partition,
@@ -1716,6 +1851,90 @@ x{i} AS MATERIALIZED (
   FROM verts v JOIN pvec pv USING (actor) LEFT JOIN m{i} m USING (actor)
 )""")
     parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
+    return "".join(parts)
+
+
+def _pagerank_directed_sql(k: int, alpha: float = 0.85) -> str:
+    """Unrolled-CTE mirror of operators/directed_rank.pagerank_directed
+    at exactly ``k`` iterations over the handoff edges (weighted
+    out-strength shares, out-degree-0 dangling mass spread uniformly).
+    Requires the handoff CTEs (dedges/dverts) in scope."""
+    parts = [
+        f"""
+, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dverts),
+doutw AS (SELECT src_actor AS u, sum(weight) AS out_w FROM dedges GROUP BY 1),
+dshares AS (
+  SELECT e.src_actor AS u, e.dst_actor AS v, e.weight / o.out_w AS share
+  FROM dedges e JOIN doutw o ON o.u = e.src_actor
+),
+ddang AS (
+  SELECT actor FROM dverts WHERE actor NOT IN (SELECT u FROM doutw)
+),
+y0 AS MATERIALIZED (
+  SELECT actor, 1.0 / (SELECT n FROM nn) AS rank FROM dverts
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, dd{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(x.rank), 0.0) AS mass
+  FROM y{i - 1} x JOIN ddang USING (actor)
+),
+dm{i} AS MATERIALIZED (
+  SELECT s.v AS actor, sum(s.share * x.rank) AS in_mass
+  FROM dshares s JOIN y{i - 1} x ON x.actor = s.u GROUP BY 1
+),
+y{i} AS MATERIALIZED (
+  SELECT v.actor,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * (COALESCE(m.in_mass, 0.0)
+                      + (SELECT mass FROM dd{i}) / (SELECT n FROM nn)) AS rank
+  FROM dverts v LEFT JOIN dm{i} m USING (actor)
+)""")
+    parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM y{k}")
+    return "".join(parts)
+
+
+def _hits_sql(k: int) -> str:
+    """Unrolled-CTE mirror of operators/directed_rank.hits at exactly
+    ``k`` iterations (weighted; auth then hub, each L1-normalized).
+    Requires the handoff CTEs (dedges/dverts) in scope."""
+    parts = [
+        """
+, h0 AS MATERIALIZED (
+  SELECT actor, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM dverts) AS hub
+  FROM dverts
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, ar{i} AS MATERIALIZED (
+  SELECT v.actor, COALESCE(s.a, 0.0) AS a
+  FROM dverts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, sum(e.weight * h.hub) AS a
+    FROM dedges e JOIN h{i - 1} h ON h.actor = e.src_actor GROUP BY 1
+  ) s USING (actor)
+),
+an{i} AS MATERIALIZED (
+  SELECT actor, CASE WHEN (SELECT sum(a) FROM ar{i}) > 0
+                     THEN a / (SELECT sum(a) FROM ar{i}) ELSE a END AS a
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT v.actor, COALESCE(s.hub, 0.0) AS hub
+  FROM dverts v LEFT JOIN (
+    SELECT e.src_actor AS actor, sum(e.weight * a.a) AS hub
+    FROM dedges e JOIN an{i} a ON a.actor = e.dst_actor GROUP BY 1
+  ) s USING (actor)
+),
+h{i} AS MATERIALIZED (
+  SELECT actor, CASE WHEN (SELECT sum(hub) FROM hr{i}) > 0
+                     THEN hub / (SELECT sum(hub) FROM hr{i}) ELSE hub END AS hub
+  FROM hr{i}
+)""")
+    parts.append(f"""
+SELECT h.actor, round(h.hub, 6) AS hub, round(a.a, 6) AS auth
+FROM h{k} h JOIN an{k} a USING (actor)""")
     return "".join(parts)
 
 
@@ -2545,6 +2764,50 @@ FROM tconvs c JOIN tactors a USING (period) JOIN tedges e USING (period)
         # same-oracle twin: green == the CSR/Arrow vote-gather kernel
         "label_propagation_csr": p + _lpa_sql(_LPA_GATE_ITERS),
         "pagerank_fixed": p + _pagerank_sql(_PR_GATE_ITERS),
+        # directed layer: handoff CTEs (plans/directed.HANDOFF_EDGES_SQL)
+        "handoff_edges": p
+        + ","
+        + HANDOFF_EDGES_SQL
+        + "SELECT src_actor, dst_actor, weight FROM dedges",
+        "scc": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + ","
+        + HANDOFF_EDGES_SQL
+        + """
+, dreach AS (
+  SELECT actor AS a, actor AS b FROM dverts
+  UNION
+  SELECT r.a, e.dst_actor AS b FROM dreach r JOIN dedges e ON r.b = e.src_actor
+)
+SELECT r1.a AS actor, min(r1.b) AS scc_actor
+FROM dreach r1 JOIN dreach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY 1
+""",
+        "scc_dist": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + ","
+        + HANDOFF_EDGES_SQL
+        + """
+, dreach AS (
+  SELECT actor AS a, actor AS b FROM dverts
+  UNION
+  SELECT r.a, e.dst_actor AS b FROM dreach r JOIN dedges e ON r.b = e.src_actor
+)
+SELECT r1.a AS actor, min(r1.b) AS scc_actor
+FROM dreach r1 JOIN dreach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY 1
+""",
+        "pagerank_directed_fixed": p
+        + ","
+        + HANDOFF_EDGES_SQL
+        + _pagerank_directed_sql(_PR_GATE_ITERS),
+        "pagerank_directed_fixed_dist": p
+        + ","
+        + HANDOFF_EDGES_SQL
+        + _pagerank_directed_sql(_PR_GATE_ITERS),
+        "hits_fixed": p + "," + HANDOFF_EDGES_SQL + _hits_sql(_HITS_GATE_ITERS),
+        "hits_fixed_dist": p
+        + ","
+        + HANDOFF_EDGES_SQL
+        + _hits_sql(_HITS_GATE_ITERS),
         "eigencentrality_fixed": p + _eigencentrality_sql(_PR_GATE_ITERS),
         # same-oracle twin: green == the distributed gather kernel (not
         # the numpy driver loop) matching DuckDB exactly

@@ -1,0 +1,177 @@
+"""Directed layer: handoff induction, SCC, directed PageRank, HITS."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime
+
+import pytest
+
+from csd363_sin_spark.operators.directed_rank import hits, pagerank_directed
+from csd363_sin_spark.operators.scc import (
+    condensation_edges,
+    strongly_connected_components,
+)
+from csd363_sin_spark.plans.directed import (
+    digraph_from_edges,
+    digraph_from_named_edges,
+    handoff_edges,
+)
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+_TS = datetime(2024, 1, 1)
+
+
+def _transcripts(spark):
+    # conv A: user -> tool x -> tool y -> user  (A->x, x->y, y->A)
+    # conv B: tool x -> tool x -> tool z        (x->x dropped, x->z)
+    rows = [
+        ("A", 0, "user", "t", None, _TS),
+        ("A", 1, "tool", "t", "x", _TS),
+        ("A", 2, "tool", "t", "y", _TS),
+        ("A", 3, "user", "t", None, _TS),
+        ("B", 0, "tool", "t", "x", _TS),
+        ("B", 1, "tool", "t", "x", _TS),
+        ("B", 2, "tool", "t", "z", _TS),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_handoff_edges_hand_computed(spark):
+    got = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in handoff_edges(_transcripts(spark)).collect()
+    }
+    assert got == {
+        ("conv:A", "tool:x"): 1.0,
+        ("tool:x", "tool:y"): 1.0,
+        ("tool:y", "conv:A"): 1.0,
+        ("tool:x", "tool:z"): 1.0,
+    }
+
+
+def _random_digraph(spark, n=28, p=0.09, seed=5, extra_cycles=3):
+    rng = random.Random(seed)
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(n)
+        if u != v and rng.random() < p
+    ]
+    # plant a few cycles so nontrivial SCCs exist
+    for _ in range(extra_cycles):
+        k = rng.randint(2, 4)
+        cyc = rng.sample(range(n), k)
+        edges.extend(zip(cyc, cyc[1:] + cyc[:1]))
+    edges = sorted(set(edges))
+    weights = [1.0 + rng.randint(0, 4) for _ in edges]
+    return digraph_from_edges(spark, edges, weights)
+
+
+def _nx_digraph(dg):
+    import networkx as nx
+
+    g = nx.DiGraph()
+    for r in dg.vertices.collect():
+        g.add_node(int(r["vertex_id"]))
+    for r in dg.edges.collect():
+        g.add_edge(int(r["src"]), int(r["dst"]), weight=float(r["weight"]))
+    return g
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_scc_matches_networkx_both_paths(spark, seed):
+    import networkx as nx
+
+    dg = _random_digraph(spark, seed=seed)
+    g = _nx_digraph(dg)
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        root = min(comp)
+        for v in comp:
+            want[v] = root
+
+    got_driver = {
+        r["vertex_id"]: r["scc_id"]
+        for r in strongly_connected_components(dg).collect()
+    }
+    assert got_driver == want
+    got_dist = {
+        r["vertex_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            dg, local_edges_threshold=0
+        ).collect()
+    }
+    assert got_dist == want
+
+
+def test_scc_on_handoff_graph_and_condensation_is_acyclic(spark):
+    import networkx as nx
+
+    dg = digraph_from_named_edges(handoff_edges(_transcripts(spark)))
+    scc = strongly_connected_components(dg, local_edges_threshold=0)
+    named = {
+        r["actor"]: r["scc_id"]
+        for r in scc.join(dg.vertices, "vertex_id").collect()
+    }
+    # cycle conv:A -> tool:x -> tool:y -> conv:A is one SCC; tool:z alone
+    assert named["conv:A"] == named["tool:x"] == named["tool:y"]
+    assert named["tool:z"] != named["conv:A"]
+
+    cond = nx.DiGraph()
+    for r in condensation_edges(dg, scc).collect():
+        cond.add_edge(int(r["src_scc"]), int(r["dst_scc"]))
+    assert nx.is_directed_acyclic_graph(cond)
+
+
+def test_pagerank_directed_matches_networkx_and_paths_agree(spark):
+    import numpy as np
+
+    # nx.pagerank delegates to scipy (absent in this env); use networkx's
+    # reference pure-python kernel directly
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    dg = _random_digraph(spark, seed=7)
+    g = _nx_digraph(dg)
+    want = _pagerank_python(g, alpha=0.85, tol=1e-10, weight="weight")
+
+    got_driver = {
+        r["vertex_id"]: r["rank"]
+        for r in pagerank_directed(dg, tol=1e-10).collect()
+    }
+    got_dist = {
+        r["vertex_id"]: r["rank"]
+        for r in pagerank_directed(
+            dg, tol=1e-10, local_edges_threshold=0
+        ).collect()
+    }
+    for v, r in want.items():
+        assert np.isclose(got_driver[v], r, atol=1e-6)
+        assert np.isclose(got_dist[v], got_driver[v], atol=1e-9)
+
+
+def test_hits_matches_networkx_and_paths_agree(spark):
+    import numpy as np
+
+    # nx.hits delegates to scipy (absent); the pure-python kernel is
+    # weighted and sum-normalized at convergence, like ours
+    from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+    dg = _random_digraph(spark, seed=9)
+    g = _nx_digraph(dg)
+    want_h, want_a = _hits_python(g, max_iter=500, tol=1e-12)
+
+    rows = hits(dg, iterations=120).collect()
+    got_h = {r["vertex_id"]: r["hub"] for r in rows}
+    got_a = {r["vertex_id"]: r["auth"] for r in rows}
+    for v in want_h:
+        assert np.isclose(got_h[v], want_h[v], atol=1e-5)
+        assert np.isclose(got_a[v], want_a[v], atol=1e-5)
+
+    rows_d = hits(dg, iterations=120, local_edges_threshold=0).collect()
+    for r in rows_d:
+        assert np.isclose(r["hub"], got_h[r["vertex_id"]], atol=1e-9)
+        assert np.isclose(r["auth"], got_a[r["vertex_id"]], atol=1e-9)
