@@ -1414,6 +1414,51 @@ def q_hits_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hits(spark, sf_dir, 0)
 
 
+# ---------------------------------------------------------------------------
+# portable-HLL sketch layer (functions/sketch.py, operators/neighborhood.py)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_tool_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-tool conversation reach — the engine-portable
+    HyperLogLog estimate next to the exact distinct count (the sketch is
+    deterministic, so DuckDB reproduces the estimate bit-for-bit)."""
+    from csd363_sin_spark.functions.sketch import hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = transcripts_from_events(events).filter(F.col("tool").isNotNull())
+    pairs = t.select(
+        F.concat(F.lit("tool:"), F.col("tool")).alias("tool_actor"), "conv_id"
+    )
+    est = hll_distinct(pairs, ["tool_actor"], "conv_id")
+    exact = pairs.groupBy("tool_actor").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return est.join(exact, "tool_actor").select(
+        "tool_actor",
+        F.round("approx_distinct", 6).alias("approx_distinct"),
+        "exact_distinct",
+    )
+
+
+_NF_GATE_T = 3  # HyperANF radii unrolled as CTE supersteps in the oracle
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: HyperANF per-vertex ball-size estimates for radii
+    0..3 over the co-occurrence graph (register max-merge superstep per
+    radius), hashed over actor labels; every superstep and the HLL
+    estimate arithmetic are mirrored in DuckDB SQL."""
+    from csd363_sin_spark.operators.neighborhood import neighborhood_function
+
+    g = _graph(spark, sf_dir)
+    labels = g.vertices.select("vertex_id", F.col("actor").alias("label"))
+    nf = neighborhood_function(g, max_t=_NF_GATE_T, labels=labels)
+    return nf.join(g.vertices, "vertex_id").select(
+        "actor", "t", F.round("ball_est", 6).alias("ball_est")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/2.2)
@@ -1453,6 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_directed_fixed_dist": q_pagerank_directed_fixed_dist,
         "hits_fixed": q_hits_fixed,
         "hits_fixed_dist": q_hits_fixed_dist,
+        # portable-HLL sketch layer
+        "hll_tool_reach": q_hll_tool_reach,
+        "neighborhood_function": q_neighborhood_function,
         # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
         "conductance_fixed_partition": q_conductance_fixed_partition,
@@ -1935,6 +1983,80 @@ h{i} AS MATERIALIZED (
     parts.append(f"""
 SELECT h.actor, round(h.hub, 6) AS hub, round(a.a, 6) AS auth
 FROM h{k} h JOIN an{k} a USING (actor)""")
+    return "".join(parts)
+
+
+def _hll_tool_reach_sql() -> str:
+    """DuckDB mirror of q_hll_tool_reach (portable-HLL spec from
+    functions/sketch.py)."""
+    from csd363_sin_spark.functions.sketch import (
+        RMAX,
+        hll_estimate_sql,
+        hll_row_sql,
+    )
+
+    return f"""
+, pairs AS (
+  SELECT 'tool:' || tool AS tool_actor, conv_id FROM t WHERE tool IS NOT NULL
+),
+hrows AS (SELECT tool_actor, {hll_row_sql("conv_id")} FROM pairs),
+regs AS (SELECT tool_actor, idx, max(rho) AS reg FROM hrows GROUP BY 1, 2),
+st AS (
+  SELECT tool_actor, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({RMAX} - reg)) AS dsum
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT tool_actor, count(DISTINCT conv_id) AS exact_distinct
+  FROM pairs GROUP BY 1
+)
+SELECT st.tool_actor, round({hll_estimate_sql()}, 6) AS approx_distinct,
+       ex.exact_distinct
+FROM st JOIN ex USING (tool_actor)
+"""
+
+
+def _hyperanf_sql(max_t: int) -> str:
+    """Unrolled-CTE mirror of operators/neighborhood.py over the actor
+    co-occurrence graph: one register max-merge superstep per radius,
+    then the integer-exact HLL estimate per (vertex, t)."""
+    from csd363_sin_spark.functions.sketch import (
+        RMAX,
+        hll_estimate_sql,
+        hll_row_sql,
+    )
+
+    parts = [
+        f"""
+, nfh AS (SELECT actor, {hll_row_sql("actor")} FROM verts),
+ns0 AS MATERIALIZED (
+  SELECT actor AS v, idx, max(rho) AS reg FROM nfh GROUP BY 1, 2
+)"""
+    ]
+    for t in range(1, max_t + 1):
+        parts.append(f"""
+, ns{t} AS MATERIALIZED (
+  SELECT v, idx, max(reg) AS reg FROM (
+    SELECT v, idx, reg FROM ns{t - 1}
+    UNION ALL
+    SELECT e.v AS v, s.idx, s.reg FROM ns{t - 1} s JOIN sym e ON e.u = s.v
+  ) GROUP BY 1, 2
+)""")
+    for t in range(max_t + 1):
+        parts.append(f"""
+, nst{t} AS (
+  SELECT v, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({RMAX} - reg)) AS dsum
+  FROM ns{t} GROUP BY 1
+)""")
+    selects = [
+        f"""
+SELECT v AS actor, CAST({t} AS INT) AS t,
+       round({hll_estimate_sql()}, 6) AS ball_est
+FROM nst{t}"""
+        for t in range(max_t + 1)
+    ]
+    parts.append("\nUNION ALL".join(selects))
     return "".join(parts)
 
 
@@ -2808,6 +2930,9 @@ GROUP BY 1
         + ","
         + HANDOFF_EDGES_SQL
         + _hits_sql(_HITS_GATE_ITERS),
+        # portable-HLL sketch layer (functions/sketch.py spec)
+        "hll_tool_reach": p + _hll_tool_reach_sql(),
+        "neighborhood_function": p + _hyperanf_sql(_NF_GATE_T),
         "eigencentrality_fixed": p + _eigencentrality_sql(_PR_GATE_ITERS),
         # same-oracle twin: green == the distributed gather kernel (not
         # the numpy driver loop) matching DuckDB exactly
