@@ -391,6 +391,19 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_length=4, walks_per_vertex=2)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: second-order (node2vec-style) biased walk corpus
+    (back-step cost 4, exploration cost 2) — every step, including the
+    is-neighbor-of-prev probe, mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.walks import node2vec_walks
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return node2vec_walks(
+        edges, walk_length=4, walks_per_vertex=2, p_cost=4, q_cost=2
+    )
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: skip-gram (center, context) pair counts from the
     deterministic walk corpus — the embedding-training input."""
@@ -1483,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "conversation_stats": q_conversation_stats,
         "tool_usage_stats": q_tool_usage_stats,
@@ -1709,6 +1723,64 @@ def _walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, salt: str = "wal
         for i in range(walk_length + 1)
     )
     parts.append(f"\n, wk_all AS (\n{layers}\n)")
+    return "".join(parts)
+
+
+def _n2v_sql(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    p_cost: int = 4,
+    q_cost: int = 2,
+    salt: str = "n2v",
+) -> str:
+    """Mirror of operators/walks.py node2vec_walks: successor = argmin of
+    (hash % 2^57) * cost, cost = p_cost for the back-step, 1 for a
+    neighbor of the previous vertex, q_cost otherwise — pure integer
+    math, identical in both engines.  The canonical ``edges`` CTE (actor
+    names, src < dst) supplies the is-neighbor-of-prev probe."""
+    from csd363_sin_spark.operators.walks import N2V_HASH_MOD
+
+    parts = [
+        f"""
+, nv0 AS MATERIALIZED (
+  SELECT u AS start_actor, CAST(wid AS BIGINT) AS walk_id, u AS actor,
+         CAST(NULL AS VARCHAR) AS prev_actor
+  FROM (SELECT DISTINCT u FROM sym),
+       (SELECT unnest(range({walks_per_vertex})) AS wid)
+)"""
+    ]
+    for step in range(1, walk_length + 1):
+        h = _ph(
+            "'"
+            + salt
+            + ":' || w.start_actor || ':' || CAST(w.walk_id AS VARCHAR) || ':"
+            + str(step)
+            + ":' || s.v"
+        )
+        parts.append(f"""
+, nv{step} AS MATERIALIZED (
+  SELECT start_actor, walk_id, cand AS actor, cur AS prev_actor FROM (
+    SELECT w.start_actor, w.walk_id, w.actor AS cur, s.v AS cand,
+           row_number() OVER (
+             PARTITION BY w.start_actor, w.walk_id
+             ORDER BY (({h}) % {N2V_HASH_MOD})
+                      * (CASE WHEN w.prev_actor IS NULL THEN 1
+                              WHEN s.v = w.prev_actor THEN {p_cost}
+                              WHEN ce.src_actor IS NOT NULL THEN 1
+                              ELSE {q_cost} END), s.v
+           ) AS rn
+    FROM nv{step - 1} w
+    JOIN sym s ON s.u = w.actor
+    LEFT JOIN edges ce
+      ON ce.src_actor = least(w.prev_actor, s.v)
+     AND ce.dst_actor = greatest(w.prev_actor, s.v)
+  ) WHERE rn = 1
+)""")
+    layers = "\nUNION ALL ".join(
+        f"SELECT start_actor, walk_id, CAST({i} AS BIGINT) AS step, actor FROM nv{i}"
+        for i in range(walk_length + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{layers}\n)")
     return "".join(parts)
 
 
@@ -2850,6 +2922,7 @@ FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
         "random_walks": p + _walks_sql()
         + "\nSELECT start_actor, walk_id, step, actor FROM wk_all",
+        "node2vec_walks": p + _n2v_sql(),
         "skipgram_pairs": p + _walks_sql() + """
 SELECT a.actor AS center, b.actor AS context, count(*) AS n
 FROM wk_all a JOIN wk_all b

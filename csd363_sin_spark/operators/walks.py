@@ -103,6 +103,153 @@ def random_walks(
     return result.select("start_actor", "walk_id", "step", "actor")
 
 
+# score-hash modulus for biased walks: 57 bits so hash * cost stays far
+# below 2^63 for any sane cost multiplier (documented bound: cost <= 32)
+N2V_HASH_MOD = 1 << 57
+
+
+def node2vec_walks(
+    edges_named: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    p_cost: int = 2,
+    q_cost: int = 2,
+    salt: str = "n2v",
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks, derandomized.
+
+    node2vec (Grover & Leskovec, KDD 2016) biases each step by where the
+    walk CAME from: returning to the previous vertex is weighted 1/p,
+    staying in the previous vertex's neighborhood (triadic closure) 1,
+    and exploring outward 1/q.  The derandomized analogue keeps the
+    engine's integer-argmin successor rule and folds the bias into a
+    cost multiplier: successor = argmin over neighbors of
+    ``(hash % 2^57) * cost`` where cost = ``p_cost`` for the back-step,
+    1 for a neighbor of the previous vertex, ``q_cost`` otherwise
+    (step 1 is uniform — no previous vertex).  Larger cost = less
+    likely, so p_cost/q_cost play the roles of node2vec's 1/p and 1/q;
+    pure integer math, bit-identical in Spark, DuckDB and Python.
+
+    Scale: same dataflow as :func:`random_walks` plus one broadcast-able
+    left join per step against the canonical edge set to test
+    "candidate is a neighbor of prev" — the same O(frontier-degree)
+    exchange, one extra hash-join probe per candidate row.
+    """
+    if not (1 <= p_cost <= 32 and 1 <= q_cost <= 32):
+        raise ValueError("cost multipliers must be in [1, 32]")
+    sym = (
+        edges_named.select(
+            F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
+        )
+        .unionByName(
+            edges_named.select(
+                F.col("dst_actor").alias("u"), F.col("src_actor").alias("v")
+            )
+        )
+        .repartition("u")
+        .persist()
+    )
+    sym.count()
+    canon = (
+        edges_named.select(
+            F.least("src_actor", "dst_actor").alias("ca"),
+            F.greatest("src_actor", "dst_actor").alias("cb"),
+        )
+        .distinct()
+        .persist()
+    )
+    canon.count()
+    verts = sym.select(F.col("u").alias("start_actor")).distinct()
+    state = materialize(
+        verts.select(
+            "start_actor",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("walk_id"),
+        ).select(
+            "start_actor",
+            F.col("walk_id").cast("long").alias("walk_id"),
+            F.col("start_actor").alias("actor"),
+            F.lit(None).cast("string").alias("prev_actor"),
+        )
+    )
+    frames = [
+        state.select(
+            "start_actor", "walk_id", F.lit(0).cast("long").alias("step"), "actor"
+        )
+    ]
+    for step in range(1, walk_length + 1):
+        cand = state.join(sym, state["actor"] == sym["u"]).select(
+            "start_actor",
+            "walk_id",
+            F.col("actor").alias("cur"),
+            "prev_actor",
+            F.col("v").alias("cand"),
+            F.pmod(
+                portable_hash64(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("start_actor"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.col("v"),
+                    )
+                ),
+                F.lit(N2V_HASH_MOD),
+            ).alias("h"),
+        )
+        flagged = cand.join(
+            canon,
+            (F.least("prev_actor", "cand") == F.col("ca"))
+            & (F.greatest("prev_actor", "cand") == F.col("cb")),
+            "left",
+        )
+        cost = (
+            F.when(F.col("prev_actor").isNull(), F.lit(1))
+            .when(F.col("cand") == F.col("prev_actor"), F.lit(p_cost))
+            .when(F.col("ca").isNotNull(), F.lit(1))
+            .otherwise(F.lit(q_cost))
+            .cast("long")
+        )
+        scored = flagged.select(
+            "start_actor",
+            "walk_id",
+            "cur",
+            "cand",
+            (F.col("h") * cost).alias("score"),
+        )
+        w = Window.partitionBy("start_actor", "walk_id").orderBy("score", "cand")
+        # NOTE: earlier states are NOT released — every step's state is a
+        # slice of the returned corpus (frames below reference them)
+        state = materialize(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "start_actor",
+                "walk_id",
+                F.col("cand").alias("actor"),
+                F.col("cur").alias("prev_actor"),
+            )
+        )
+        frames.append(
+            state.select(
+                "start_actor",
+                "walk_id",
+                F.lit(step).cast("long").alias("step"),
+                "actor",
+            )
+        )
+        if state.isEmpty():
+            break
+    result = frames[0]
+    for f in frames[1:]:
+        result = result.unionByName(f)
+    sym.unpersist()
+    canon.unpersist()
+    return result.select("start_actor", "walk_id", "step", "actor")
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Skip-gram training pairs from a walk corpus: ``(center, context,
     n)`` for every ordered pair of distinct vertices co-occurring within

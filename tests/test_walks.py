@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import hashlib
 
-from csd363_sin_spark.operators.walks import random_walks
+from csd363_sin_spark.operators.walks import (
+    N2V_HASH_MOD,
+    node2vec_walks,
+    random_walks,
+)
 from csd363_sin_spark.plans.induce import induce_actor_edges
 from csd363_sin_spark.sources.synth import synth_transcripts
 
@@ -54,3 +58,65 @@ def test_random_walks_match_python_mirror(spark):
         if step > 0:
             prev = got[(start, wid, step - 1)]
             assert frozenset((prev, actor)) in eset
+
+
+def _py_n2v(edges, walk_length, walks_per_vertex, p_cost, q_cost, salt="n2v"):
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for start in adj:
+        for wid in range(walks_per_vertex):
+            cur, prev = start, None
+            out[(start, wid, 0)] = cur
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+
+                def score(n):
+                    h = _h(f"{salt}:{start}:{wid}:{step}:{n}") % N2V_HASH_MOD
+                    if prev is None:
+                        c = 1
+                    elif n == prev:
+                        c = p_cost
+                    elif prev in adj.get(n, ()):
+                        c = 1
+                    else:
+                        c = q_cost
+                    return (h * c, n)
+
+                nxt = min(nbrs, key=score)
+                prev, cur = cur, nxt
+                out[(start, wid, step)] = cur
+    return out
+
+
+def test_node2vec_walks_match_python_mirror(spark):
+    t = synth_transcripts(spark, n_convs=40, n_tools=8, n_clusters=2, seed=13)
+    en = induce_actor_edges(t)
+    edges = [(r["src_actor"], r["dst_actor"]) for r in en.collect()]
+    exp = _py_n2v(edges, 3, 2, p_cost=4, q_cost=2)
+    got = {
+        (r["start_actor"], r["walk_id"], r["step"]): r["actor"]
+        for r in node2vec_walks(
+            en, walk_length=3, walks_per_vertex=2, p_cost=4, q_cost=2
+        ).collect()
+    }
+    assert got == exp
+    # every consecutive pair is a real edge
+    eset = {frozenset(e) for e in edges}
+    for (start, wid, step), actor in got.items():
+        if step > 0:
+            assert frozenset((got[(start, wid, step - 1)], actor)) in eset
+    # the bias must actually bite: neutral costs match the neutral
+    # mirror, and the biased corpus diverges from it somewhere
+    neutral = {
+        (r["start_actor"], r["walk_id"], r["step"]): r["actor"]
+        for r in node2vec_walks(
+            en, walk_length=3, walks_per_vertex=2, p_cost=1, q_cost=1
+        ).collect()
+    }
+    assert neutral == _py_n2v(edges, 3, 2, p_cost=1, q_cost=1)
+    assert got != neutral
