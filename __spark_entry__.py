@@ -1114,6 +1114,26 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+# thresholds tightened vs the library defaults so the sf0.01 corpus
+# yields a real keep/drop mix across several reject reasons
+_QF_GATE_KW = dict(
+    min_tokens=20,
+    max_top_token_ratio=0.11,
+    max_dup_bigram_frac=0.1,
+    min_mean_word_len=3.9,
+    max_mean_word_len=5.1,
+)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the composed keep/drop decision pass (first
+    failing rule in fixed precedence as reject_reason) — the decision
+    CASE is mirrored verbatim over the same stats CTEs in DuckDB."""
+    from csd363_sin_spark.functions.text import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir), **_QF_GATE_KW)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over deterministically PII-AUGMENTED documents: the
     synthetic corpus contains no PII, so the query appends one email, one
@@ -1561,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_mix": q_corpus_mix,
@@ -3148,6 +3169,51 @@ SELECT t.doc_id, t.top_token_ratio, t.mean_word_len,
        COALESCE(b.top_bigram_ratio, 0.0) AS top_bigram_ratio,
        COALESCE(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
 FROM toka t LEFT JOIN bga b USING (doc_id)
+""",
+        "quality_filter": _DOC_PRELUDE
+        + f"""
+, tok AS (SELECT doc_id, unnest(toks) AS tok FROM toksrc),
+tokc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+toka AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_token_ratio,
+         round(sum(c * length(tok)) / sum(c), 6) AS mean_word_len
+  FROM tokc GROUP BY 1
+),
+bgt AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM toksrc
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgt GROUP BY 1, 2),
+bga AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
+           AS dup_bigram_frac
+  FROM bgc GROUP BY 1
+),
+ts AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE), 6)
+         ELSE 0.0 END AS punct_ratio
+  FROM toksrc
+),
+decided AS (
+  SELECT ts.doc_id,
+    CASE WHEN ts.n_tokens < {_QF_GATE_KW["min_tokens"]} THEN 'too_short'
+         WHEN ts.n_tokens > 100000 THEN 'too_long'
+         WHEN ts.punct_ratio > 0.3 THEN 'punct'
+         WHEN t.mean_word_len < {_QF_GATE_KW["min_mean_word_len"]} THEN 'word_len_low'
+         WHEN t.mean_word_len > {_QF_GATE_KW["max_mean_word_len"]} THEN 'word_len_high'
+         WHEN t.top_token_ratio > {_QF_GATE_KW["max_top_token_ratio"]} THEN 'top_token'
+         WHEN COALESCE(b.dup_bigram_frac, 0.0) > {_QF_GATE_KW["max_dup_bigram_frac"]}
+           THEN 'dup_bigram'
+         ELSE NULL END AS reason
+  FROM ts LEFT JOIN toka t USING (doc_id) LEFT JOIN bga b USING (doc_id)
+)
+SELECT doc_id, (reason IS NULL) AS keep, reason AS reject_reason FROM decided
 """,
         "redact_pii": _redact_pii_sql(),
         "doc_unigram_lm": _DOC_PRELUDE

@@ -108,6 +108,55 @@ def quality_score(docs: DataFrame, min_chars: int = 50, max_punct: float = 0.3) 
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct: float = 0.3,
+    max_top_token_ratio: float = 0.3,
+    max_dup_bigram_frac: float = 0.5,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """The composed keep/drop decision pass of a training-data pipeline
+    (Gopher Rae et al. 2021 §A1.1 / C4 Raffel et al. 2020 style): each
+    document gets ``keep`` plus the FIRST failing rule as
+    ``reject_reason`` (NULL for keepers), with a fixed rule precedence
+    so the decision is deterministic and auditable:
+
+    too_short -> too_long -> punct -> word_len_low -> word_len_high ->
+    top_token -> dup_bigram
+
+    Built on :func:`token_stats` + :func:`repetition_stats` (their 6-dp
+    rounded outputs, identical in the SQL mirror), so the decision is
+    engine-portable; one join of two already-aggregated per-doc tables —
+    no new shuffles beyond the underlying stats.
+    """
+    stats = token_stats(docs).join(repetition_stats(docs), "doc_id", "left")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("punct_ratio") > max_punct, F.lit("punct"))
+        .when(F.col("mean_word_len") < min_mean_word_len, F.lit("word_len_low"))
+        .when(
+            F.col("mean_word_len") > max_mean_word_len, F.lit("word_len_high")
+        )
+        .when(
+            F.col("top_token_ratio") > max_top_token_ratio, F.lit("top_token")
+        )
+        .when(
+            F.col("dup_bigram_frac") > max_dup_bigram_frac,
+            F.lit("dup_bigram"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return stats.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
     filters a training-data pipeline applies to drop degenerate /

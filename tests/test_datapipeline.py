@@ -331,6 +331,35 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3]["dup_bigram_frac"] == 0.0
 
 
+def test_quality_filter_precedence_and_reasons(spark):
+    from csd363_sin_spark.functions.text import quality_filter
+
+    rows = [
+        (1, "a b"),  # 2 tokens -> too_short
+        # 6 repeated tokens: too_short does NOT fire (>=5); top_token
+        # (6/6 = 1.0) outranks dup_bigram even though both fail
+        (2, "spam spam spam spam spam spam"),
+        # healthy: 6 distinct words, mean len in band, no repetition
+        (3, "quick brown foxes jumped over dogs"),
+        # short words (mean len 1.0) -> word_len_low fires before
+        # top_token (precedence)
+        (4, "a b a b a b a b"),
+        (5, "!!! ??? ... !!! ??? abcde fghij klmno pqrst uvwxy"),  # punct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in quality_filter(
+            docs, min_tokens=5, max_punct=0.2, min_mean_word_len=2.0
+        ).collect()
+    }
+    assert got[1] == (False, "too_short")
+    assert got[2] == (False, "top_token")
+    assert got[3] == (True, None)
+    assert got[4] == (False, "word_len_low")
+    assert got[5] == (False, "punct")
+
+
 def test_redact_pii(spark):
     from csd363_sin_spark.functions.text import redact_pii
 
