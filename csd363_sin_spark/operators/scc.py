@@ -119,13 +119,38 @@ def _singletons(remaining: DataFrame, active_e: DataFrame) -> DataFrame:
     return remaining.join(both, "vertex_id", "left_anti")
 
 
-def _scc_distributed(dg: DiGraph) -> DataFrame:
+def _scc_distributed(dg: DiGraph, store=None, stage: str = "scc") -> DataFrame:
+    """``store`` (a checkpoint.CheckpointStore) makes the peeling loop
+    resumable mid-algorithm (north rule): each peel round snapshots the
+    remaining vertex set, the surviving edge set, and the assignments so
+    far, and appends a lineage row; a relaunched call continues from the
+    newest complete round."""
     spark = dg.edges.sparkSession
-    active_e = materialize(dg.edges.select("src", "dst").distinct())
-    remaining = materialize(dg.vertices.select("vertex_id"))
-    assigned = materialize(
-        spark.createDataFrame([], "vertex_id long, scc_id long")
-    )
+    meta_key = f"{stage}_state"
+    peel_round = 0
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        if meta.get("done"):
+            return materialize(store.load_df(spark, f"{stage}_result"))
+        active_e = materialize(store.load_df(spark, f"{stage}_edges"))
+        remaining = materialize(store.load_df(spark, f"{stage}_remaining"))
+        assigned = materialize(store.load_df(spark, f"{stage}_assigned"))
+        peel_round = meta["round"]
+    else:
+        active_e = materialize(dg.edges.select("src", "dst").distinct())
+        remaining = materialize(dg.vertices.select("vertex_id"))
+        assigned = materialize(
+            spark.createDataFrame([], "vertex_id long, scc_id long")
+        )
+
+    def _snapshot() -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_edges", active_e)
+        store.save_df(f"{stage}_remaining", remaining)
+        store.save_df(f"{stage}_assigned", assigned)
+        store.save_meta(meta_key, {"round": peel_round, "done": False})
+        store.lineage(stage, peel_round, assigned, kind="scc_round")
 
     def _assign(new_rows: DataFrame) -> None:
         nonlocal assigned
@@ -251,13 +276,22 @@ def _scc_distributed(dg: DiGraph) -> DataFrame:
         )
         release(active_e)
         active_e = nxt_e
+        peel_round += 1
+        _snapshot()
     release(active_e)
     release(remaining)
+    if store is not None:
+        store.save_df(f"{stage}_result", assigned)
+        store.save_meta(meta_key, {"done": True})
+        store.lineage(stage, -1, assigned, kind="scc_done")
     return assigned
 
 
 def strongly_connected_components(
-    dg: DiGraph, local_edges_threshold: int = 100_000
+    dg: DiGraph,
+    local_edges_threshold: int = 100_000,
+    store=None,
+    stage: str = "scc",
 ) -> DataFrame:
     """Return ``(vertex_id long, scc_id long)`` — scc_id = min member id.
 
@@ -266,10 +300,11 @@ def strongly_connected_components(
     ``local_edges_threshold`` edges run iterative Kosaraju driver-side;
     larger graphs run the trim + coloring + backward-confirm peeling
     kernel.  Both paths produce identical labels (canonical min-id).
+    ``store`` makes the distributed peel resumable mid-algorithm.
     """
     if dg.edges.count() <= local_edges_threshold:
         return _scc_driver(dg)
-    return _scc_distributed(dg)
+    return _scc_distributed(dg, store=store, stage=stage)
 
 
 def condensation_edges(dg: DiGraph, scc: DataFrame) -> DataFrame:

@@ -127,6 +127,60 @@ def test_scc_on_handoff_graph_and_condensation_is_acyclic(spark):
     assert nx.is_directed_acyclic_graph(cond)
 
 
+def test_scc_distributed_resume_mid_peel(spark, monkeypatch, tmp_path):
+    """Simulated crash between peel rounds: the resumed run continues
+    from the round snapshot and matches an uninterrupted run exactly."""
+    import pytest as _pytest
+
+    import csd363_sin_spark.operators.scc as sccmod
+    from csd363_sin_spark.checkpoint import CheckpointStore
+
+    # two 3-cycles joined by a directed path -> two peel rounds
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4)]
+    dg = digraph_from_edges(spark, edges)
+    straight = {
+        r["vertex_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            dg, local_edges_threshold=0
+        ).collect()
+    }
+    assert straight == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4}
+
+    calls = {"n": 0}
+    orig = sccmod._singletons
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    store = CheckpointStore(str(tmp_path), run_id="sccr")
+    monkeypatch.setattr(sccmod, "_singletons", bomb)
+    with _pytest.raises(RuntimeError):
+        strongly_connected_components(
+            dg, local_edges_threshold=0, store=store, stage="sccx"
+        )
+    monkeypatch.setattr(sccmod, "_singletons", orig)
+    assert store.has_meta("sccx_state")  # round snapshot survived
+
+    resumed = {
+        r["vertex_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            dg, local_edges_threshold=0, store=store, stage="sccx"
+        ).collect()
+    }
+    assert resumed == straight
+    # a re-call after completion replays the stored result
+    replay = {
+        r["vertex_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            dg, local_edges_threshold=0, store=store, stage="sccx"
+        ).collect()
+    }
+    assert replay == straight
+
+
 def test_pagerank_directed_matches_networkx_and_paths_agree(spark):
     import numpy as np
 
