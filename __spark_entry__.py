@@ -1346,6 +1346,14 @@ def _digraph(spark: SparkSession, sf_dir: str):
     return _DIGRAPH_CACHE[sf_dir]
 
 
+def q_square_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: exact 4-cycle count (wedge common-neighbor pairs,
+    integer math end to end)."""
+    from csd363_sin_spark.operators.triangles import square_total
+
+    return square_total(_graph(spark, sf_dir))
+
+
 def q_handoff_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: directed consecutive-turn handoff edges (one lag
     window + one aggregation; plans/directed.py)."""
@@ -1499,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_degrees": q_vertex_degrees,
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
+        "square_total": q_square_total,
         "clustering_coefficient": q_clustering_coefficient,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
@@ -2827,6 +2836,15 @@ SELECT count(*) AS triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+""",
+        "square_total": p
+        + """
+, sqw AS (
+  SELECT s1.v AS a, s2.v AS b, count(*) AS w
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2
+)
+SELECT CAST((sum((w * (w - 1)) // 2)) // 2 AS BIGINT) AS squares FROM sqw
 """,
         "degree_assortativity": p
         + """

@@ -67,3 +67,39 @@ def clustering_coefficient(graph: Graph) -> DataFrame:
     return tri.join(deg, "vertex_id").select(
         "vertex_id", "triangles", F.round(coeff, 6).alias("clustering")
     )
+
+
+def square_total(graph: Graph) -> DataFrame:
+    """Exact 4-cycle (square) count: one row ``(squares long)``.
+
+    Motif counting beyond triangles.  A 4-cycle a-c-b-d-a is determined
+    by its two opposite corner pairs; if W(a,b) = #common neighbors of
+    the unordered pair (a, b), every square contributes C(2,2) = 1 to
+    each of its two opposite pairs, so
+
+        #C4 = (1/2) * sum over pairs a<b of C(W(a,b), 2).
+
+    Dataflow: one self-join of the symmetric edge view on the wedge
+    center (the same expansion the triangle kernel uses) feeding a
+    map-side-combined count per (a, b), then one integer aggregation —
+    all exact BIGINT math.  Scale note: the wedge expansion is
+    inherently O(sum deg^2); that is the exact-counting lower bound, and
+    hub-heavy deployments should pre-cap hub wedges (the dedup
+    max_shingle_freq pattern) to trade exactness for a bound — this
+    operator stays exact and documents the cost.
+    """
+    sym = graph.edges_sym().select("src", "dst").distinct()
+    a = sym.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    b = sym.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    wedges = (
+        a.join(b, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = wedges.select(
+        F.expr("div(w * (w - 1), 2)").alias("p")
+    )
+    return pairs.agg(
+        F.expr("div(sum(p), 2)").cast("long").alias("squares")
+    )

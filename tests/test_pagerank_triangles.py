@@ -186,3 +186,40 @@ def test_degree_assortativity_vs_definition(spark):
     star = graph_from_edges(spark, [(0, i) for i in range(1, 4)])
     r = degree_assortativity(star).collect()[0]["assortativity"]
     assert r == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_square_total_vs_trace_formula(spark):
+    """#C4 = (tr(A^4) - 2m - 2*sum d(d-1)) / 8 — independent oracle."""
+    import random
+
+    from csd363_sin_spark.operators.triangles import square_total
+
+    rng = random.Random(7)
+    n = 14
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if rng.random() < 0.3
+    ]
+    g = graph_from_edges(spark, edges)
+    got = square_total(g).collect()[0]["squares"]
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = A[v, u] = 1
+    d = A.sum(axis=1)
+    tr4 = np.trace(np.linalg.matrix_power(A, 4))
+    exact = (tr4 - 2 * len(edges) - 2 * (d * (d - 1)).sum()) / 8
+    assert got == int(round(exact))
+    # hand anchors: C4 itself has 1 square; K4 has 3; a triangle has 0
+    assert square_total(
+        graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ).collect()[0]["squares"] == 1
+    assert square_total(
+        graph_from_edges(
+            spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        )
+    ).collect()[0]["squares"] == 3
+    assert square_total(
+        graph_from_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    ).collect()[0]["squares"] == 0
