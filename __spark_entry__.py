@@ -1297,6 +1297,36 @@ def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canonical_labels(out)
 
 
+def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Structured-Streaming ingest -> edge store ->
+    exact graph-health refresh (degree stats + triangle count).  The
+    snapshot reader reproduces batch induction exactly, so the BATCH
+    degree-stats/triangle oracle must hash-match the streaming output —
+    the split-invariance claim checked by the driver itself."""
+    import os
+    import tempfile
+
+    from csd363_sin_spark.sources import transcripts_from_events
+    from csd363_sin_spark.streaming.communities import refresh_graph_stats
+    from csd363_sin_spark.streaming.ingest import run_incremental_induction
+
+    t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    d = tempfile.mkdtemp(prefix="gate_sstats_")
+    t.write.mode("overwrite").parquet(os.path.join(d, "in"))
+    run_incremental_induction(spark, os.path.join(d, "in"), os.path.join(d, "store"))
+    s = refresh_graph_stats(spark, os.path.join(d, "store"))
+    return s.select(
+        "num_nodes",
+        "num_edges",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        "max_degree",
+        "min_degree",
+        "isolated_nodes",
+        F.round("density", 6).alias("density"),
+        "triangles",
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: Structured-Streaming exact dedup — fingerprint
     sightings maintained by foreachBatch, keepers derived at read time
@@ -1589,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_graph_stats": q_streaming_graph_stats,
         "doc_repetition": q_doc_repetition,
         "quality_filter": q_quality_filter,
         "redact_pii": q_redact_pii,
@@ -2836,6 +2867,30 @@ SELECT count(*) AS triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+""",
+        # streaming refresh must equal the BATCH analyzers (the store
+        # snapshot reproduces batch induction exactly) — so the oracle
+        # IS the batch degree-stats + triangle SQL
+        "streaming_graph_stats": p
+        + """
+, stri AS (
+  SELECT count(*) AS triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+)
+SELECT
+  count(*) AS num_nodes,
+  CAST(sum(degree)/2 AS BIGINT) AS num_edges,
+  round(avg(degree), 6) AS avg_degree,
+  max(degree) AS max_degree,
+  min(degree) AS min_degree,
+  CAST(sum(CASE WHEN degree = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated_nodes,
+  round(CASE WHEN count(*) > 1
+        THEN sum(degree) / (count(*) * (count(*) - 1.0))
+        ELSE 0 END, 6) AS density,
+  (SELECT triangles FROM stri) AS triangles
+FROM deg
 """,
         "square_total": p
         + """

@@ -97,6 +97,26 @@ iassign, isteps = _infomap_move_phase(
 iassign.count()
 t_im = time.time() - t0
 
+# distributed SCC (trim + coloring + backward-confirm peel) on the
+# directed handoff graph induced from the same transcripts; the kernel
+# is deterministic, so both levels do identical supersteps
+from csd363_sin_spark.plans.directed import digraph_from_named_edges, handoff_edges
+from csd363_sin_spark.operators.scc import _scc_distributed
+dg = digraph_from_named_edges(handoff_edges(t))
+dg.edges.persist().count(); dg.vertices.persist().count()
+n_dedges = dg.edges.count()
+t0 = time.time()
+_scc_distributed(dg).count()
+t_scc = time.time() - t0
+
+# one HyperANF radius superstep (register max-merge propagation) + the
+# per-vertex estimate job — the per-superstep unit cost of the
+# neighborhood-function operator
+from csd363_sin_spark.operators.neighborhood import neighborhood_function
+t0 = time.time()
+neighborhood_function(g, max_t=1).count()
+t_anf = time.time() - t0
+
 # embarrassingly parallel workload: brute-force cosine scan (no shuffle)
 from csd363_sin_spark.functions.similarity import cosine_topk
 dim = 64
@@ -130,6 +150,10 @@ print(json.dumps({
     "infomap_edges_per_sec": round(n_edges * 2 * isteps / t_im),
     "ann_sec": round(t_ann, 2),
     "ann_sims_per_sec": round(n_vec * 4 / t_ann),
+    "scc_sec": round(t_scc, 2),
+    "scc_edges_per_sec": round(n_dedges / t_scc),
+    "hyperanf_sec": round(t_anf, 2),
+    "hyperanf_reg_rows_per_sec": round(n_edges * 2 / t_anf),
 }))
 spark.stop()
 """
@@ -212,6 +236,14 @@ def main() -> int:
             ),
             "ann_scan": round(
                 high["ann_sims_per_sec"] / (factor * low["ann_sims_per_sec"]), 3
+            ),
+            "scc": round(
+                high["scc_edges_per_sec"] / (factor * low["scc_edges_per_sec"]), 3
+            ),
+            "hyperanf": round(
+                high["hyperanf_reg_rows_per_sec"]
+                / (factor * low["hyperanf_reg_rows_per_sec"]),
+                3,
             ),
         },
     }

@@ -137,3 +137,19 @@ def attach_new_actors(
         "actor", (F.lit(base + 1) + F.col("_r")).alias("comm")
     )
     return assign.unionByName(best).unionByName(singles)
+
+
+def refresh_graph_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Exact periodic graph-health refresh over the edge-store snapshot:
+    one row of degree stats + the exact triangle count — the monitoring
+    surface a continuously-fed deployment polls between community
+    refreshes.  Like :func:`refresh_communities`, the snapshot reader
+    reproduces batch induction exactly, so each refresh equals running
+    the batch analyzers on all data seen so far (split-invariant across
+    micro-batch boundaries)."""
+    from csd363_sin_spark.operators.degree import degree_stats
+    from csd363_sin_spark.operators.triangles import triangle_count
+
+    g = graph_from_named_edges(read_edge_store(spark, store_dir))
+    tri = triangle_count(g)
+    return degree_stats(g).withColumn("triangles", F.lit(int(tri)).cast("long"))

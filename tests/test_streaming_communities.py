@@ -94,3 +94,29 @@ def test_refresh_matches_batch_and_attach_spec(spark):
         v2 = refresh_communities(spark, store, comms, version=2)
         got_v2 = {r["actor"]: r["comm"] for r in v2.collect()}
         assert got_v2 == _batch_louvain_named(spark, t_all)
+
+
+def test_refresh_graph_stats_split_invariant(spark):
+    """Two-wave ingest -> graph-stats refresh == batch analyzers on the
+    union (degree stats AND triangle count, bit-identical)."""
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.operators.degree import degree_stats
+    from csd363_sin_spark.operators.triangles import triangle_count
+    from csd363_sin_spark.streaming.communities import refresh_graph_stats
+
+    t_all = synth_transcripts(spark, n_convs=50, n_tools=10, n_clusters=3, seed=5)
+    key = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        store = os.path.join(d, "store")
+        t_all.filter(key == 0).write.mode("overwrite").parquet(inp)
+        run_incremental_induction(spark, inp, store)
+        t_all.filter(key == 1).write.mode("overwrite").parquet(inp)
+        run_incremental_induction(spark, inp, store)
+
+        got = refresh_graph_stats(spark, store).collect()[0].asDict()
+        g = induce_graph(t_all)
+        want = degree_stats(g).collect()[0].asDict()
+        want["triangles"] = triangle_count(g)
+        assert got == want
