@@ -404,6 +404,52 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: PPMI association scores over the skip-gram pair
+    counts (the GloVe/LINE-style embedding input matrix) — integer
+    marginals, one division + one ln, 6-dp portable."""
+    from csd363_sin_spark.operators.walks import (
+        ppmi_scores,
+        random_walks,
+        skipgram_pairs,
+    )
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    pairs = skipgram_pairs(
+        random_walks(edges, walk_length=4, walks_per_vertex=2), window=2
+    )
+    return ppmi_scores(pairs).select(
+        "center", "context", "n", F.round("ppmi", 6).alias("ppmi")
+    )
+
+
+def q_sparsify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic k-out sparsifier (edge kept iff in
+    either endpoint's k lowest-hash incident edges) — the hub-degree cap
+    pre-pass; window rank mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.structure import sparsify_topk
+
+    return sparsify_topk(_named_edges(spark, sf_dir), k=3)
+
+
+def q_handoff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: one-row directed-graph profile (reciprocity,
+    in/out degree extremes, source/sink counts) of the handoff graph."""
+    from csd363_sin_spark.plans.directed import directed_degree_stats
+
+    s = directed_degree_stats(_digraph(spark, sf_dir))
+    return s.select(
+        "num_vertices",
+        "num_edges",
+        F.round("reciprocity", 6).alias("reciprocity"),
+        "max_in_degree",
+        "max_out_degree",
+        "sources",
+        "sinks",
+    )
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: skip-gram (center, context) pair counts from the
     deterministic walk corpus — the embedding-training input."""
@@ -1557,6 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "ppmi_scores": q_ppmi_scores,
+        "sparsify_topk": q_sparsify_topk,
+        "handoff_stats": q_handoff_stats,
         "conversation_stats": q_conversation_stats,
         "tool_usage_stats": q_tool_usage_stats,
         "truss_number": q_truss_number,
@@ -3024,6 +3073,62 @@ FROM wk_all a JOIN wk_all b
  AND a.step <> b.step AND abs(a.step - b.step) <= 2
  AND a.actor <> b.actor
 GROUP BY 1, 2
+""",
+        "ppmi_scores": p + _walks_sql() + """
+, sgp AS (
+  SELECT a.actor AS center, b.actor AS context, count(*) AS n
+  FROM wk_all a JOIN wk_all b
+    ON a.start_actor = b.start_actor AND a.walk_id = b.walk_id
+   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+   AND a.actor <> b.actor
+  GROUP BY 1, 2
+),
+ptot AS (SELECT sum(n) AS N FROM sgp),
+pctr AS (SELECT center, sum(n) AS n_c FROM sgp GROUP BY 1),
+pctx AS (SELECT context, sum(n) AS n_x FROM sgp GROUP BY 1)
+SELECT s.center, s.context, s.n,
+       round(GREATEST(0.0,
+             ln((s.n * (SELECT N FROM ptot))
+                / CAST(c.n_c * x.n_x AS DOUBLE))), 6) AS ppmi
+FROM sgp s JOIN pctr c USING (center) JOIN pctx x USING (context)
+""",
+        "sparsify_topk": p + """
+, sph AS (
+  SELECT src_actor, dst_actor, weight,
+         CAST(('0x' || substr(md5('sparsify:' || src_actor || ':' || dst_actor), 1, 15)) AS BIGINT) AS h
+  FROM edges
+),
+sphalf AS (
+  SELECT src_actor AS u, dst_actor AS v, src_actor, dst_actor, h FROM sph
+  UNION ALL
+  SELECT dst_actor AS u, src_actor AS v, src_actor, dst_actor, h FROM sph
+),
+spkept AS (
+  SELECT DISTINCT src_actor, dst_actor FROM (
+    SELECT u, v, src_actor, dst_actor,
+           row_number() OVER (PARTITION BY u ORDER BY h, v) AS rn
+    FROM sphalf
+  ) WHERE rn <= 3
+)
+SELECT e.src_actor, e.dst_actor, e.weight
+FROM edges e JOIN spkept USING (src_actor, dst_actor)
+""",
+        "handoff_stats": p + "," + HANDOFF_EDGES_SQL + """
+, de AS (SELECT DISTINCT src_actor, dst_actor FROM dedges),
+recip AS (
+  SELECT count(*) AS r FROM de a
+  JOIN de b ON a.src_actor = b.dst_actor AND a.dst_actor = b.src_actor
+),
+douts AS (SELECT src_actor, count(*) AS d FROM de GROUP BY 1),
+dins AS (SELECT dst_actor, count(*) AS d FROM de GROUP BY 1)
+SELECT (SELECT count(*) FROM dverts) AS num_vertices,
+       (SELECT count(*) FROM de) AS num_edges,
+       round((SELECT r FROM recip)
+             / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity,
+       (SELECT max(d) FROM dins) AS max_in_degree,
+       (SELECT max(d) FROM douts) AS max_out_degree,
+       (SELECT count(*) FROM dverts) - (SELECT count(*) FROM dins) AS sources,
+       (SELECT count(*) FROM dverts) - (SELECT count(*) FROM douts) AS sinks
 """,
         "temporal_graph_stats": p + _TEMPORAL_CTE + """
 , tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),

@@ -6,7 +6,7 @@ operator inventory maps 1:1 to the reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.plans.induce import Graph
@@ -96,3 +96,52 @@ def inter_community_edges(graph: Graph, assign: DataFrame) -> DataFrame:
             F.sum("weight").alias("total_weight"),
         )
     )
+
+
+def sparsify_topk(edges_named: DataFrame, k: int, salt: str = "sparsify") -> DataFrame:
+    """Deterministic k-out graph sparsifier over actor-named edges.
+
+    Keeps an edge iff it ranks among the ``k`` lowest-hash edges of
+    EITHER endpoint (rank by the engine-portable hash of the canonical
+    pair, tie-break by neighbor name).  The union-of-endpoints rule is
+    the classic "k-out" sampler: every vertex retains at least
+    min(degree, k) incident edges, so connectivity structure degrades
+    gracefully while hub degrees drop from millions to k — the standard
+    pre-pass before quadratic-cost operators (exact betweenness, motif
+    counts) at web scale.  Deterministic across runs/retries/engines:
+    a pure function of the edge set, k, and the salt.
+
+    One symmetric expansion + one per-vertex window (candidates of one
+    vertex = its incident edges; a 10M-degree hub makes a 10M-row
+    partition for ITS rank — at web scale swap the window for the
+    two-phase per-partition top-k in functions/similarity.py, same
+    spec).
+    """
+    from csd363_sin_spark.functions.dedup import portable_hash64
+
+    h = portable_hash64(
+        F.concat_ws(":", F.lit(salt), F.col("src_actor"), F.col("dst_actor"))
+    )
+    half = edges_named.select(
+        F.col("src_actor").alias("u"),
+        F.col("dst_actor").alias("v"),
+        "src_actor",
+        "dst_actor",
+        h.alias("h"),
+    ).unionByName(
+        edges_named.select(
+            F.col("dst_actor").alias("u"),
+            F.col("src_actor").alias("v"),
+            "src_actor",
+            "dst_actor",
+            h.alias("h"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy("h", "v")
+    kept = (
+        half.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("src_actor", "dst_actor")
+        .distinct()
+    )
+    return edges_named.join(kept, ["src_actor", "dst_actor"], "left_semi")

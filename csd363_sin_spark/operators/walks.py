@@ -275,3 +275,32 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def ppmi_scores(pairs: DataFrame) -> DataFrame:
+    """Positive pointwise mutual information over skip-gram pair counts
+    ``(center, context, n)`` — the association matrix GloVe/LINE-style
+    embedding factorizations consume: ppmi = max(0, ln(n * N / (n_c *
+    n_x))) with N = total pairs, n_c / n_x the center / context
+    marginals.  Two marginal aggregations + two joins; the only
+    floating-point steps are one division of exact integer products and
+    one ln — engine-portable to 6 dp."""
+    total = pairs.agg(F.sum("n")).collect()[0][0] or 0
+    nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
+    nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
+    return (
+        pairs.join(nc, "center")
+        .join(nx, "context")
+        .select(
+            "center",
+            "context",
+            "n",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    (F.col("n") * F.lit(int(total)))
+                    / (F.col("n_c") * F.col("n_x"))
+                ),
+            ).alias("ppmi"),
+        )
+    )

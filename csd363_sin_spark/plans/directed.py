@@ -165,3 +165,38 @@ def digraph_from_edges(spark, edge_rows, weights=None) -> DiGraph:
         [(int(x), f"v:{x}") for x in verts], "vertex_id long, actor string"
     )
     return DiGraph(vertices=vertices, edges=edges)
+
+
+def directed_degree_stats(dg: DiGraph) -> DataFrame:
+    """One-row profile of a directed graph: vertex/edge counts,
+    reciprocity (fraction of directed edges whose reverse also exists),
+    max in/out degree, and the source (in-degree 0) / sink (out-degree
+    0) counts.  Three hash aggregations plus one self-join probe for
+    reciprocity — all exact integer/ratio math, SQL-mirrorable."""
+    e = dg.edges.select("src", "dst").distinct()
+    m = e.count()
+    n = dg.vertices.count()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    outs = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ins = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    max_out = outs.agg(F.max("d")).collect()[0][0] or 0
+    max_in = ins.agg(F.max("d")).collect()[0][0] or 0
+    sinks = n - outs.count()
+    sources = n - ins.count()
+    spark = dg.edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(m),
+                float(recip) / m if m else 0.0,
+                int(max_in),
+                int(max_out),
+                int(sources),
+                int(sinks),
+            )
+        ],
+        "num_vertices long, num_edges long, reciprocity double, "
+        "max_in_degree long, max_out_degree long, sources long, sinks long",
+    )

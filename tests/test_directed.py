@@ -229,3 +229,18 @@ def test_hits_matches_networkx_and_paths_agree(spark):
     for r in rows_d:
         assert np.isclose(r["hub"], got_h[r["vertex_id"]], atol=1e-9)
         assert np.isclose(r["auth"], got_a[r["vertex_id"]], atol=1e-9)
+
+
+def test_directed_degree_stats_hand_computed(spark):
+    from csd363_sin_spark.plans.directed import directed_degree_stats
+
+    # edges: 0->1, 1->0 (reciprocal pair), 1->2, 2->3
+    dg = digraph_from_edges(spark, [(0, 1), (1, 0), (1, 2), (2, 3)])
+    row = directed_degree_stats(dg).collect()[0]
+    assert row["num_vertices"] == 4
+    assert row["num_edges"] == 4
+    assert row["reciprocity"] == 0.5  # 2 of 4 edges reciprocated
+    assert row["max_out_degree"] == 2  # vertex 1
+    assert row["max_in_degree"] == 1
+    assert row["sources"] == 0  # every vertex has an in-edge? 0 has in from 1
+    assert row["sinks"] == 1  # vertex 3

@@ -165,3 +165,34 @@ def test_track_and_compare(spark):
     assert cmp["best"]["modularity"] == "good"
     imp = calculate_improvement(cmp["metrics"]["bad"], cmp["metrics"]["good"])
     assert imp["modularity"] > 0
+
+
+def test_sparsify_topk_kout_properties(spark):
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.operators.structure import sparsify_topk
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+    from csd363_sin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=50, n_tools=10, n_clusters=3, seed=9)
+    en = induce_actor_edges(t)
+    k = 3
+    sp = sparsify_topk(en, k=k)
+    orig = {(r["src_actor"], r["dst_actor"]) for r in en.collect()}
+    kept = {(r["src_actor"], r["dst_actor"]) for r in sp.collect()}
+    assert kept <= orig and len(kept) < len(orig)
+
+    # k-out guarantee: every vertex keeps at least min(degree, k) edges
+    def degs(pairs):
+        d = {}
+        for u, v in pairs:
+            d[u] = d.get(u, 0) + 1
+            d[v] = d.get(v, 0) + 1
+        return d
+
+    d0, d1 = degs(orig), degs(kept)
+    for v, dv in d0.items():
+        assert d1.get(v, 0) >= min(dv, k), v
+    # deterministic across runs
+    again = {(r["src_actor"], r["dst_actor"]) for r in sparsify_topk(en, k=k).collect()}
+    assert again == kept

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from csd363_sin_spark.operators.walks import (
     N2V_HASH_MOD,
     node2vec_walks,
@@ -120,3 +122,35 @@ def test_node2vec_walks_match_python_mirror(spark):
     }
     assert neutral == _py_n2v(edges, 3, 2, p_cost=1, q_cost=1)
     assert got != neutral
+
+
+def test_ppmi_scores_hand_computed(spark):
+    import math
+
+    from csd363_sin_spark.operators.walks import ppmi_scores
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 1), ("b", "a", 4), ("c", "a", 1)],
+        "center string, context string, n long",
+    )
+    got = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_scores(pairs).collect()
+    }
+    # N=10; e.g. (a,b): n=4, n_c(a)=5, n_x(b)=4 -> ln(40/20)=ln 2
+    assert got[("a", "b")] == pytest.approx(math.log(2.0))
+    # (a,c): n=1, n_c(a)=5, n_x(c)=1 -> ln(10/5)=ln 2
+    assert got[("a", "c")] == pytest.approx(math.log(2.0))
+    # (c,a): n=1, n_c(c)=1, n_x(a)=5 -> ln(10/5)=ln 2
+    assert got[("c", "a")] == pytest.approx(math.log(2.0))
+    # negative PMI clips to 0: add a diluted pair
+    pairs2 = spark.createDataFrame(
+        [("x", "y", 1), ("x", "z", 9), ("w", "y", 9)],
+        "center string, context string, n long",
+    )
+    got2 = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_scores(pairs2).collect()
+    }
+    # (x,y): ln(1*19/(10*10)) < 0 -> clipped
+    assert got2[("x", "y")] == 0.0
