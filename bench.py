@@ -134,6 +134,37 @@ def main() -> None:
     )
     timed("truss_number", lambda: truss_number(g).groupBy("truss").count().count())
 
+    # ---- late-round-3 additions (also NOT in the headline total):
+    # directed layer, sketches, embedding prep, composed quality filter.
+    from csd363_sin_spark.functions.text import quality_filter
+    from csd363_sin_spark.operators.directed_rank import hits, pagerank_directed
+    from csd363_sin_spark.operators.neighborhood import neighborhood_function
+    from csd363_sin_spark.operators.scc import strongly_connected_components
+    from csd363_sin_spark.operators.triangles import square_total
+    from csd363_sin_spark.operators.walks import node2vec_walks
+
+    dg = timed("handoff_digraph", lambda: entrymod._digraph(spark, sf_dir))
+    timed(
+        "scc",
+        lambda: strongly_connected_components(dg)
+        .groupBy("scc_id").count().count(),
+    )
+    timed("pagerank_directed", lambda: pagerank_directed(dg).count())
+    timed("hits", lambda: hits(dg, iterations=8).count())
+    timed("hyperanf_t2", lambda: neighborhood_function(g, max_t=2).count())
+    timed("square_total", lambda: square_total(g).collect())
+    timed(
+        "node2vec_walks",
+        lambda: node2vec_walks(
+            entrymod._named_edges(spark, sf_dir), walk_length=4
+        ).count(),
+    )
+    timed("quality_filter", lambda: quality_filter(docs).count())
+    timed(
+        "hll_tool_reach",
+        lambda: entrymod.q_hll_tool_reach(spark, sf_dir).count(),
+    )
+
     # ---- forced-distributed section (NOT in the headline total, which
     # stays apples-to-apples with earlier rounds): the same iterative
     # operators with the driver-side adaptive dispatch disabled, so each
