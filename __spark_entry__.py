@@ -1151,6 +1151,19 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, bench, n=3)
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the Bloom-filter scale path of the contamination
+    scan (filter <= 512 BIGINT words regardless of benchmark size;
+    flagged fraction is a deterministic upper bound of the exact scan) —
+    build, probe, and aggregation all mirrored bit-exactly in SQL."""
+    from csd363_sin_spark.functions.dedup import bloom_contamination
+    from csd363_sin_spark.functions.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(hash_bucket(F.col("doc_id"), "bench", 20) == 0)
+    return bloom_contamination(docs, bench, n=3)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-token ratio, mean word length,
     top-bigram ratio, duplicate-bigram fraction) — mirrored in DuckDB via
@@ -1680,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_by_budget": q_shard_by_budget,
         "shard_by_budget_dist": q_shard_by_budget_dist,
         "contamination_check": q_contamination_check,
+        "bloom_contamination": q_bloom_contamination,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -2551,6 +2565,63 @@ def _sh_cte(n: int) -> str:
   )
 )
 """
+
+
+def _bloom_contamination_sql() -> str:
+    """DuckDB mirror of q_bloom_contamination (portable Bloom spec from
+    functions/sketch.py: 32 usable bits per BIGINT word, k md5-salted
+    positions)."""
+    from csd363_sin_spark.functions.sketch import BLOOM_BITS, BLOOM_K
+
+    m = BLOOM_BITS
+    salted = [_ph(f"'bloom{i}:' || shingle") for i in range(BLOOM_K)]
+    pos_union = "\n  UNION ALL\n".join(
+        f"  SELECT shingle, ({h}) % {m} AS pos FROM {{src}}" for h in salted
+    )
+    return (
+        _DOC_PRELUDE
+        + _sh_cte(3)
+        + f"""
+, bench AS (
+  SELECT doc_id FROM documents
+  WHERE {_ph("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 = 0
+),
+cand_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  LEFT JOIN bench b USING (doc_id) WHERE b.doc_id IS NULL
+),
+bsh AS (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)),
+bpos AS (
+{pos_union.format(src="bsh")}
+),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+psh AS (SELECT DISTINCT shingle FROM cand_sh),
+ppos AS (
+  SELECT shingle, pos // 32 AS word,
+         CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+  FROM (
+{pos_union.format(src="psh")}
+  )
+),
+pflag AS (
+  SELECT p.shingle,
+         min(CASE WHEN b.bits IS NOT NULL AND (b.bits & p.mask) = p.mask
+                  THEN 1 ELSE 0 END) AS mm
+  FROM ppos p LEFT JOIN bloom b USING (word) GROUP BY 1
+)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(f.mm) AS BIGINT) AS n_flagged,
+       round(CAST(sum(f.mm) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS flagged_frac
+FROM cand_sh c JOIN pflag f USING (shingle)
+GROUP BY 1
+"""
+    )
 
 
 def _minhash_lsh_sql(
@@ -3490,6 +3561,7 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 keeper AS (SELECT fp, min(doc_id) AS k FROM keyed GROUP BY 1)
 SELECT doc_id, fp FROM keyed JOIN keeper USING (fp) WHERE doc_id = k
 """,
+        "bloom_contamination": _bloom_contamination_sql(),
         "dedup_exact": _DOC_PRELUDE
         + """
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)

@@ -478,3 +478,49 @@ def dedup_keep_best(
     return clusters.join(best, "canonical_doc_id").select(
         "doc_id", "best_doc_id", "best_quality", "cluster_size"
     )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan through a portable Bloom filter —
+    the scale path of :func:`contamination_check` for benchmark suites
+    too large to broadcast as an exact shingle set.  The filter is at
+    most ``m_bits/32`` BIGINT rows regardless of benchmark size, and the
+    answer is a deterministic UPPER BOUND on the exact contamination
+    fraction (Bloom errors are one-sided: a flagged shingle may be
+    clean, a clean verdict is certain).
+
+    Returns ``(doc_id, n_shingles, n_flagged, flagged_frac)``; same
+    candidate semantics as the exact scan (benchmark docs excluded).
+    Fully engine-portable (functions/sketch.py hash/bit spec), so the
+    gate mirrors every step in SQL.
+    """
+    from csd363_sin_spark.functions import sketch as _sk
+
+    m_bits = _sk.BLOOM_BITS if m_bits is None else m_bits
+    k = _sk.BLOOM_K if k is None else k
+    candidates = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    doc_sh = _shingles(candidates, n)
+    bloom = _sk.bloom_build(
+        _shingles(bench, n).select("shingle").distinct(),
+        "shingle",
+        m_bits=m_bits,
+        k=k,
+    )
+    probed = _sk.bloom_probe(doc_sh, "shingle", bloom, m_bits=m_bits, k=k)
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_flagged",
+        F.round(F.col("n_flagged") / F.col("n_shingles"), 6).alias(
+            "flagged_frac"
+        ),
+    )

@@ -143,3 +143,79 @@ def hll_row_sql(val: str) -> str:
         + hll_rho_sql(f"({h}) // {M}")
         + " AS rho"
     )
+
+
+# --------------------------------------------------------------------------
+# Portable Bloom filter: the scale path for set-membership screens when the
+# reference set is too big to broadcast exactly.  32 usable bits per BIGINT
+# word (no sign games), k independent md5-salted positions per value —
+# every step bit-identical in Spark, DuckDB and Python.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 14  # default m: 16384 bits = 512 words
+BLOOM_K = 4  # hash functions
+_WORD_BITS = 32
+
+
+def _bloom_positions(value_col, k: int, m_bits: int):
+    """k salted bit positions for a value — one (pos) Column each."""
+    return [
+        F.pmod(
+            portable_hash64(F.concat(F.lit(f"bloom{i}:"), value_col)),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter over ``df[value_col]``: ``(word int, bits
+    long)`` — one row per non-zero 32-bit word.  One explode + one
+    map-side-combined ``bit_or``; mergeable across shards by re-OR-ing."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(value_col), k, m_bits)))
+    rows = df.select(pos.alias("pos")).select(
+        (F.col("pos") / _WORD_BITS).cast("int").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))").alias(
+            "mask"
+        ),
+    )
+    return rows.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership screen: input rows + ``maybe_member boolean`` (true =
+    all k bits set — possibly present, one-sided error; false = DEFINITELY
+    absent).  The filter table is broadcast (it is at most m/32 rows);
+    per value the probe is k map-side hash-join lookups + one bool_and."""
+    probes = df.select(value_col).distinct()
+    exploded = probes.select(
+        value_col,
+        F.posexplode(
+            F.array(*_bloom_positions(F.col(value_col), k, m_bits))
+        ).alias("i", "pos"),
+    ).select(
+        value_col,
+        (F.col("pos") / _WORD_BITS).cast("int").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))").alias(
+            "mask"
+        ),
+    )
+    joined = exploded.join(F.broadcast(bloom), "word", "left").select(
+        value_col,
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        ).alias("hit"),
+    )
+    flags = joined.groupBy(value_col).agg(
+        F.min(F.col("hit").cast("int")).cast("boolean").alias("maybe_member")
+    )
+    return df.join(flags, value_col, "left")

@@ -575,3 +575,32 @@ def test_dedup_keep_best_quality_argmax(spark):
     assert best_id == min(d for d in (10, 11, 12) if q[d] == best_q)
     assert got[10] == got[11] == got[12]
     assert got[20] == (20, q[20], 1)
+
+
+def test_bloom_contamination_upper_bounds_exact(spark, docs):
+    from csd363_sin_spark.functions.dedup import (
+        bloom_contamination,
+        contamination_check,
+    )
+
+    bench = docs.limit(2)
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"])
+        for r in contamination_check(docs, bench, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"])
+        for r in bloom_contamination(docs, bench, n=3).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, (n_sh, n_hit) in exact.items():
+        b_sh, b_flag = bloom[d]
+        assert b_sh == n_sh
+        # one-sided error: bloom flags AT LEAST every true hit
+        assert b_flag >= n_hit
+    # determinism
+    again = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"])
+        for r in bloom_contamination(docs, bench, n=3).collect()
+    }
+    assert again == bloom
