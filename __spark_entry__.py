@@ -1151,6 +1151,20 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, bench, n=3)
 
 
+_MIX_GATE_WEIGHTS = {"de": 2.5, "en": 1.0, "es": 1.25, "fr": 0.5, "zh": 4.0}
+
+
+def q_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic corpus re-mixing — per-doc copy
+    counts realizing per-language sampling multipliers (upsample zh 4x,
+    halve fr, ...); pure map-side hash math mirrored exactly in SQL."""
+    from csd363_sin_spark.functions.sampling import resample_to_mix
+
+    return resample_to_mix(
+        _docs(spark, sf_dir), _MIX_GATE_WEIGHTS, strata_col="lang"
+    ).select("doc_id", "lang", "n_copies")
+
+
 def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: the Bloom-filter scale path of the contamination
     scan (filter <= 512 BIGINT words regardless of benchmark size;
@@ -1694,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_by_budget_dist": q_shard_by_budget_dist,
         "contamination_check": q_contamination_check,
         "bloom_contamination": q_bloom_contamination,
+        "resample_mix": q_resample_mix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -3562,6 +3577,20 @@ keeper AS (SELECT fp, min(doc_id) AS k FROM keyed GROUP BY 1)
 SELECT doc_id, fp FROM keyed JOIN keeper USING (fp) WHERE doc_id = k
 """,
         "bloom_contamination": _bloom_contamination_sql(),
+        "resample_mix": f"""
+WITH mix AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'de' THEN 2.5 WHEN 'en' THEN 1.0 WHEN 'es' THEN 1.25
+              WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 4.0 ELSE 1.0 END AS w,
+    ({_ph("'mix:' || CAST(doc_id AS VARCHAR)")} % {1 << 53})
+      / {float(1 << 53)!r} AS u
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT)
+    AS n_copies
+FROM mix
+""",
         "dedup_exact": _DOC_PRELUDE
         + """
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)

@@ -153,3 +153,60 @@ def train_holdout_split(
         .alias("split"),
         bucket.alias("bucket"),
     )
+
+
+def resample_to_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus re-mixing: per-document copy counts that
+    realize a target per-stratum sampling multiplier — the "upsample
+    wikipedia 3x, downsample web 0.5x" step of training-data curation.
+
+    A document in a stratum with multiplier ``w`` gets
+    ``floor(w) + (u < frac(w))`` copies, where ``u`` is the portable
+    per-doc uniform ``(hash(salt:doc_id) % 2^53) / 2^53`` — so the
+    EXPECTED multiplicity is exactly ``w``, the realized corpus is a
+    pure function of (doc ids, weights, salt) across runs / retries /
+    engines, and growing the corpus never changes an existing doc's
+    count (the stability property train_holdout_split guarantees).
+    Returns the input plus ``n_copies int`` (0 = dropped).  Pure
+    map-side column math — no shuffle at all.
+
+    :func:`explode_copies` materializes the repeated corpus.
+    """
+    u = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(1 << 53),
+        )
+        / F.lit(float(1 << 53))
+    )
+    w = None
+    for stratum, wt in sorted(weights.items()):
+        cond = F.col(strata_col) == stratum
+        w = F.when(cond, F.lit(float(wt))) if w is None else w.when(
+            cond, F.lit(float(wt))
+        )
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(
+        F.lit(float(default_weight))
+    )
+    n = (
+        F.floor(w).cast("int")
+        + (u < (w - F.floor(w))).cast("int")
+    )
+    return docs.withColumn("n_copies", n)
+
+
+def explode_copies(df: DataFrame) -> DataFrame:
+    """Materialize a :func:`resample_to_mix` result: one row per copy
+    with ``copy_idx`` in [0, n_copies); zero-copy rows drop out."""
+    return df.filter(F.col("n_copies") > 0).withColumn(
+        "copy_idx",
+        F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)),
+    )

@@ -604,3 +604,35 @@ def test_bloom_contamination_upper_bounds_exact(spark, docs):
         for r in bloom_contamination(docs, bench, n=3).collect()
     }
     assert again == bloom
+
+
+def test_resample_to_mix_expected_multiplicity_and_stability(spark):
+    from csd363_sin_spark.functions.sampling import explode_copies, resample_to_mix
+
+    rows = [(i, f"text {i}", "web" if i % 2 == 0 else "wiki") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    mixed = resample_to_mix(docs, {"web": 0.5, "wiki": 2.25})
+    got = {r["doc_id"]: r["n_copies"] for r in mixed.collect()}
+    # bounds: floor(w) <= n <= ceil(w)
+    for d, n in got.items():
+        if d % 2 == 0:
+            assert n in (0, 1)
+        else:
+            assert n in (2, 3)
+    # expected multiplicity ~ w (1000 docs/stratum, hash-uniform)
+    web_mean = sum(got[d] for d in got if d % 2 == 0) / 1000
+    wiki_mean = sum(got[d] for d in got if d % 2 == 1) / 1000
+    assert abs(web_mean - 0.5) < 0.06
+    assert abs(wiki_mean - 2.25) < 0.06
+    # stability: adding docs never changes an existing doc's count
+    more = spark.createDataFrame(
+        rows + [(9000 + i, "extra", "web") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    again = {
+        r["doc_id"]: r["n_copies"]
+        for r in resample_to_mix(more, {"web": 0.5, "wiki": 2.25}).collect()
+    }
+    assert all(again[d] == n for d, n in got.items())
+    # explode_copies materializes exactly sum(n_copies) rows
+    assert explode_copies(mixed).count() == sum(got.values())
