@@ -1165,6 +1165,15 @@ def q_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_copies")
 
 
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: add-one-smoothed corpus BIGRAM LM surprise per
+    doc (p(w2|w1) = (c12+1)/(c1+V)) — the fluency signal the unigram
+    scorer is blind to; full SQL mirror."""
+    from csd363_sin_spark.functions.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: the Bloom-filter scale path of the contamination
     scan (filter <= 512 BIGINT words regardless of benchmark size;
@@ -1702,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_mix": q_corpus_mix,
         "doc_unigram_lm": q_doc_unigram_lm,
+        "doc_bigram_lm": q_doc_bigram_lm,
         "stratified_sample": q_stratified_sample,
         "train_holdout_split": q_train_holdout_split,
         "shard_by_budget": q_shard_by_budget,
@@ -3575,6 +3585,31 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc),
 keeper AS (SELECT fp, min(doc_id) AS k FROM keyed GROUP BY 1)
 SELECT doc_id, fp FROM keyed JOIN keeper USING (fp) WHERE doc_id = k
+""",
+        "doc_bigram_lm": _DOC_PRELUDE
+        + """
+, bgt AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM toksrc WHERE len(toks) >= 2
+),
+binst AS (
+  SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bgt
+),
+bcnt AS (SELECT w1, w2, count(*) AS c FROM binst GROUP BY 1, 2),
+hcnt AS (SELECT w1, sum(c) AS c1 FROM bcnt GROUP BY 1),
+vv AS (
+  SELECT count(DISTINCT term) AS v FROM (
+    SELECT unnest(toks) AS term FROM toksrc WHERE length(trim(text)) > 0
+  )
+)
+SELECT i.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((b.c + 1)
+                     / CAST(h.c1 + (SELECT v FROM vv) AS DOUBLE))), 6)
+         AS avg_nll
+FROM binst i JOIN bcnt b USING (w1, w2) JOIN hcnt h USING (w1)
+GROUP BY 1
 """,
         "bloom_contamination": _bloom_contamination_sql(),
         "resample_mix": f"""

@@ -358,3 +358,58 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
     )
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-bigram language-model score per document — one order up
+    from :func:`unigram_lm_score`: fit an add-one-smoothed conditional
+    bigram model on the whole corpus and score each document by the mean
+    negative log-likelihood of its bigram instances.  Bigram surprise
+    separates shuffled/garbled text from fluent text even when the
+    unigram distributions are identical — the signal the unigram scorer
+    is blind to.
+
+    Exact formula (oracle-portable): ``p(w2 | w1) = (c(w1 w2) + 1) /
+    (c1(w1) + V)`` with c = corpus bigram count, c1 = corpus count of w1
+    as a bigram HEAD, V = distinct corpus tokens (the smoothing
+    vocabulary); ``avg_nll = round(avg over doc bigrams of -ln p, 6)``.
+    Docs with fewer than two tokens are excluded.  Returns
+    ``(doc_id, n_bigrams, avg_nll)``.
+
+    Scale: one explode of per-doc bigram arrays, one bigram-count agg
+    and one head-count agg (both map-side combined), V folded in as a
+    literal from one scalar aggregate, two joins back, one per-doc agg.
+    """
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bgs = F.expr(
+        """transform(sequence(0, size(toks) - 2),
+                     i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"""
+    )
+    inst = base.select("doc_id", F.explode(bgs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bcnt = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    hcnt = bcnt.groupBy("w1").agg(F.sum("c").alias("c1"))
+    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    v = int(tok.select("term").distinct().count())
+    return (
+        inst.join(bcnt, ["w1", "w2"])
+        .join(hcnt, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c") + 1)
+                        / (F.col("c1") + F.lit(v)).cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

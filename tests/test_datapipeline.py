@@ -636,3 +636,34 @@ def test_resample_to_mix_expected_multiplicity_and_stability(spark):
     assert all(again[d] == n for d, n in got.items())
     # explode_copies materializes exactly sum(n_copies) rows
     assert explode_copies(mixed).count() == sum(got.values())
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    from csd363_sin_spark.functions.text import bigram_lm_score
+
+    rows = [
+        (1, "a b a b"),      # bigrams: ab ba ab
+        (2, "a b c"),        # bigrams: ab bc
+        (3, "solo"),         # <2 tokens -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert 3 not in got
+    # corpus: c(ab)=3, c(ba)=1, c(bc)=1; heads c1(a)=3, c1(b)=2; V=4
+    v = 4
+    p_ab = (3 + 1) / (3 + v)
+    p_ba = (1 + 1) / (2 + v)
+    p_bc = (1 + 1) / (2 + v)
+    assert got[1]["n_bigrams"] == 3
+    exp1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    assert got[1]["avg_nll"] == pytest.approx(exp1, abs=1e-6)
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[2]["avg_nll"] == pytest.approx(exp2, abs=1e-6)
+    # fluent text scores lower surprise than shuffled text (same unigrams)
+    big = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    big.append((100, "dog the over quick lazy jumps fox brown the"))
+    corpus = spark.createDataFrame(big, "doc_id long, text string")
+    s = {r["doc_id"]: r["avg_nll"] for r in bigram_lm_score(corpus).collect()}
+    assert s[0] < s[100]
