@@ -903,6 +903,35 @@ def q_betweenness_exact_topk_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     return _betweenness_exact_topk(spark, sf_dir, 0)
 
 
+def _vertex_betweenness_all(
+    spark, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.betweenness import vertex_betweenness_batched
+
+    g = _graph(spark, sf_dir)
+    vb = vertex_betweenness_batched(
+        g, batch_size=640, local_edges_threshold=local_edges_threshold
+    )
+    return (
+        g.vertices.join(vb, "vertex_id")
+        .select("actor", F.round("betweenness", 4).alias("betweenness"))
+    )
+
+
+def q_vertex_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: EXACT all-sources Brandes VERTEX betweenness for
+    every vertex (leaves 0.0, 4-dp rounded), mirrored by the unrolled
+    _vertex_betweenness_sql oracle — the standard companion of the edge
+    variant the reference evaluates (evaluation.py:130-185)."""
+    return _vertex_betweenness_all(spark, sf_dir, 100_000)
+
+
+def q_vertex_betweenness_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed per-vertex-dependency backward pass
+    (driver dispatch off, batched sources) against the SAME oracle."""
+    return _vertex_betweenness_all(spark, sf_dir, 0)
+
+
 def q_connected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: large-star/small-star kernel (driver dispatch off)."""
     from csd363_sin_spark.operators.components import connected_components
@@ -1679,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_enhance": q_infomap_enhance,
         "betweenness_topk": q_betweenness_topk,
         "betweenness_exact_topk": q_betweenness_exact_topk,
+        "vertex_betweenness": q_vertex_betweenness,
         "pipeline_final": q_pipeline_final,
         "streaming_refresh": q_streaming_refresh,
         # forced-distributed twins (regression-guard the kernels a
@@ -1694,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_enhance_dist": q_infomap_enhance_dist,
         "betweenness_topk_dist": q_betweenness_topk_dist,
         "betweenness_exact_topk_dist": q_betweenness_exact_topk_dist,
+        "vertex_betweenness_dist": q_vertex_betweenness_dist,
         # CSR/Arrow kernel twins (the plans/csr.py north-star layout paths)
         "label_propagation_csr": q_label_propagation_csr,
         "pagerank_fixed_csr": q_pagerank_fixed_csr,
@@ -2419,17 +2450,13 @@ a{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _betweenness_sql(depth: int) -> str:
-    """Unrolled-CTE mirror of exact all-sources Brandes edge betweenness
-    (operators/betweenness.py semantics = nx.edge_betweenness_centrality
-    normalized=False): forward BFS layers (per-layer sigma path counts,
-    visited-set anti-join), then deepest-first backward accumulation
-    c(v,w) = sigma_v/sigma_w * (1 + delta_w) summed per undirected edge
-    and halved.  ``depth`` must be >= the graph diameter (sf0.01 gate
-    graph: diameter 3; layers beyond it are empty and cost nothing).
-    Output is the top-20 by 4-dp-ROUNDED betweenness with actor
-    tie-breaks, so cross-engine FP summation noise (~1e-9 on values of
-    magnitude 1e3+) cannot reorder the cut."""
+def _brandes_cte_parts(depth: int) -> list:
+    """Shared unrolled-CTE body for the Brandes oracles: forward BFS
+    layers f0..fD (per-layer sigma path counts, visited-set anti-join),
+    then deepest-first backward contribution layers g{d} with
+    c(v,w) = sigma_v/sigma_w * (1 + delta_w).  The edge and vertex
+    betweenness oracles differ only in the final aggregation over the
+    same g{d} rows."""
     parts = [
         """
 , f0 AS MATERIALIZED (SELECT actor AS s, actor AS v, 1.0 AS sigma FROM verts),
@@ -2472,6 +2499,19 @@ g{d} AS MATERIALIZED (
   JOIN f{d} b ON b.s = a.s AND b.v = e.v
   LEFT JOIN dl{d} dl ON dl.s = b.s AND dl.v = b.v
 )""")
+    return parts
+
+
+def _betweenness_sql(depth: int) -> str:
+    """Unrolled-CTE mirror of exact all-sources Brandes edge betweenness
+    (operators/betweenness.py semantics = nx.edge_betweenness_centrality
+    normalized=False): contribution layers from _brandes_cte_parts summed
+    per undirected edge and halved.  ``depth`` must be >= the graph
+    diameter (sf0.01 gate graph: diameter 3; layers beyond it are empty
+    and cost nothing).  Output is the top-20 by 4-dp-ROUNDED betweenness
+    with actor tie-breaks, so cross-engine FP summation noise (~1e-9 on
+    values of magnitude 1e3+) cannot reorder the cut."""
+    parts = _brandes_cte_parts(depth)
     union = " UNION ALL ".join(f"SELECT v, w, c FROM g{d}" for d in range(1, depth + 1))
     parts.append(f"""
 , allg AS ({union}),
@@ -2484,6 +2524,28 @@ SELECT src_actor, dst_actor, round(b, 4) AS betweenness
 FROM eb
 ORDER BY round(b, 4) DESC, src_actor ASC, dst_actor ASC
 LIMIT 20""")
+    return "".join(parts)
+
+
+def _vertex_betweenness_sql(depth: int) -> str:
+    """Unrolled-CTE mirror of exact all-sources Brandes VERTEX betweenness
+    (= nx.betweenness_centrality normalized=False): per-vertex dependency
+    delta(v) = sum of contributions c over the g{d} layers where v is the
+    shallower endpoint, excluding sources.  A layer-(d-1) vertex with
+    d-1 >= 1 can never be its own source (one BFS distance per source),
+    so 'exclude v = s' is exactly 'drop the g1 layer' — no source column
+    needed in the union.  ALL vertices are emitted (leaves 0.0), halved
+    for the undirected double-count, 4-dp rounded."""
+    parts = _brandes_cte_parts(depth)
+    union = " UNION ALL ".join(f"SELECT v, c FROM g{d}" for d in range(2, depth + 1))
+    parts.append(f"""
+, allgv AS ({union}),
+vbet AS (
+  SELECT v, sum(c) / 2.0 AS b FROM allgv GROUP BY 1
+)
+SELECT verts.actor, round(COALESCE(vbet.b, 0.0), 4) AS betweenness
+FROM verts LEFT JOIN vbet ON vbet.v = verts.actor
+ORDER BY actor""")
     return "".join(parts)
 
 
@@ -3325,6 +3387,9 @@ GROUP BY 1
         # dataflow (forward frontier expansion + deepest-first backward
         # accumulation) matching DuckDB exactly
         "betweenness_exact_topk_dist": p + _betweenness_sql(_BET_GATE_DEPTH),
+        "vertex_betweenness": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
+        # same-oracle twin for the distributed per-vertex delta pass
+        "vertex_betweenness_dist": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
         "modularity_fixed_partition": p
         + s
         + """

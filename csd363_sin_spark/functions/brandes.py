@@ -64,6 +64,50 @@ def edge_betweenness_local(adj: dict, sources=None, max_depth: int | None = None
     return {k: v / 2.0 for k, v in bet.items()}
 
 
+def vertex_betweenness_local(
+    adj: dict, sources=None, max_depth: int | None = None
+) -> dict:
+    """Unweighted Brandes VERTEX betweenness (same pass as the edge kernel,
+    accumulating per-vertex dependencies instead of per-edge contributions).
+
+    Returns dict vertex -> raw betweenness (undirected halved), matching
+    ``nx.betweenness_centrality(G, normalized=False)``: every vertex of
+    ``adj`` appears, leaves with 0.0.  ``sources``/``max_depth`` follow
+    ``edge_betweenness_local`` exactly, so the sampled/truncated variants
+    of the two kernels stay aligned.
+    """
+    bet: dict = {v: 0.0 for v in adj}
+    nodes = sorted(adj)
+    if sources is None:
+        sources = nodes
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    if max_depth is not None and dist[v] >= max_depth:
+                        continue
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist.get(w) == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bet[w] += delta[w]
+    return {v: b / 2.0 for v, b in bet.items()}
+
+
 def components_local(adj: dict) -> dict:
     """vertex -> component id (= min vertex id in the component)."""
     comp = {}

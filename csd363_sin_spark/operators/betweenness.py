@@ -113,6 +113,7 @@ def _edge_betweenness_driver(
     source_batch: DataFrame | None,
     normalized: bool,
     max_depth: int = 64,
+    accumulate: str = "edges",
 ) -> DataFrame:
     """Driver-side Brandes (functions/brandes.py kernel) for a graph
     small enough to collect — same semantics as the dataflow version
@@ -141,6 +142,16 @@ def _edge_betweenness_driver(
         sources = sorted(adj)[: int(k_sources)]
     else:
         sources = None
+    if accumulate == "vertices":
+        from csd363_sin_spark.functions.brandes import vertex_betweenness_local
+
+        vbet = vertex_betweenness_local(adj, sources=sources, max_depth=max_depth)
+        n = len(verts)
+        scale = (2.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0) if normalized else 1.0
+        return spark.createDataFrame(
+            [(v, scale * vbet.get(v, 0.0)) for v in verts],
+            "vertex_id long, betweenness double",
+        )
     bet = edge_betweenness_local(adj, sources=sources, max_depth=max_depth)
     n = len(verts)
     scale = (2.0 / (n * (n - 1)) if n > 1 else 1.0) if normalized else 1.0
@@ -159,6 +170,7 @@ def edge_betweenness(
     max_depth: int = 64,
     local_edges_threshold: int = 100_000,
     gather: str = "join",
+    accumulate: str = "edges",
 ) -> DataFrame:
     """Return ``(src, dst, betweenness)`` for every edge (src < dst).
 
@@ -172,11 +184,24 @@ def edge_betweenness(
     JOIN against the persisted symmetric edge table; ``"csr"`` expands via
     the Arrow/numpy kernel over CSR adjacency blocks (plans/csr.csr_gather)
     — only the frontier side is exchanged per level, never the adjacency.
+
+    ``accumulate="vertices"`` switches the backward pass to per-vertex
+    dependency accumulation (Brandes δ) and returns ``(vertex_id,
+    betweenness)`` for every vertex instead — the same forward wave and
+    contribution algebra, so the two outputs stay consistent by
+    construction (callers use the :func:`vertex_betweenness` wrapper).
     """
+    if accumulate not in ("edges", "vertices"):
+        raise ValueError(f"unknown accumulate {accumulate!r}")
     spark = graph.edges.sparkSession
     if local_edges_threshold > 0 and graph.edges.count() <= local_edges_threshold:
         return _edge_betweenness_driver(
-            graph, k_sources, source_batch, normalized, max_depth=max_depth
+            graph,
+            k_sources,
+            source_batch,
+            normalized,
+            max_depth=max_depth,
+            accumulate=accumulate,
         )
     if gather not in ("join", "csr"):
         raise ValueError(f"unknown gather {gather!r}")
@@ -262,6 +287,7 @@ def edge_betweenness(
     # backward accumulation — levels retire as the walk passes them so live
     # checkpoint storage stays O(2 levels + per-level contribs), not O(depth)
     contribs: list[DataFrame] = []
+    vdeltas: list[DataFrame] = []
     pair_frames: list[DataFrame] = []
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     for d in range(len(levels) - 1, 0, -1):
@@ -292,20 +318,51 @@ def edge_betweenness(
         # downward and the (materialized) pairs — safe to retire now
         release(levels[d])
         pair_frames.append(pairs)
-        contribs.append(
-            pairs.select(
-                F.least("v", "w").alias("src"),
-                F.greatest("v", "w").alias("dst"),
-                "contrib",
+        if accumulate == "edges":
+            contribs.append(
+                pairs.select(
+                    F.least("v", "w").alias("src"),
+                    F.greatest("v", "w").alias("dst"),
+                    "contrib",
+                )
             )
-        )
         delta = pairs.groupBy("s", "v").agg(F.sum("contrib").alias("delta"))
+        if accumulate == "vertices":
+            # delta here is FINAL for the layer-(d-1) vertices: a vertex
+            # collects all successor contributions in the single backward
+            # step where it is the shallower side.  Sources (v == s,
+            # layer 0) are excluded per Brandes: C_B[w] += delta[w], w != s.
+            vdeltas.append(delta.filter(F.col("v") != F.col("s")))
 
     if sym is not None:
         sym.unpersist()
     if blocks is not None:
         blocks.unpersist()
     release(levels[0])
+    if accumulate == "vertices":
+        all_verts = graph.vertices.select("vertex_id")
+        if not vdeltas:
+            return all_verts.withColumn("betweenness", F.lit(0.0))
+        all_d = vdeltas[0]
+        for d in vdeltas[1:]:
+            all_d = all_d.unionByName(d)
+        vb = materialize(
+            all_d.groupBy("v").agg((F.sum("delta") / 2.0).alias("betweenness"))
+        )
+        vb_handle = getattr(vb, "_ckpt_jrdd", None)
+        for p in pair_frames:
+            release(p)
+        if normalized:
+            n = graph.vertices.count()
+            scale = 2.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+            vb = vb.select("v", (F.col("betweenness") * scale).alias("betweenness"))
+        out = (
+            all_verts.join(
+                vb.withColumnRenamed("v", "vertex_id"), "vertex_id", "left"
+            ).fillna({"betweenness": 0.0})
+        )
+        out._ckpt_jrdd = vb_handle
+        return out
     if not contribs:
         return spark.createDataFrame([], "src long, dst long, betweenness double")
     all_c = contribs[0]
@@ -330,4 +387,100 @@ def edge_betweenness(
     # the only cached dependency left is the final bet checkpoint; hand its
     # handle to callers so release(result) frees everything this call cached
     out._ckpt_jrdd = bet_handle
+    return out
+
+
+def vertex_betweenness(
+    graph: Graph,
+    k_sources: int | None = None,
+    source_batch: DataFrame | None = None,
+    normalized: bool = False,
+    max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
+    gather: str = "join",
+) -> DataFrame:
+    """Vertex betweenness centrality ``(vertex_id, betweenness)`` for EVERY
+    vertex (leaves 0.0) — matches ``nx.betweenness_centrality(G,
+    normalized=False)`` exactly (``normalized=True`` applies nx's
+    undirected ``2/((n-1)(n-2))`` factor).
+
+    Same kernel family as :func:`edge_betweenness` (reference
+    evaluation.py:130-185 computes the edge variant; the vertex variant is
+    the standard Brandes companion): identical forward wave, the backward
+    pass accumulates per-vertex dependencies delta instead of per-edge
+    contributions, so sampled sources / ``max_depth`` / dispatch semantics
+    are shared line for line."""
+    return edge_betweenness(
+        graph,
+        k_sources=k_sources,
+        source_batch=source_batch,
+        normalized=normalized,
+        max_depth=max_depth,
+        local_edges_threshold=local_edges_threshold,
+        gather=gather,
+        accumulate="vertices",
+    )
+
+
+def vertex_betweenness_batched(
+    graph: Graph,
+    batch_size: int = 256,
+    k_sources: int | None = None,
+    normalized: bool = False,
+    max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
+    gather: str = "join",
+) -> DataFrame:
+    """Exact (or k-sampled) vertex betweenness with sources sharded into
+    ``batch_size`` batches — the vertex twin of
+    :func:`edge_betweenness_batched` (per-vertex sums across batches equal
+    the single-batch result exactly; driver holds only the source count)."""
+    import math
+
+    from csd363_sin_spark.plans.ids import dense_ids
+
+    verts = graph.vertices.select("vertex_id")
+    if k_sources is not None:
+        verts = verts.orderBy("vertex_id").limit(int(k_sources))
+    ranked = dense_ids(verts, "vertex_id", id_col="_rank")
+    batched = ranked.withColumn(
+        "_bid", F.floor(F.col("_rank") / batch_size)
+    ).persist()
+    n_sources = batched.count()
+    spark = graph.edges.sparkSession
+    total: DataFrame | None = None
+    for i in range(int(math.ceil(n_sources / batch_size)) if n_sources else 0):
+        chunk = batched.filter(F.col("_bid") == i).select("vertex_id")
+        part = vertex_betweenness(
+            graph,
+            source_batch=chunk,
+            max_depth=max_depth,
+            local_edges_threshold=local_edges_threshold,
+            gather=gather,
+        ).withColumnRenamed("betweenness", "b_part")
+        if total is None:
+            total = materialize(part.withColumnRenamed("b_part", "b_acc"))
+        else:
+            prev = total
+            # every batch returns ALL vertices (0.0-filled) -> inner join
+            total = materialize(
+                prev.join(part, "vertex_id").select(
+                    "vertex_id", (F.col("b_acc") + F.col("b_part")).alias("b_acc")
+                )
+            )
+            release(prev)
+        release(part)
+    batched.unpersist()
+    release(ranked)
+    if total is None:
+        return spark.createDataFrame([], "vertex_id long, betweenness double")
+    handle = getattr(total, "_ckpt_jrdd", None)
+    out = total.withColumnRenamed("b_acc", "betweenness")
+    if normalized:
+        n = graph.vertices.count()
+        scale = 2.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+        out = out.select(
+            "vertex_id", (F.col("betweenness") * scale).alias("betweenness")
+        )
+    out._ckpt_jrdd = handle
     return out

@@ -295,3 +295,87 @@ def test_gn_distributed_resume_mid_loop(spark, monkeypatch, tmp_path):
         ).collect()
     }
     assert again == straight
+
+
+# --- vertex betweenness (Brandes companion; operators/betweenness.py
+#     accumulate="vertices" + functions/brandes.vertex_betweenness_local) ---
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [BARBELL, TWO_TRI, [(i, i + 1) for i in range(9)], [(0, i) for i in range(1, 9)]],
+)
+def test_local_vertex_betweenness_vs_networkx(edges):
+    from csd363_sin_spark.functions.brandes import vertex_betweenness_local
+
+    nxg = nx.Graph(edges)
+    expected = nx.betweenness_centrality(nxg, normalized=False)
+    got = vertex_betweenness_local(_nx_adj(edges))
+    assert set(got) == set(expected)
+    for v, val in expected.items():
+        assert got[v] == pytest.approx(val, abs=1e-9)
+
+
+@pytest.mark.parametrize("edges", [BARBELL, TWO_TRI, [(i, i + 1) for i in range(9)]])
+def test_distributed_vertex_betweenness_vs_networkx(spark, edges):
+    from csd363_sin_spark.operators.betweenness import vertex_betweenness
+
+    g = graph_from_edges(spark, edges)
+    nxg = graph_to_networkx(g)
+    expected = nx.betweenness_centrality(nxg, normalized=False)
+    got = {
+        r["vertex_id"]: r["betweenness"]
+        for r in vertex_betweenness(g, local_edges_threshold=0).collect()
+    }
+    assert set(got) == set(expected)
+    for v, val in expected.items():
+        assert got[v] == pytest.approx(val, abs=1e-6)
+    if edges is BARBELL:
+        # the two bridge endpoints dominate on the barbell
+        assert sorted(sorted(got, key=got.get)[-2:]) == [4, 5]
+
+
+def test_vertex_betweenness_dispatch_parity_and_batched(spark):
+    """Driver kernel vs distributed dataflow vs batched sharding: same
+    per-vertex values (exact, sampled, and normalized modes), and the
+    batched per-vertex sums equal the single-batch result."""
+    from csd363_sin_spark.operators.betweenness import (
+        vertex_betweenness,
+        vertex_betweenness_batched,
+    )
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    nxg = graph_to_networkx(g)
+    exact_nx = nx.betweenness_centrality(nxg, normalized=False)
+    for kw in ({}, {"k_sources": 16}, {"normalized": True}):
+        local = {
+            r["vertex_id"]: r["betweenness"]
+            for r in vertex_betweenness(g, **kw).collect()
+        }
+        dist = {
+            r["vertex_id"]: r["betweenness"]
+            for r in vertex_betweenness(g, local_edges_threshold=0, **kw).collect()
+        }
+        assert set(local) == set(dist)
+        for v in local:
+            assert local[v] == pytest.approx(dist[v], abs=1e-9)
+        if not kw:
+            for v, val in exact_nx.items():
+                assert local[v] == pytest.approx(val, abs=1e-6)
+    n = g.vertices.count()
+    norm = {
+        r["vertex_id"]: r["betweenness"]
+        for r in vertex_betweenness(g, normalized=True).collect()
+    }
+    expected_norm = nx.betweenness_centrality(nxg, normalized=True)
+    for v, val in expected_norm.items():
+        assert norm[v] == pytest.approx(val, abs=1e-9)
+    batched = {
+        r["vertex_id"]: r["betweenness"]
+        for r in vertex_betweenness_batched(
+            g, batch_size=7, local_edges_threshold=0
+        ).collect()
+    }
+    for v, val in exact_nx.items():
+        assert batched[v] == pytest.approx(val, abs=1e-6)
