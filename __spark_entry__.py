@@ -159,6 +159,15 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (nx.transitivity): 3*triangles over
+    connected triples, with both exact integer counts emitted alongside
+    the 6-dp ratio."""
+    from csd363_sin_spark.operators.triangles import transitivity
+
+    return transitivity(_graph(spark, sf_dir))
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson degree-assortativity coefficient (one corr() aggregate over
     the symmetric half-edge/degree join) — identical SQL in DuckDB."""
@@ -1650,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": q_triangle_total,
         "square_total": q_square_total,
         "clustering_coefficient": q_clustering_coefficient,
+        "transitivity": q_transitivity,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
         "core_number": q_core_number,
@@ -3074,6 +3084,22 @@ SELECT count(*) AS triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+""",
+        "transitivity": p
+        + """
+, tri AS (
+  SELECT count(*) AS triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+),
+wed AS (
+  SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS wedges FROM deg
+)
+SELECT triangles, wedges,
+       round(CASE WHEN wedges > 0
+             THEN 3.0 * triangles / wedges ELSE 0.0 END, 6) AS transitivity
+FROM tri, wed
 """,
         # streaming refresh must equal the BATCH analyzers (the store
         # snapshot reproduces batch induction exactly) — so the oracle

@@ -69,6 +69,29 @@ def clustering_coefficient(graph: Graph) -> DataFrame:
     )
 
 
+def transitivity(graph: Graph) -> DataFrame:
+    """One row ``(triangles, wedges, transitivity)`` — the GLOBAL
+    clustering coefficient, matching ``nx.transitivity``:
+    ``3 * triangles / wedges`` with ``wedges = sum_v C(deg_v, 2)``
+    (connected triples), 0.0 on wedge-free graphs.
+
+    Plan: the G9 closed-wedge count plus one degree aggregation, combined
+    with a 1x1 cross join — two scalar jobs, no new shuffle shapes.
+    ``deg*(deg-1)`` is always even so the wedge count is exact BIGINT."""
+    tri = _closed_wedges(graph).agg(F.count(F.lit(1)).alias("triangles"))
+    wed = graph.degrees().agg(
+        F.sum(
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+        ).alias("wedges")
+    )
+    ratio = F.when(
+        F.col("wedges") > 0, 3.0 * F.col("triangles") / F.col("wedges")
+    ).otherwise(F.lit(0.0))
+    return tri.crossJoin(wed).select(
+        "triangles", "wedges", F.round(ratio, 6).alias("transitivity")
+    )
+
+
 def square_total(graph: Graph) -> DataFrame:
     """Exact 4-cycle (square) count: one row ``(squares long)``.
 

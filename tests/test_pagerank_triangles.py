@@ -223,3 +223,21 @@ def test_square_total_vs_trace_formula(spark):
     assert square_total(
         graph_from_edges(spark, [(0, 1), (1, 2), (2, 0)])
     ).collect()[0]["squares"] == 0
+
+
+def test_transitivity_vs_networkx(spark):
+    from csd363_sin_spark.operators.triangles import transitivity
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    row = transitivity(g).collect()[0]
+    assert row["transitivity"] == pytest.approx(nx.transitivity(nxg), abs=1e-6)
+    assert row["triangles"] == sum(nx.triangles(nxg).values()) // 3
+    # K4 anchor: 4 triangles, 12 wedges, transitivity 1.0; path: 0 triangles
+    k4 = graph_from_edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    r = transitivity(k4).collect()[0]
+    assert (r["triangles"], r["wedges"], r["transitivity"]) == (4, 12, 1.0)
+    path = graph_from_edges(spark, [(i, i + 1) for i in range(3)])
+    r = transitivity(path).collect()[0]
+    assert (r["triangles"], r["transitivity"]) == (0, 0.0)
