@@ -1359,6 +1359,32 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster -> within-cluster cosine
+    prune, keep the least-centroid-similar item): keep/drop decision +
+    cluster + centroid similarity for every vector, oracle-checked end to
+    end in portable mode (the unquantized production path shares every
+    algorithm line).  The corpus is deterministically augmented with 25
+    perturbed copies (coords + 0.05 in DOUBLE, cosine 0.92-0.94 to their
+    originals) so the keep/drop decision is nontrivial."""
+    from csd363_sin_spark.functions.similarity import semantic_dedup
+
+    emb = _embeddings(spark, sf_dir)
+    aug = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(aug)
+    return semantic_dedup(
+        corpus, dim=64, threshold=0.9, n_clusters=8, portable=True
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (scale path), oracle-checked: the
     gate uses md5-portable plane coefficients embedded as literals in both
@@ -1767,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -2954,30 +2981,29 @@ SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _ivf_topk_sql(
-    dim: int = 64, k: int = 5, n_clusters: int = 8, n_probe: int = 4,
-    iters: int = 3,
-) -> str:
-    """IVF-flat top-k oracle: replays functions/similarity.py
-    ivf_topk(portable=True) construct for construct — seeds = the
-    ``n_clusters`` lowest-id vectors, ``iters`` unrolled Lloyd steps with
-    means quantized to 6 decimals and assignment scores to 9 (ties ->
-    lowest cluster, matching array_position-of-max), empty clusters keep
-    their previous centroid, probes pick ``n_probe`` clusters by
-    (score DESC, cluster DESC) (= reverse(array_sort(struct(s, cluster)))),
-    candidates exact-ranked by (cosine DESC, vec_id ASC)."""
+def _cos9(vec: str, cen: str) -> str:
+    return (
+        f"round(list_inner_product({vec}, {cen}) / "
+        f"(sqrt(list_inner_product({cen}, {cen})) * "
+        f"sqrt(list_inner_product({vec}, {vec}))), 9)"
+    )
 
-    def cos9(vec: str, cen: str) -> str:
-        return (
-            f"round(list_inner_product({vec}, {cen}) / "
-            f"(sqrt(list_inner_product({cen}, {cen})) * "
-            f"sqrt(list_inner_product({vec}, {vec}))), 9)"
-        )
 
+def _lloyd_cte(n_clusters: int, iters: int, source: str = "embeddings") -> tuple:
+    """Shared unrolled portable-Lloyd CTE: replays
+    functions/similarity.py ivf_flat_index(quantize=6, score_round=9)
+    construct for construct — seeds = the ``n_clusters`` lowest-id
+    vectors, ``iters`` Lloyd steps with means quantized to 6 decimals and
+    assignment scores to 9 (ties -> lowest cluster, matching
+    array_position-of-max), empty clusters keep their previous centroid;
+    ``af`` is the final-centroid assignment.  Returns (sql, final_cte)
+    where final_cte names the final centroid relation.  ``source``
+    substitutes the corpus relation (default the embeddings table)."""
+    cos9 = _cos9
     sql = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM {source}
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
@@ -3020,7 +3046,21 @@ af AS (
       ) AS rn
     FROM e CROSS JOIN {prev}
   ) WHERE rn = 1
-),
+)"""
+    return sql, prev
+
+
+def _ivf_topk_sql(
+    dim: int = 64, k: int = 5, n_clusters: int = 8, n_probe: int = 4,
+    iters: int = 3,
+) -> str:
+    """IVF-flat top-k oracle over the shared _lloyd_cte quantizer: probes
+    pick ``n_probe`` clusters by (score DESC, cluster DESC)
+    (= reverse(array_sort(struct(s, cluster)))), candidates exact-ranked
+    by (cosine DESC, vec_id ASC)."""
+    cos9 = _cos9
+    sql, prev = _lloyd_cte(n_clusters, iters)
+    sql += f""",
 probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 3),
 pc AS (
   SELECT probe_id, p, cluster FROM (
@@ -3045,6 +3085,51 @@ ranked AS (
   FROM scored
 )
 SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
+_SEMDEDUP_AUG = (
+    # the perturbation runs in DOUBLE on both engines (float32 + 0.05 can
+    # double-round differently engine to engine; double IEEE add cannot)
+    "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) "
+    "FROM embeddings WHERE vec_id < 25)"
+)
+
+
+def _semantic_dedup_sql(
+    threshold: float, n_clusters: int = 8, iters: int = 3
+) -> str:
+    """SemDeDup oracle over the shared _lloyd_cte quantizer: within-cluster
+    pairs at 6-dp-rounded cosine >= threshold; v dropped iff some
+    same-cluster u has (centroid_sim, id) lexicographically below v's
+    (keep-the-least-centroid-similar rule, ties to lowest id).  The
+    corpus is deterministically augmented with 25 perturbed copies
+    (coords + 0.05, cosine 0.92-0.94 to their originals) so the gate's
+    keep/drop decision is nontrivial — same trick as the redact_pii
+    gate's PII augmentation."""
+    sql, prev = _lloyd_cte(n_clusters, iters, source=_SEMDEDUP_AUG)
+    sql += f""",
+csim AS MATERIALIZED (
+  SELECT af.vec_id, af.cluster, e.v,
+         {_cos9("e.v", f"{prev}.c")} AS centroid_sim
+  FROM af JOIN e USING (vec_id) JOIN {prev} USING (cluster)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM csim x JOIN csim y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    AND (x.centroid_sim < y.centroid_sim
+         OR (x.centroid_sim = y.centroid_sim AND x.vec_id < y.vec_id))
+)
+SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster,
+       round(c.centroid_sim, 6) AS centroid_sim,
+       (d.vec_id IS NULL) AS keep
+FROM csim c LEFT JOIN dropped d USING (vec_id)
+ORDER BY c.vec_id
 """
     return sql
 
@@ -3778,6 +3863,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "semantic_dedup": _semantic_dedup_sql(0.9),
         # pagerank/louvain/gn/infomap/betweenness/pipeline: intentionally
         # omitted -> rows-only check (iterative fixpoints; not
         # ANSI-SQL-expressible; exactness covered by pytest oracles)

@@ -431,3 +431,86 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings with the seeded
+    deterministic Lloyd quantizer (:func:`ivf_flat_index`), compare pairs
+    WITHIN each cluster only, and inside every group of mutually-similar
+    items (cosine >= ``threshold``) keep the item LEAST similar to its
+    centroid (the paper's diversity-preserving keeper rule); ties break
+    to the lowest id.
+
+    Returns ``(vec_id, cluster, centroid_sim, keep)`` for every vector.
+    The drop rule is pairwise (no transitive closure): v is dropped iff
+    some same-cluster u with cosine(u, v) >= threshold has
+    (centroid_sim, id) lexicographically below v's.
+
+    Scale shape: candidate pairs are bounded per cluster (the SemDeDup
+    point — n_clusters grows with the corpus so cluster sizes stay
+    bounded), generated by one equi-join on cluster id, never all-pairs.
+    ``portable=True`` reuses the quantized Lloyd/score mode so the DuckDB
+    oracle replays the identical pipeline."""
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    score_round = 9 if portable else None
+    assigned, centroids = ivf_flat_index(
+        embeddings, dim, n_clusters=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+        quantize=6 if portable else None, score_round=score_round,
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), cast(vec_col).alias("v")
+    ).join(assigned, "vec_id")
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    csim = cosine_similarity_col(F.col("v"), F.element_at(cents, F.col("cluster") + 1))
+    if score_round is not None:
+        csim = F.round(csim, score_round)
+    e = e.withColumn("centroid_sim", csim)
+    x = e.select(
+        "cluster",
+        F.col("vec_id").alias("id_x"),
+        F.col("v").alias("vx"),
+        F.col("centroid_sim").alias("cs_x"),
+    )
+    y = e.select(
+        "cluster",
+        F.col("vec_id").alias("id_y"),
+        F.col("v").alias("vy"),
+        F.col("centroid_sim").alias("cs_y"),
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .filter(
+            F.round(cosine_similarity_col(F.col("vx"), F.col("vy")), 6)
+            >= threshold
+        )
+        .filter(
+            (F.col("cs_x") < F.col("cs_y"))
+            | ((F.col("cs_x") == F.col("cs_y")) & (F.col("id_x") < F.col("id_y")))
+        )
+        .select(F.col("id_y").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        e.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            F.coalesce(F.col("_drop") == F.lit(False), F.lit(True)).alias("keep"),
+        )
+    )

@@ -667,3 +667,57 @@ def test_bigram_lm_score_hand_computed(spark):
     corpus = spark.createDataFrame(big, "doc_id long, text string")
     s = {r["doc_id"]: r["avg_nll"] for r in bigram_lm_score(corpus).collect()}
     assert s[0] < s[100]
+
+
+def test_semantic_dedup_python_mirror(spark):
+    """semantic_dedup vs an independent numpy mirror of the SemDeDup rule
+    (cluster via the same quantizer output, drop v iff a same-cluster u
+    with cosine >= t has lower (centroid_sim, id)); plus planted-duplicate
+    behavior: exactly one survivor per within-cluster duplicate group."""
+    from csd363_sin_spark.functions.similarity import (
+        ivf_flat_index,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant near-duplicates: coords + 0.05 (cosine ~0.92-0.94 to original)
+    aug = emb.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS embedding",
+    )
+    corpus = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    ).unionByName(aug)
+    got = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"], r["keep"])
+        for r in semantic_dedup(
+            corpus, dim=64, threshold=0.9, n_clusters=4
+        ).collect()
+    }
+    assert len(got) == corpus.count()
+
+    # numpy mirror using the SAME quantizer assignment (the quantizer
+    # itself is covered by the ivf tests + DuckDB oracle)
+    assigned, centroids = ivf_flat_index(corpus, 64, n_clusters=4)
+    cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    csim = {i: cos(v, np.array(centroids[cl[i]])) for i, v in vecs.items()}
+    for i in vecs:
+        assert got[i][0] == cl[i]
+        assert got[i][1] == pytest.approx(csim[i], abs=1e-5)
+        dropped = any(
+            cl[j] == cl[i]
+            and j != i
+            and round(cos(vecs[j], vecs[i]), 6) >= 0.9
+            and (csim[j], j) < (csim[i], i)
+            for j in vecs
+        )
+        assert got[i][2] == (not dropped), i
+    # planted pairs that share a cluster lose exactly one member
+    n_dropped = sum(1 for v in got.values() if not v[2])
+    shared = sum(1 for i in range(10) if cl[i] == cl[i + 100000])
+    assert n_dropped == shared > 0
