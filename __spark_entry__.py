@@ -564,6 +564,26 @@ def q_modularity_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_modularity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reichardt-Bornholdt resolution-parameter modularity sweep over the
+    fixed gate partition (gamma = 0.5 / 1.0 / 2.0) — multi-resolution
+    community quality, one stats pass reused across gammas."""
+    from csd363_sin_spark.functions.metrics import (
+        community_edge_stats,
+        modularity,
+    )
+
+    g = _graph(spark, sf_dir)
+    a = _assign(spark, sf_dir, _part_spark())
+    stats = community_edge_stats(g, a).persist()
+    rows = [
+        (gamma, round(modularity(g, a, stats=stats, resolution=gamma), 6))
+        for gamma in (0.5, 1.0, 2.0)
+    ]
+    stats.unpersist()
+    return spark.createDataFrame(rows, "resolution double, modularity double")
+
+
 def q_conductance_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import conductance
 
@@ -583,6 +603,27 @@ def q_description_length_fixed_partition(spark: SparkSession, sf_dir: str) -> Da
 
     h, _ = description_length(_graph(spark, sf_dir), _assign(spark, sf_dir, _part_spark()))
     return spark.createDataFrame([(round(h, 6),)], "description_length double")
+
+
+def q_split_disconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style well-connectedness refinement over the fixed gate
+    partition: every community split into its internally-connected parts
+    (sub_comm_actor = min actor of the part — the CC labeling convention),
+    oracle-checked by a same-community-restricted recursive closure.
+    The hash-bucketed gate partition is internally disconnected almost
+    everywhere, so the split is heavily exercised."""
+    from csd363_sin_spark.operators.structure import split_disconnected_communities
+
+    g = _graph(spark, sf_dir)
+    out = split_disconnected_communities(g, _assign(spark, sf_dir, _part_spark()))
+    sc = g.vertices.select(
+        F.col("vertex_id").alias("sub_comm"), F.col("actor").alias("sub_comm_actor")
+    )
+    return (
+        out.join(g.vertices, "vertex_id")
+        .join(sc, "sub_comm")
+        .select("actor", "comm", "sub_comm_actor")
+    )
 
 
 def q_nmi_fixed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1726,10 +1767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
+        "modularity_resolution": q_modularity_resolution,
         "conductance_fixed_partition": q_conductance_fixed_partition,
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
         "nmi_fixed_partitions": q_nmi_fixed_partitions,
+        "split_disconnected": q_split_disconnected,
         # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
         "pagerank_fixed": q_pagerank_fixed,
@@ -3416,6 +3459,26 @@ FROM tconvs c JOIN tactors a USING (period) JOIN tedges e USING (period)
         # same-oracle twin: green == the batch-peel triangle-join kernel
         "truss_number_dist": p + _truss_sql(),
         "connected_components": cc_sql,
+        # well-connectedness refinement: the SAME recursive closure
+        # restricted to intra-community edges of the fixed gate partition
+        "split_disconnected": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f"""
+, pv AS (SELECT actor, {part} AS comm FROM verts),
+symp AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN pv a ON a.actor = s.u JOIN pv b ON b.actor = s.v
+  WHERE a.comm = b.comm
+),
+reach AS (
+  SELECT actor AS a, actor AS b FROM verts
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN symp s ON r.b = s.u
+)
+SELECT pv.actor, pv.comm, m.sub_comm_actor
+FROM pv JOIN (
+  SELECT a AS actor, min(b) AS sub_comm_actor FROM reach GROUP BY a
+) m USING (actor)
+""",
         # the forced-distributed twin is value-hash-checked against the
         # SAME oracle: a green row here is the large-star/small-star
         # kernel (not the driver union-find) matching DuckDB exactly
@@ -3508,6 +3571,17 @@ SELECT round(sum(internal / 2.0) / (SELECT m FROM m)
        - sum(vol * vol) / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6)
        AS modularity
 FROM stats
+""",
+        "modularity_resolution": p
+        + s
+        + """
+, gammas AS (SELECT unnest([0.5, 1.0, 2.0]) AS resolution)
+SELECT g.resolution,
+       round(sum(internal / 2.0) / (SELECT m FROM m)
+       - g.resolution * sum(vol * vol)
+         / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6) AS modularity
+FROM stats CROSS JOIN gammas g
+GROUP BY g.resolution
 """,
         "conductance_fixed_partition": p
         + s

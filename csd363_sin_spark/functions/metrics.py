@@ -80,8 +80,12 @@ def modularity(
     weighted: bool = False,
     stats: DataFrame | None = None,
     m: float | None = None,
+    resolution: float = 1.0,
 ) -> float:
-    """Q = sum_c [ (internal_c/2)/m - (vol_c/(2m))^2 ] (reference evaluation.py:31).
+    """Q = sum_c [ (internal_c/2)/m - gamma * (vol_c/(2m))^2 ]
+    (reference evaluation.py:31; ``resolution`` is the Reichardt-Bornholdt
+    gamma — gamma > 1 favors more/smaller communities, < 1 fewer/larger;
+    1.0 is the reference's plain Newman-Girvan Q).
 
     ``m`` — precomputed total edge weight; pass it in iterative callers
     (one scalar job saved per call)."""
@@ -95,7 +99,9 @@ def modularity(
         F.sum(F.col("internal") / 2.0).alias("intra"),
         F.sum(F.col("vol") * F.col("vol")).alias("vol_sq"),
     ).collect()[0]
-    return float(row["intra"]) / m - float(row["vol_sq"]) / (4.0 * m * m)
+    return float(row["intra"]) / m - resolution * float(row["vol_sq"]) / (
+        4.0 * m * m
+    )
 
 
 def conductance(

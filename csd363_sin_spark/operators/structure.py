@@ -145,3 +145,46 @@ def sparsify_topk(edges_named: DataFrame, k: int, salt: str = "sparsify") -> Dat
         .distinct()
     )
     return edges_named.join(kept, ["src_actor", "dst_actor"], "left_semi")
+
+
+def split_disconnected_communities(
+    graph: Graph,
+    assign: DataFrame,
+    local_edges_threshold: int = 100_000,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Leiden-style well-connectedness refinement (Traag, Waltman &
+    van Eck 2019, "From Louvain to Leiden", Sci. Rep. 9:5233): Louvain can
+    emit communities whose induced subgraph is internally DISCONNECTED —
+    split every community into its connected parts.
+
+    Returns ``(vertex_id, comm, sub_comm)`` where ``sub_comm`` is the
+    minimum vertex id of the vertex's part within its community (the
+    engine's CC labeling convention, so labels are deterministic and
+    path-independent); ``sub_comm == comm``-wise grouping recovers the
+    refinement, and a community is well-connected iff it maps to exactly
+    one ``sub_comm``.
+
+    Plan: one double-join to keep only intra-community edges (no
+    inter-community edge survives, so one global CC run over the filtered
+    edge set computes every community's parts at once — no per-community
+    loop), then the standard large-star/small-star kernel with its driver
+    dispatch."""
+    from csd363_sin_spark.operators.components import connected_components
+
+    a_src = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c_src"))
+    a_dst = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_dst"))
+    intra = (
+        graph.edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .select("src", "dst", "weight")
+    )
+    sub = connected_components(
+        Graph(vertices=graph.vertices, edges=intra),
+        max_iterations=max_iterations,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return assign.join(sub, "vertex_id").select(
+        "vertex_id", "comm", F.col("comp_id").alias("sub_comm")
+    )

@@ -137,3 +137,33 @@ def test_evaluate_all_bundle(spark, medium):
     assert 0.0 <= out["nmi"] <= 1.0
     # louvain on the planted-cluster graph should recover structure well
     assert out["nmi"] > 0.5
+
+
+def test_modularity_resolution_parameter(spark):
+    """gamma=1 is plain Q; gamma=0 is coverage (intra/m); Q decreases in
+    gamma; matches networkx's resolution-parameter modularity."""
+    from csd363_sin_spark.functions.metrics import coverage, modularity
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    assign = g.vertices.select(
+        "vertex_id", F.pmod(F.col("vertex_id"), F.lit(3)).alias("comm")
+    )
+    q1 = modularity(g, assign)
+    assert modularity(g, assign, resolution=1.0) == pytest.approx(q1, abs=1e-12)
+    cov = coverage(g, assign)
+    assert modularity(g, assign, resolution=0.0) == pytest.approx(cov, abs=1e-9)
+    qs = [modularity(g, assign, resolution=gamma) for gamma in (0.5, 1.0, 2.0)]
+    assert qs[0] > qs[1] > qs[2]
+    nxg = graph_to_networkx(g)
+    comm_of = {r["vertex_id"]: r["comm"] for r in assign.collect()}
+    comms = [
+        {v for v, c in comm_of.items() if c == k} for k in set(comm_of.values())
+    ]
+    for gamma in (0.5, 2.0):
+        expected = nx.algorithms.community.modularity(
+            nxg, comms, resolution=gamma
+        )
+        assert modularity(g, assign, resolution=gamma) == pytest.approx(
+            expected, abs=1e-9
+        )

@@ -196,3 +196,61 @@ def test_sparsify_topk_kout_properties(spark):
     # deterministic across runs
     again = {(r["src_actor"], r["dst_actor"]) for r in sparsify_topk(en, k=k).collect()}
     assert again == kept
+
+
+def test_split_disconnected_communities(spark):
+    """Leiden-style well-connectedness refinement: a community whose
+    induced subgraph is disconnected splits into its parts (labeled by
+    min vertex id); connected communities keep exactly one part; nx
+    mirror on a synthetic graph."""
+    from csd363_sin_spark.operators.structure import (
+        split_disconnected_communities,
+    )
+
+    # two triangles + a bridge pair; comm 0 = {0,1,2, 6,7} (disconnected:
+    # triangle 0-1-2 and edge 6-7), comm 1 = {3,4,5} (connected triangle)
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (6, 7), (2, 3)]
+    g = graph_from_edges(spark, edges)
+    assign = spark.createDataFrame(
+        [(v, 0 if v in (0, 1, 2, 6, 7) else 1) for v in range(8)],
+        "vertex_id long, comm long",
+    )
+    got = {
+        r["vertex_id"]: (r["comm"], r["sub_comm"])
+        for r in split_disconnected_communities(g, assign).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 0), 2: (0, 0),
+        6: (0, 6), 7: (0, 6),
+        3: (1, 3), 4: (1, 3), 5: (1, 3),
+    }
+    # nx mirror on a synthetic graph with a hash-bucket partition (heavily
+    # disconnected inside communities), forced through BOTH dispatch paths
+    from csd363_sin_spark.sources.synth import synth_transcripts
+    from csd363_sin_spark.plans.induce import induce_graph
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g2 = induce_graph(t, binarize=True)
+    a2 = g2.vertices.select(
+        "vertex_id", F.pmod(F.col("vertex_id"), F.lit(7)).alias("comm")
+    )
+    from tests.conftest import graph_to_networkx
+
+    nxg = graph_to_networkx(g2)
+    comm_of = {r["vertex_id"]: r["comm"] for r in a2.collect()}
+    expected = {}
+    for c in set(comm_of.values()):
+        members = [v for v, cc in comm_of.items() if cc == c]
+        sub = nxg.subgraph(members)
+        for part in nx.connected_components(sub):
+            label = min(part)
+            for v in part:
+                expected[v] = (c, label)
+    for thr in (100_000, 0):
+        got2 = {
+            r["vertex_id"]: (r["comm"], r["sub_comm"])
+            for r in split_disconnected_communities(
+                g2, a2, local_edges_threshold=thr
+            ).collect()
+        }
+        assert got2 == expected
