@@ -389,6 +389,37 @@ def q_tool_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_stats(_transcripts(spark, sf_dir))
 
 
+_MIS_GATE_ROUNDS = 4  # fixpoint at sf0.01 is 2 rounds; margin
+_COLOR_GATE_ROUNDS = 34  # fixpoint at sf0.01 is 28 colors; margin
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic Luby maximal independent set
+    (portable-hash priorities; strict-local-min rule), every round
+    mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import maximal_independent_set
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return maximal_independent_set(
+        g.vertices.select("actor"), edges, max_rounds=_MIS_GATE_ROUNDS
+    )
+
+
+def q_hash_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: iterated-MIS distance-1 coloring (color = round of
+    MIS extraction), every round mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import hash_coloring
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return hash_coloring(
+        g.vertices.select("actor"), edges, max_rounds=_COLOR_GATE_ROUNDS
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: deterministic DeepWalk corpus (2 walks x 4 steps
     per vertex; successor = integer-hash argmin over neighbors) — every
@@ -1743,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
         "random_walks": q_random_walks,
+        "mis": q_mis,
+        "hash_coloring": q_hash_coloring,
         "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "ppmi_scores": q_ppmi_scores,
@@ -2629,6 +2662,61 @@ ORDER BY actor""")
     return "".join(parts)
 
 
+def _luby_sql(salt: str, rounds: int, remove_neighbors: bool) -> str:
+    """Unrolled mirror of operators/coloring.py's Luby loop: round r picks
+    every undecided vertex whose ``md5(salt:actor)||':'||actor`` priority
+    is a strict minimum over its undecided neighbors; the residual drops
+    the picks (+ their neighbors in MIS mode).  Rounds beyond the
+    fixpoint are empty and cost nothing; a round cap below the fixpoint
+    leaves the same vertices at -1 in BOTH engines."""
+    parts = [
+        f"""
+, u0 AS MATERIALIZED (
+  SELECT actor, md5('{salt}:' || actor) || ':' || actor AS prio FROM verts
+)"""
+    ]
+    for r in range(rounds):
+        neigh = (
+            f"""
+    AND u.actor NOT IN (SELECT s.v FROM sym s JOIN w{r} w ON w.actor = s.u)"""
+            if remove_neighbors
+            else ""
+        )
+        parts.append(f""",
+w{r} AS MATERIALIZED (
+  SELECT u.actor FROM u{r} u
+  LEFT JOIN (
+    SELECT s.u AS actor, min(p2.prio) AS minp
+    FROM sym s
+    JOIN u{r} p1 ON p1.actor = s.u
+    JOIN u{r} p2 ON p2.actor = s.v
+    GROUP BY s.u
+  ) n USING (actor)
+  WHERE n.minp IS NULL OR u.prio < n.minp
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.actor, u.prio FROM u{r} u
+  WHERE u.actor NOT IN (SELECT actor FROM w{r}){neigh}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT actor, {r} AS round FROM w{r}" for r in range(rounds)
+    )
+    parts.append(f"""
+, sel AS ({union})""")
+    if remove_neighbors:
+        parts.append("""
+SELECT v.actor, (m.round IS NOT NULL) AS in_mis,
+       CAST(COALESCE(m.round, -1) AS INT) AS mis_round
+FROM verts v LEFT JOIN sel m USING (actor)
+""")
+    else:
+        parts.append("""
+SELECT v.actor, CAST(COALESCE(m.round, -1) AS INT) AS color
+FROM verts v LEFT JOIN sel m USING (actor)
+""")
+    return "".join(parts)
+
+
 def _stats_cte(part_sql: str) -> str:
     # the partition expression is written over a column named `actor`;
     # textually rebind it to each endpoint of the symmetric edge view
@@ -3375,6 +3463,9 @@ SELECT tool, count(*) AS n_calls,
        strftime(max(ts), '%Y-%m-%d') AS last_day
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
+        "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
+        "hash_coloring": p
+        + _luby_sql("color", _COLOR_GATE_ROUNDS, remove_neighbors=False),
         "random_walks": p + _walks_sql()
         + "\nSELECT start_actor, walk_id, step, actor FROM wk_all",
         "node2vec_walks": p + _n2v_sql(),

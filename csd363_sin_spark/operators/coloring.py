@@ -1,0 +1,162 @@
+"""Deterministic maximal independent set + distance-1 coloring.
+
+Luby's classic distributed MIS (Luby 1986, "A Simple Parallel Algorithm
+for the Maximal Independent Set Problem") derandomized with the engine-
+portable hash family (functions/dedup.portable_hash64 md5 prefix), the
+same trick the walk corpus uses: a vertex joins the MIS in round r iff
+its priority string is the STRICT minimum over itself and all still-
+undecided neighbors; the MIS and its closed neighborhood then leave the
+residual graph.  Priorities are ``md5(salt:actor) || ':' || actor`` —
+totally ordered and collision-free (the actor suffix breaks any md5
+collision identically in every engine), so the whole run is a pure
+function of the edge set.
+
+``hash_coloring`` iterates the same extraction but removes ONLY the MIS
+each round and assigns ``color = round`` (iterated-MIS coloring — the
+simple Jones-Plassmann variant that trades a few extra colors for an
+unrollable, engine-mirrorable rule; a smallest-available-color pass
+would need per-vertex color-set scans).
+
+Scale shape per round: one self-join of the symmetric edge view against
+the undecided set + one min aggregation + two anti-joins — all O(E_resid)
+with map-side combining; the residual edge set shrinks geometrically
+(MIS removes closed neighborhoods), so total work is O(E log V) in
+expectation over the hash draw.  No reference counterpart (the reference
+has no MIS/coloring); included as a link-graph supporting operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csd363_sin_spark.plans.lineage import materialize, release
+
+
+def _prio(salt: str):
+    return F.concat(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("actor"))),
+        F.lit(":"),
+        F.col("actor"),
+    )
+
+
+def _sym_named(edges_named: DataFrame) -> DataFrame:
+    e = edges_named.filter(F.col("src_actor") != F.col("dst_actor"))
+    return (
+        e.select(F.col("src_actor").alias("u"), F.col("dst_actor").alias("v"))
+        .unionAll(
+            e.select(F.col("dst_actor").alias("u"), F.col("src_actor").alias("v"))
+        )
+        .distinct()
+    )
+
+
+def _extract_rounds(
+    vertices_named: DataFrame,
+    edges_named: DataFrame,
+    salt: str,
+    max_rounds: int,
+    remove_neighbors: bool,
+) -> DataFrame:
+    """Shared Luby loop.  Returns ``(actor, round)`` for every vertex
+    selected in some round; vertices never selected within ``max_rounds``
+    are absent (callers emit them as -1, identically to the SQL mirror)."""
+    sym = _sym_named(edges_named).persist()
+    sym.count()
+    und = materialize(
+        vertices_named.select("actor").distinct().withColumn("prio", _prio(salt))
+    )
+    picked: list[DataFrame] = []
+    spark = vertices_named.sparkSession
+    for r in range(max_rounds):
+        if und.isEmpty():
+            break
+        u_side = und.select(F.col("actor").alias("u"))
+        v_side = und.select(F.col("actor").alias("v"), F.col("prio").alias("pv"))
+        nbr_min = (
+            sym.join(u_side, "u")
+            .join(v_side, "v")
+            .groupBy("u")
+            .agg(F.min("pv").alias("minp"))
+            .withColumnRenamed("u", "actor")
+        )
+        winners = materialize(
+            und.join(nbr_min, "actor", "left")
+            .filter(F.col("minp").isNull() | (F.col("prio") < F.col("minp")))
+            .select("actor")
+        )
+        picked.append(winners.withColumn("round", F.lit(r)))
+        removed = winners
+        if remove_neighbors:
+            nbrs = (
+                sym.join(winners.select(F.col("actor").alias("u")), "u", "left_semi")
+                .select(F.col("v").alias("actor"))
+                .distinct()
+            )
+            removed = winners.unionByName(nbrs).distinct()
+        prev = und
+        und = materialize(prev.join(removed, "actor", "left_anti"))
+        release(prev)
+    release(und)
+    sym.unpersist()
+    if not picked:
+        return spark.createDataFrame([], "actor string, round int")
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    res = materialize(out)
+    for p in picked:
+        release(p)
+    return res
+
+
+def maximal_independent_set(
+    vertices_named: DataFrame,
+    edges_named: DataFrame,
+    salt: str = "mis",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Deterministic Luby MIS over actor-named edges.
+
+    Returns ``(actor, in_mis, mis_round)`` for EVERY vertex:
+    ``mis_round`` = the round the vertex entered the MIS, -1 if it was
+    removed as a neighbor (or the round cap hit first — callers mirroring
+    in SQL unroll the same cap, so both engines agree regardless).
+    Isolated vertices enter in round 0.  The result is independent (no
+    two MIS members adjacent) and, at fixpoint, maximal."""
+    sel = _extract_rounds(
+        vertices_named, edges_named, salt, max_rounds, remove_neighbors=True
+    )
+    return (
+        vertices_named.select("actor")
+        .distinct()
+        .join(sel, "actor", "left")
+        .select(
+            "actor",
+            F.col("round").isNotNull().alias("in_mis"),
+            F.coalesce(F.col("round"), F.lit(-1)).alias("mis_round"),
+        )
+    )
+
+
+def hash_coloring(
+    vertices_named: DataFrame,
+    edges_named: DataFrame,
+    salt: str = "color",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Iterated-MIS distance-1 coloring: round r's MIS gets color r (a
+    proper coloring — MIS members are pairwise non-adjacent; each round
+    removes only the MIS, so neighbors recompete later).  Returns
+    ``(actor, color)`` with -1 for vertices still undecided at the round
+    cap (mirrored identically by the SQL oracle)."""
+    sel = _extract_rounds(
+        vertices_named, edges_named, salt, max_rounds, remove_neighbors=False
+    )
+    return (
+        vertices_named.select("actor")
+        .distinct()
+        .join(sel, "actor", "left")
+        .select("actor", F.coalesce(F.col("round"), F.lit(-1)).alias("color"))
+    )

@@ -1,0 +1,109 @@
+"""Luby MIS + iterated-MIS coloring tests (operators/coloring.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from csd363_sin_spark.operators.coloring import hash_coloring, maximal_independent_set
+from csd363_sin_spark.plans.induce import induce_actor_edges
+from csd363_sin_spark.sources.synth import synth_transcripts
+
+
+def _graph(spark, seed=42):
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=seed)
+    edges = induce_actor_edges(t)
+    verts = (
+        edges.selectExpr("src_actor AS actor")
+        .union(edges.selectExpr("dst_actor AS actor"))
+        .distinct()
+    )
+    adj: dict = {}
+    for r in edges.collect():
+        u, v = r["src_actor"], r["dst_actor"]
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in verts.collect():
+        adj.setdefault(r["actor"], set())
+    return verts, edges, adj
+
+
+def _prio(salt, a):
+    return hashlib.md5(f"{salt}:{a}".encode()).hexdigest() + ":" + a
+
+
+def _luby_mirror(adj, salt, remove_neighbors, max_rounds=40):
+    prio = {a: _prio(salt, a) for a in adj}
+    und = set(adj)
+    out = {}
+    for r in range(max_rounds):
+        if not und:
+            break
+        winners = {
+            a
+            for a in und
+            if all(prio[a] < prio[b] for b in adj[a] if b in und)
+        }
+        for a in winners:
+            out[a] = r
+        und -= winners
+        if remove_neighbors:
+            und -= {b for a in winners for b in adj[a]}
+    return out
+
+
+def test_mis_properties_and_mirror(spark):
+    verts, edges, adj = _graph(spark)
+    got = {
+        r["actor"]: (r["in_mis"], r["mis_round"])
+        for r in maximal_independent_set(verts, edges).collect()
+    }
+    assert len(got) == len(adj)
+    mis = {a for a, (m, _) in got.items() if m}
+    # independence
+    for a in mis:
+        assert not (adj[a] & mis), a
+    # maximality: every non-member has a MIS neighbor
+    for a in set(adj) - mis:
+        assert adj[a] & mis, a
+    # exact python mirror of the derandomized rule
+    mirror = _luby_mirror(adj, "mis", remove_neighbors=True)
+    assert mis == set(mirror)
+    for a in mis:
+        assert got[a][1] == mirror[a]
+    # determinism across runs
+    again = {
+        r["actor"]: (r["in_mis"], r["mis_round"])
+        for r in maximal_independent_set(verts, edges).collect()
+    }
+    assert got == again
+
+
+def test_hash_coloring_proper_and_mirror(spark):
+    verts, edges, adj = _graph(spark)
+    got = {r["actor"]: r["color"] for r in hash_coloring(verts, edges).collect()}
+    assert len(got) == len(adj)
+    # all decided at the default cap, proper coloring
+    assert min(got.values()) >= 0
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            assert got[a] != got[b], (a, b)
+    mirror = _luby_mirror(adj, "color", remove_neighbors=False)
+    assert got == mirror
+
+
+def test_mis_round_cap_matches_mirror(spark):
+    """A cap below the fixpoint leaves identical -1s (the property the
+    SQL oracle relies on)."""
+    verts, edges, adj = _graph(spark)
+    got = {
+        r["actor"]: r["color"]
+        for r in hash_coloring(verts, edges, max_rounds=2).collect()
+    }
+    mirror = _luby_mirror(adj, "color", remove_neighbors=False, max_rounds=2)
+    expected = {a: mirror.get(a, -1) for a in adj}
+    assert got == expected
+    assert -1 in got.values()  # the cap genuinely bites on this graph
