@@ -615,6 +615,18 @@ def q_modularity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "resolution double, modularity double")
 
 
+def q_modularity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted modularity over the fixed gate partition — pins the
+    ``weighted=True`` half-edge-strength path (vol = strengths, m = total
+    edge weight) the multi-level Louvain contraction relies on."""
+    from csd363_sin_spark.functions.metrics import modularity
+
+    q = modularity(
+        _graph(spark, sf_dir), _assign(spark, sf_dir, _part_spark()), weighted=True
+    )
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
 def q_conductance_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import conductance
 
@@ -1801,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metrics (SURVEY §2.4)
         "modularity_fixed_partition": q_modularity_fixed_partition,
         "modularity_resolution": q_modularity_resolution,
+        "modularity_weighted": q_modularity_weighted,
         "conductance_fixed_partition": q_conductance_fixed_partition,
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
@@ -3662,6 +3675,25 @@ SELECT round(sum(internal / 2.0) / (SELECT m FROM m)
        - sum(vol * vol) / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6)
        AS modularity
 FROM stats
+""",
+        "modularity_weighted": p
+        + f"""
+, labeled AS (
+  SELECT s.u, s.v, s.weight,
+         {part.replace("actor", "s.u")} AS c1,
+         {part.replace("actor", "s.v")} AS c2
+  FROM sym s
+),
+wstats AS (
+  SELECT c1 AS comm, sum(weight) AS vol,
+         sum(CASE WHEN c1 = c2 THEN weight ELSE 0 END) AS internal
+  FROM labeled GROUP BY 1
+),
+wm AS (SELECT sum(weight) AS m FROM edges)
+SELECT round(sum(internal / 2.0) / (SELECT m FROM wm)
+       - sum(vol * vol) / (4.0 * (SELECT m FROM wm) * (SELECT m FROM wm)), 6)
+       AS modularity
+FROM wstats
 """,
         "modularity_resolution": p
         + s

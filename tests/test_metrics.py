@@ -167,3 +167,26 @@ def test_modularity_resolution_parameter(spark):
         assert modularity(g, assign, resolution=gamma) == pytest.approx(
             expected, abs=1e-9
         )
+
+
+def test_modularity_weighted_vs_networkx(spark):
+    """weighted=True modularity (strength-based vol, weighted m) matches
+    networkx's weighted modularity on the co-occurrence graph."""
+    from csd363_sin_spark.functions.metrics import modularity
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t)  # keep real co-occurrence weights
+    assign = g.vertices.select(
+        "vertex_id", F.pmod(F.col("vertex_id"), F.lit(4)).alias("comm")
+    )
+    nxg = nx.Graph()
+    for r in g.edges.collect():
+        nxg.add_edge(r["src"], r["dst"], weight=r["weight"])
+    for r in g.vertices.collect():
+        nxg.add_node(r["vertex_id"])
+    comm_of = {r["vertex_id"]: r["comm"] for r in assign.collect()}
+    comms = [
+        {v for v, c in comm_of.items() if c == k} for k in set(comm_of.values())
+    ]
+    expected = nx.algorithms.community.modularity(nxg, comms, weight="weight")
+    assert modularity(g, assign, weighted=True) == pytest.approx(expected, abs=1e-9)
