@@ -724,6 +724,44 @@ def q_eigencentrality_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eigencentrality(spark, sf_dir, 0)
 
 
+def _fiedler(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.eigenvector import (
+        _fiedler_start_expr,
+        fiedler_vector,
+    )
+
+    g = _graph(spark, sf_dir)
+    # hash the ACTOR string for the start vector so the SQL oracle can
+    # reproduce it (vertex ids are engine-internal)
+    start = g.vertices.select(
+        "vertex_id", _fiedler_start_expr(F.col("actor")).alias("score")
+    )
+    fv = fiedler_vector(
+        g,
+        max_iter=_PR_GATE_ITERS,
+        tol=0.0,
+        local_edges_threshold=local_edges_threshold,
+        start=start,
+    )
+    return fv.join(g.vertices, "vertex_id").select(
+        "actor", F.round("fiedler", 6).alias("fiedler")
+    )
+
+
+def q_fiedler_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Fiedler vector (spectral bipartition signal) at
+    exactly K=8 deflated shifted-Laplacian power iterations (tol=0),
+    mirrored by an unrolled-CTE DuckDB oracle — the same fixed-work
+    portability contract as pagerank_fixed/eigencentrality_fixed."""
+    return _fiedler(spark, sf_dir, 100_000)
+
+
+def q_fiedler_fixed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed gather + two-scalar-job deflation
+    kernel (driver dispatch off) against the SAME oracle."""
+    return _fiedler(spark, sf_dir, 0)
+
+
 def _katz(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> DataFrame:
     from csd363_sin_spark.operators.eigenvector import katz_centrality
 
@@ -1826,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_fixed_dist": q_eigencentrality_fixed_dist,
         "katz_fixed": q_katz_fixed,
         "katz_fixed_dist": q_katz_fixed_dist,
+        "fiedler_fixed": q_fiedler_fixed,
+        "fiedler_fixed_dist": q_fiedler_fixed_dist,
         "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
@@ -2459,6 +2499,48 @@ e{i} AS MATERIALIZED (
   SELECT actor, comb / (SELECT mx FROM mx{i}) AS score FROM c{i}
 )""")
     parts.append(f"\nSELECT actor, round(score, 6) AS score FROM e{k}")
+    return "".join(parts)
+
+
+def _fiedler_sql(k: int) -> str:
+    """Unrolled-CTE mirror of operators/eigenvector.py fiedler_vector at
+    exactly ``k`` iterations: g = (c - deg)*x + A x with c = 1 + 2*max
+    weighted degree; deflate by the mean; max-abs-normalize.  Start =
+    portable hash of the actor in [0, 1).  Output rounded to 6 dp."""
+    parts = ["""
+, wdeg AS MATERIALIZED (
+  SELECT v.actor, COALESCE(d.s, 0.0) AS deg
+  FROM verts v LEFT JOIN (
+    SELECT u AS actor, sum(weight) AS s FROM sym GROUP BY 1
+  ) d USING (actor)
+),
+fc AS (SELECT 1.0 + 2.0 * max(deg) AS c FROM wdeg),
+fn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+fx0 AS MATERIALIZED (
+  SELECT actor,
+         (CAST('0x' || substr(md5('fiedler:' || actor), 1, 15) AS BIGINT)
+          % 1000003) / 1000003.0 AS score
+  FROM verts
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, fg{i} AS MATERIALIZED (
+  SELECT w.actor,
+         ((SELECT c FROM fc) - w.deg) * x.score + COALESCE(g.gather, 0.0) AS g
+  FROM wdeg w JOIN fx{i - 1} x USING (actor)
+  LEFT JOIN (
+    SELECT s.v AS actor, sum(s.weight * x.score) AS gather
+    FROM sym s JOIN fx{i - 1} x ON x.actor = s.u GROUP BY 1
+  ) g USING (actor)
+),
+fm{i} AS (SELECT sum(g) / (SELECT n FROM fn) AS mean FROM fg{i}),
+fmx{i} AS (SELECT max(abs(g - (SELECT mean FROM fm{i}))) AS mx FROM fg{i}),
+fx{i} AS MATERIALIZED (
+  SELECT actor,
+         (g - (SELECT mean FROM fm{i})) / (SELECT mx FROM fmx{i}) AS score
+  FROM fg{i}
+)""")
+    parts.append(f"\nSELECT actor, round(score, 6) AS fiedler FROM fx{k}")
     return "".join(parts)
 
 
@@ -3647,6 +3729,9 @@ GROUP BY 1
         "eigencentrality_fixed_dist": p + _eigencentrality_sql(_PR_GATE_ITERS),
         "katz_fixed": p + _katz_sql(_PR_GATE_ITERS),
         "katz_fixed_dist": p + _katz_sql(_PR_GATE_ITERS),
+        "fiedler_fixed": p + _fiedler_sql(_PR_GATE_ITERS),
+        # same-oracle twin for the distributed deflated-power-iteration kernel
+        "fiedler_fixed_dist": p + _fiedler_sql(_PR_GATE_ITERS),
         "personalized_pagerank": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p

@@ -222,3 +222,159 @@ def eigenvector_centrality(
             break
     sym.unpersist()
     return x
+
+
+def _fiedler_start_expr(key_col):
+    # deterministic engine-portable pseudo-random start in [0, 1):
+    # (md5-prefix hash of the key) % 1000003 / 1000003
+    from csd363_sin_spark.functions.dedup import portable_hash64
+
+    return F.pmod(
+        portable_hash64(F.concat(F.lit("fiedler:"), key_col.cast("string"))),
+        F.lit(1000003),
+    ) / F.lit(1000003.0)
+
+
+def _fiedler_driver(graph: Graph, start_rows: list, max_iter: int, tol: float) -> DataFrame:
+    import numpy as np
+
+    spark = graph.edges.sparkSession
+    ids = sorted(int(v) for v, _ in start_rows)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    x = np.zeros(n, dtype=np.float64)
+    for v, s in start_rows:
+        x[idx[int(v)]] = float(s)
+    edges = graph.edges.select("src", "dst", "weight").collect()
+    src = np.fromiter((idx[int(r["src"])] for r in edges), dtype=np.int64, count=len(edges))
+    dst = np.fromiter((idx[int(r["dst"])] for r in edges), dtype=np.int64, count=len(edges))
+    w = np.fromiter((float(r["weight"]) for r in edges), dtype=np.float64, count=len(edges))
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, src, w)
+    np.add.at(deg, dst, w)
+    c = 1.0 + 2.0 * (deg.max() if n else 0.0)
+    for _ in range(max_iter):
+        g = (c - deg) * x
+        np.add.at(g, dst, w * x[src])
+        np.add.at(g, src, w * x[dst])
+        y = g - (g.sum() / n if n else 0.0)
+        mx = float(np.abs(y).max()) if n else 0.0
+        if mx == 0.0:
+            x = y
+            break
+        xn = y / mx
+        if tol > 0.0 and float(np.abs(xn - x).sum()) < tol:
+            x = xn
+            break
+        x = xn
+    return spark.createDataFrame(
+        [(v, float(x[i])) for v, i in idx.items()], "vertex_id long, fiedler double"
+    )
+
+
+def fiedler_vector(
+    graph: Graph,
+    max_iter: int = 100,
+    tol: float = 0.0,
+    local_edges_threshold: int = 100_000,
+    start: DataFrame | None = None,
+) -> DataFrame:
+    """Fiedler vector (second-smallest Laplacian eigenvector) by deflated
+    power iteration — the spectral-bipartition signal (Fiedler 1973;
+    sign(fiedler) splits the graph along a small cut).
+
+    Iterates the shifted Laplacian ``M = cI - L`` with ``c = 1 + 2*d_max``
+    (a strict upper bound of lambda_max(L), so M is PSD with the constant
+    vector dominant); subtracting the mean every step deflates that
+    trivial eigenvector, leaving the Fiedler direction dominant.  Exact
+    recurrence (the spec the driver kernel, distributed kernel, and SQL
+    oracle all share):
+
+        g = (c - deg) * x + A x        # one gather, PageRank-shaped
+        y = g - avg(g)                 # deflate the constant vector
+        x = y / max(|y|)               # max-norm (no sqrt -> portable)
+
+    ``start`` — optional ``(vertex_id, score)`` start vector (must not be
+    orthogonal to the Fiedler direction); default = engine-portable hash
+    of the vertex id in [0, 1).  ``tol=0`` runs exactly ``max_iter``
+    steps (fixed-work oracle mode).  On disconnected graphs the limit
+    lives in the component-indicator eigenspace (lambda = 0 multiplicity)
+    — an even stronger cut signal; the fixed-K run is deterministic
+    regardless.  Returns ``(vertex_id, fiedler)``; callers bipartition by
+    ``fiedler >= 0``.
+
+    Scale shape: identical superstep to :func:`eigenvector_centrality`
+    (one map-side-combined gather over the src-pre-partitioned sym view,
+    the only O(E) exchange) plus two scalar jobs (mean, max-abs)."""
+    verts = graph.vertices.select("vertex_id")
+    if start is None:
+        start_df = verts.select(
+            "vertex_id", _fiedler_start_expr(F.col("vertex_id")).alias("score")
+        )
+    else:
+        start_df = start.select("vertex_id", "score")
+    if graph.edges.count() <= local_edges_threshold:
+        rows = [(r["vertex_id"], r["score"]) for r in start_df.collect()]
+        return _fiedler_driver(graph, rows, max_iter, tol)
+
+    sym = (
+        graph.edges_sym()
+        .select("src", "dst", "weight")
+        .repartition("src")
+        .persist()
+    )
+    sym.count()
+    deg = sym.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.sum("weight").alias("deg")
+    )
+    deg = verts.join(deg, "vertex_id", "left").fillna({"deg": 0.0}).persist()
+    c = 1.0 + 2.0 * float(deg.agg(F.max("deg")).collect()[0][0] or 0.0)
+    n = verts.count()
+    x = materialize(start_df)
+    for _ in range(max_iter):
+        xs = x.select(F.col("vertex_id").alias("src"), F.col("score").alias("xs"))
+        gather = (
+            sym.join(xs, "src")
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum(F.col("weight") * F.col("xs")).alias("gather"))
+        )
+        g = materialize(
+            x.join(deg, "vertex_id")
+            .join(gather, "vertex_id", "left")
+            .fillna({"gather": 0.0})
+            .select(
+                "vertex_id",
+                (
+                    (F.lit(c) - F.col("deg")) * F.col("score") + F.col("gather")
+                ).alias("g"),
+            )
+        )
+        mean = float(g.agg(F.sum("g")).collect()[0][0] or 0.0) / n if n else 0.0
+        y = g.select("vertex_id", (F.col("g") - F.lit(mean)).alias("y"))
+        mx = float(g.select(F.max(F.abs(F.col("g") - F.lit(mean)))).collect()[0][0] or 0.0)
+        if mx == 0.0:
+            new_x = materialize(y.withColumnRenamed("y", "score"))
+            release(g)
+            release(x)
+            x = new_x
+            break
+        new_x = materialize(
+            y.select("vertex_id", (F.col("y") / F.lit(mx)).alias("score"))
+        )
+        release(g)
+        if tol > 0.0:
+            delta = (
+                new_x.withColumnRenamed("score", "s_new")
+                .join(x, "vertex_id")
+                .agg(F.sum(F.abs(F.col("s_new") - F.col("score"))))
+                .collect()[0][0]
+            )
+        else:
+            delta = None
+        release(x)
+        x = new_x
+        if delta is not None and delta < tol:
+            break
+    sym.unpersist()
+    deg.unpersist()
+    return x.withColumnRenamed("score", "fiedler")

@@ -94,3 +94,60 @@ def test_eigenvector_star_and_isolate(spark):
     for leaf in (1, 2, 3):
         assert got[leaf] == pytest.approx(1 / math.sqrt(3), abs=1e-6)
     assert got[9] < 1e-6
+
+
+# --- Fiedler vector (spectral bipartition) ---
+
+
+def test_fiedler_matches_eigendecomposition(spark):
+    """Converged deflated power iteration aligns with numpy's exact
+    second-smallest Laplacian eigenvector (up to sign/scale) on a
+    connected graph with a clear spectral gap."""
+    import numpy as np
+
+    from csd363_sin_spark.operators.eigenvector import fiedler_vector
+
+    # barbell: two K4s joined by one edge — textbook Fiedler case
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)]
+    )
+    g = graph_from_edges(spark, edges)
+    got = {
+        r["vertex_id"]: r["fiedler"]
+        for r in fiedler_vector(g, max_iter=3000).collect()
+    }
+    n = 8
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = A[v, u] = 1.0
+    L = np.diag(A.sum(1)) - A
+    vals, vecs = np.linalg.eigh(L)
+    f = vecs[:, 1]  # second-smallest eigenvalue's eigenvector
+    x = np.array([got[i] for i in range(n)])
+    cos = abs(x @ f) / (np.linalg.norm(x) * np.linalg.norm(f))
+    assert cos == pytest.approx(1.0, abs=1e-6)
+    # sign bipartition separates the two cliques
+    side = {v for v in range(n) if got[v] >= 0}
+    assert side in ({0, 1, 2, 3}, {4, 5, 6, 7})
+
+
+def test_fiedler_dispatch_parity(spark):
+    """Driver numpy kernel vs distributed kernel: same fixed-K values to
+    FP-summation tolerance, shared default hash start."""
+    from csd363_sin_spark.operators.eigenvector import fiedler_vector
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t)
+    local = {
+        r["vertex_id"]: r["fiedler"]
+        for r in fiedler_vector(g, max_iter=8).collect()
+    }
+    dist = {
+        r["vertex_id"]: r["fiedler"]
+        for r in fiedler_vector(g, max_iter=8, local_edges_threshold=0).collect()
+    }
+    assert set(local) == set(dist)
+    for v in local:
+        assert local[v] == pytest.approx(dist[v], abs=1e-9)
