@@ -1213,6 +1213,15 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap (training-sequence prep,
+    12-token windows advancing by 8) — pure map-side explode, every chunk
+    boundary and joined text mirrored exactly in SQL."""
+    from csd363_sin_spark.functions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=12, overlap=4)
+
+
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.text import language_id
 
@@ -1895,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed_csr": q_pagerank_fixed_csr,
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
+        "chunk_documents": q_chunk_documents,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3837,6 +3847,23 @@ SELECT round(CASE
   WHEN ((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0 = 0 OR (SELECT mi FROM mi) = 0 THEN 0.0
   ELSE LEAST(1.0, (SELECT mi FROM mi) / (((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0))
 END, 6) AS nmi
+""",
+        "chunk_documents": _DOC_PRELUDE
+        + """
+, nz AS (
+  SELECT doc_id, toks FROM toksrc
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) <> ''
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 4, 1) + 1, 8)) AS start
+  FROM nz
+)
+SELECT doc_id,
+  CAST((start - 1) // 8 AS INT) AS chunk_idx,
+  CAST(len(list_slice(toks, start, start + 11)) AS INT) AS n_tokens,
+  array_to_string(list_slice(toks, start, start + 11), ' ') AS chunk_text
+FROM st
 """,
         "doc_token_stats": _DOC_PRELUDE
         + """

@@ -413,3 +413,49 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the standard
+    training-sequence preparation step (split each document into windows
+    of ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``;
+    the final window may be short; every non-empty document yields at
+    least one chunk).
+
+    Returns ``(doc_id, chunk_idx, n_tokens, chunk_text)`` where
+    ``chunk_idx`` is 0-based, ``n_tokens`` the window's actual token
+    count, and ``chunk_text`` the space-joined tokens of the shared
+    tokenizer (so chunk boundaries are engine-portable).  Window starts
+    run 1, 1+stride, ... while start <= max(n_tokens - overlap, 1), so a
+    trailing window always contains at least one token beyond the
+    previous window's overlap (no fully-redundant chunks).
+
+    Pure map-side: one tokenize + one ``sequence`` explode per document —
+    no shuffle at all, the ideal 100 TB shape (output size ~
+    input x chunk/stride)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(F.col("text")))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = t.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    window = F.slice(F.col("toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(window).cast("int").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -721,3 +721,41 @@ def test_semantic_dedup_python_mirror(spark):
     n_dropped = sum(1 for v in got.values() if not v[2])
     shared = sum(1 for i in range(10) if cl[i] == cl[i + 100000])
     assert n_dropped == shared > 0
+
+
+def test_chunk_documents_hand_computed(spark):
+    from csd363_sin_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # 10 tokens
+            (2, "one two three"),             # 3 tokens (single short chunk)
+            (3, "  "),                         # empty -> no chunks
+            (4, "Xx, yY! z9"),                 # tokenizer: xx yy z9
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: stride 2, starts while s <= 10-2=8 -> 1,3,5,7 (0-based idx)
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "c d e f")
+    assert got[(1, 2)] == (4, "e f g h")
+    assert got[(1, 3)] == (4, "g h i j")
+    assert (1, 4) not in got
+    assert got[(2, 0)] == (3, "one two three")
+    assert all(d != 3 for d, _ in got)
+    assert got[(4, 0)] == (3, "xx yy z9")
+    # coverage property on a longer doc: every token index appears
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(23)))], "doc_id long, text string"
+    )
+    chunks = chunk_documents(long, chunk_tokens=8, overlap=3).collect()
+    seen = set()
+    for r in chunks:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == {f"t{i}" for i in range(23)}
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
