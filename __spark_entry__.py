@@ -1213,6 +1213,15 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_tool_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(tool, day) call counts with burst flags (z >= 2 vs the tool's
+    own per-period mean/population-sd) — anomaly detection over the
+    transcript activity series, window mirrored exactly in SQL."""
+    from csd363_sin_spark.plans.temporal import tool_activity_bursts
+
+    return tool_activity_bursts(_transcripts(spark, sf_dir))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window chunking with overlap (training-sequence prep,
     12-token windows advancing by 8) — pure map-side explode, every chunk
@@ -1905,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "doc_token_stats": q_doc_token_stats,
         "chunk_documents": q_chunk_documents,
+        "tool_activity_bursts": q_tool_activity_bursts,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3847,6 +3857,24 @@ SELECT round(CASE
   WHEN ((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0 = 0 OR (SELECT mi FROM mi) = 0 THEN 0.0
   ELSE LEAST(1.0, (SELECT mi FROM mi) / (((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0))
 END, 6) AS nmi
+""",
+        "tool_activity_bursts": f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+per AS (
+  SELECT tool, strftime(ts, '%Y-%m-%d') AS period, count(*) AS calls
+  FROM t WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+wstats AS (
+  SELECT tool, period, calls,
+         avg(calls) OVER (PARTITION BY tool) AS mu,
+         stddev_pop(calls) OVER (PARTITION BY tool) AS sd
+  FROM per
+)
+SELECT tool, period, calls,
+  round(CASE WHEN sd > 0 THEN (calls - mu) / sd ELSE 0.0 END, 6) AS z_score,
+  (round(CASE WHEN sd > 0 THEN (calls - mu) / sd ELSE 0.0 END, 6) >= 2.0)
+    AS is_burst
+FROM wstats
 """,
         "chunk_documents": _DOC_PRELUDE
         + """

@@ -104,3 +104,43 @@ def temporal_graph_stats(
         F.sum("weight").alias("total_weight"),
     )
     return convs.join(actors, "period").join(edges, "period")
+
+
+def tool_activity_bursts(
+    transcripts: DataFrame, granularity: str = "day", z_threshold: float = 2.0
+) -> DataFrame:
+    """Per-(tool, period) activity with burst flags: a period is a burst
+    when its call count exceeds the tool's own mean by ``z_threshold``
+    population standard deviations (z-score over the tool's OBSERVED
+    periods; tools seen in a single period have sd 0 and never burst —
+    the conservative convention).
+
+    Returns ``(tool, period, calls, z_score, is_burst)`` rounded to 6 dp.
+    Plan: one (tool, period) hash aggregation + one per-tool window over
+    the tiny per-period rollup — the heavy O(rows) work is the first
+    map-side-combined agg; the window runs on |tools| x |periods| rows."""
+    from pyspark.sql import Window
+
+    per = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .groupBy("tool", F.date_format("ts", _FMT[granularity]).alias("period"))
+        .agg(F.count(F.lit(1)).alias("calls"))
+    )
+    w = Window.partitionBy("tool")
+    stats = per.select(
+        "tool",
+        "period",
+        "calls",
+        F.avg("calls").over(w).alias("mu"),
+        F.stddev_pop("calls").over(w).alias("sd"),
+    )
+    z = F.when(
+        F.col("sd") > 0, (F.col("calls") - F.col("mu")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "tool",
+        "period",
+        "calls",
+        F.round(z, 6).alias("z_score"),
+        (F.round(z, 6) >= z_threshold).alias("is_burst"),
+    )

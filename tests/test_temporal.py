@@ -96,3 +96,41 @@ def test_temporal_edges_sum_to_batch_induction(spark):
         for r in induce_actor_edges(t).collect()
     }
     assert summed == batch
+
+
+def test_tool_activity_bursts_hand_computed(spark):
+    """Planted series: tool A has 4 quiet days + one spike (burst); tool B
+    is flat (z = 0 everywhere); tool C appears once (sd 0, never bursts)."""
+    import datetime as dt
+
+    from csd363_sin_spark.plans.temporal import tool_activity_bursts
+
+    rows = []
+
+    def day(d):
+        return dt.datetime(2026, 1, d)
+
+    cid = 0
+    for d, n in [(1, 2), (2, 2), (3, 2), (4, 2), (5, 12)]:  # tool A
+        for i in range(n):
+            cid += 1
+            rows.append((f"c{cid}", 0, "assistant", "x", "A", day(d)))
+    for d in (1, 2, 3):  # tool B flat
+        cid += 1
+        rows.append((f"c{cid}", 0, "assistant", "x", "B", day(d)))
+    cid += 1
+    rows.append((f"c{cid}", 0, "assistant", "x", "C", day(1)))  # singleton
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r["tool"], r["period"]): (r["calls"], r["z_score"], r["is_burst"])
+        for r in tool_activity_bursts(t).collect()
+    }
+    # A: mean 4, sd_pop 4 -> spike z = (12-4)/4 = 2.0 (burst at threshold)
+    assert got[("A", "2026-01-05")] == (12, 2.0, True)
+    assert got[("A", "2026-01-01")] == (2, -0.5, False)
+    for d in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        assert got[("B", d)] == (1, 0.0, False)
+    assert got[("C", "2026-01-01")] == (1, 0.0, False)
