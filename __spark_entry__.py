@@ -159,6 +159,17 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_ego_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex ego-network profile (size, edge count via triangles +
+    spokes, density) — zero new shuffle shapes over G9."""
+    from csd363_sin_spark.operators.triangles import ego_stats
+
+    g = _graph(spark, sf_dir)
+    return ego_stats(g).join(g.vertices, "vertex_id").select(
+        "actor", "degree", "ego_n", "ego_edges", "ego_density"
+    )
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (nx.transitivity): 3*triangles over
     connected triples, with both exact integer counts emitted alongside
@@ -745,6 +756,48 @@ def _fiedler(spark: SparkSession, sf_dir: str, local_edges_threshold: int) -> Da
     )
     return fv.join(g.vertices, "vertex_id").select(
         "actor", F.round("fiedler", 6).alias("fiedler")
+    )
+
+
+def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-bipartition report: sides = sign of the K=8 Fiedler
+    vector (6-dp rounded so a noise-straddling zero lands on the same
+    side in both engines — round(-1e-12, 6) is -0.0 and -0.0 >= 0 holds
+    everywhere), cut size and cut conductance — the quantity Fiedler's
+    theorem bounds."""
+    from csd363_sin_spark.operators.eigenvector import (
+        _fiedler_start_expr,
+        fiedler_vector,
+    )
+
+    g = _graph(spark, sf_dir)
+    start = g.vertices.select(
+        "vertex_id", _fiedler_start_expr(F.col("actor")).alias("score")
+    )
+    fv = fiedler_vector(g, max_iter=_PR_GATE_ITERS, tol=0.0, start=start)
+    sides = fv.select(
+        "vertex_id", (F.round("fiedler", 6) >= 0).alias("pos")
+    )
+    sa = sides.select(F.col("vertex_id").alias("src"), F.col("pos").alias("pa"))
+    sb = sides.select(F.col("vertex_id").alias("dst"), F.col("pos").alias("pb"))
+    cut = (
+        g.edges.join(sa, "src").join(sb, "dst").filter(F.col("pa") != F.col("pb"))
+    ).count()
+    v = (
+        sides.join(g.degrees(), "vertex_id")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n_neg"),
+            F.sum(F.when(F.col("pos"), F.col("degree")).otherwise(0.0)).alias("vp"),
+            F.sum(F.when(~F.col("pos"), F.col("degree")).otherwise(0.0)).alias("vn"),
+        )
+        .collect()[0]
+    )
+    minv = min(float(v["vp"]), float(v["vn"]))
+    cond = round(cut / minv, 6) if minv > 0 else 0.0
+    return spark.createDataFrame(
+        [(int(v["n_pos"]), int(v["n_neg"]), cut, cond)],
+        "n_pos long, n_neg long, cut_edges long, conductance double",
     )
 
 
@@ -1826,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_total": q_square_total,
         "clustering_coefficient": q_clustering_coefficient,
         "transitivity": q_transitivity,
+        "ego_stats": q_ego_stats,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
         "core_number": q_core_number,
@@ -1884,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_fixed_dist": q_katz_fixed_dist,
         "fiedler_fixed": q_fiedler_fixed,
         "fiedler_fixed_dist": q_fiedler_fixed_dist,
+        "spectral_cut": q_spectral_cut,
         "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
@@ -2522,11 +2577,12 @@ e{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _fiedler_sql(k: int) -> str:
-    """Unrolled-CTE mirror of operators/eigenvector.py fiedler_vector at
-    exactly ``k`` iterations: g = (c - deg)*x + A x with c = 1 + 2*max
-    weighted degree; deflate by the mean; max-abs-normalize.  Start =
-    portable hash of the actor in [0, 1).  Output rounded to 6 dp."""
+def _fiedler_cte(k: int) -> str:
+    """Shared unrolled-CTE body for the Fiedler oracles (mirror of
+    operators/eigenvector.py fiedler_vector at exactly ``k`` iterations:
+    g = (c - deg)*x + A x with c = 1 + 2*max weighted degree; deflate by
+    the mean; max-abs-normalize; start = portable hash of the actor in
+    [0, 1)).  ``fx{k}`` is the final vector."""
     parts = ["""
 , wdeg AS MATERIALIZED (
   SELECT v.actor, COALESCE(d.s, 0.0) AS deg
@@ -2560,8 +2616,42 @@ fx{i} AS MATERIALIZED (
          (g - (SELECT mean FROM fm{i})) / (SELECT mx FROM fmx{i}) AS score
   FROM fg{i}
 )""")
-    parts.append(f"\nSELECT actor, round(score, 6) AS fiedler FROM fx{k}")
     return "".join(parts)
+
+
+def _fiedler_sql(k: int) -> str:
+    """Per-vertex Fiedler oracle: the shared CTE's final vector, 6 dp."""
+    return _fiedler_cte(k) + f"\nSELECT actor, round(score, 6) AS fiedler FROM fx{k}"
+
+
+def _spectral_cut_sql(k: int) -> str:
+    """Spectral-bipartition report oracle: sides from sign(fiedler at K
+    iterations), then one pass over the canonical edges for the cut and
+    one over the degree table for side volumes; conductance = cut /
+    min(vol_a, vol_b)."""
+    return _fiedler_cte(k) + f"""
+, sides AS (SELECT actor, (round(score, 6) >= 0) AS pos FROM fx{k}),
+cut AS (
+  SELECT count(*) AS cut_edges
+  FROM edges e
+  JOIN sides a ON a.actor = e.src_actor
+  JOIN sides b ON b.actor = e.dst_actor
+  WHERE a.pos <> b.pos
+),
+vols AS (
+  SELECT
+    CAST(sum(CASE WHEN s.pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN s.pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+    sum(CASE WHEN s.pos THEN d.degree ELSE 0 END) AS vol_pos,
+    sum(CASE WHEN s.pos THEN 0 ELSE d.degree END) AS vol_neg
+  FROM sides s JOIN deg d USING (actor)
+)
+SELECT n_pos, n_neg, cut_edges,
+  round(CASE WHEN LEAST(vol_pos, vol_neg) > 0
+        THEN cut_edges / LEAST(vol_pos, vol_neg) ELSE 0.0 END, 6)
+    AS conductance
+FROM vols, cut
+"""
 
 
 def _katz_sql(k: int, alpha: float = 0.005, beta: float = 1.0) -> str:
@@ -3416,6 +3506,30 @@ FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
 """,
+        "ego_stats": p
+        + """
+, tri3 AS (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src_actor = e1.dst_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+),
+tv AS (
+  SELECT actor, count(*) AS t FROM (
+    SELECT a AS actor FROM tri3
+    UNION ALL SELECT b FROM tri3
+    UNION ALL SELECT c FROM tri3
+  ) GROUP BY 1
+)
+SELECT d.actor,
+  CAST(d.degree AS BIGINT) AS degree,
+  CAST(d.degree + 1 AS BIGINT) AS ego_n,
+  CAST(d.degree + COALESCE(tv.t, 0) AS BIGINT) AS ego_edges,
+  round(CASE WHEN d.degree > 0
+        THEN 2.0 * (d.degree + COALESCE(tv.t, 0)) / ((d.degree + 1) * d.degree)
+        ELSE 0.0 END, 6) AS ego_density
+FROM deg d LEFT JOIN tv USING (actor)
+""",
         "transitivity": p
         + """
 , tri AS (
@@ -3752,6 +3866,7 @@ GROUP BY 1
         "fiedler_fixed": p + _fiedler_sql(_PR_GATE_ITERS),
         # same-oracle twin for the distributed deflated-power-iteration kernel
         "fiedler_fixed_dist": p + _fiedler_sql(_PR_GATE_ITERS),
+        "spectral_cut": p + _spectral_cut_sql(_PR_GATE_ITERS),
         "personalized_pagerank": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p

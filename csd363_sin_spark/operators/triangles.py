@@ -126,3 +126,29 @@ def square_total(graph: Graph) -> DataFrame:
     return pairs.agg(
         F.expr("div(sum(p), 2)").cast("long").alias("squares")
     )
+
+
+def ego_stats(graph: Graph) -> DataFrame:
+    """Per-vertex ego-network profile: ``(vertex_id, degree, ego_n,
+    ego_edges, ego_density)`` where the ego net of v is {v} + N(v), its
+    edge count = deg(v) spokes + triangles through v (edges among
+    neighbors), and density = 2*ego_edges / (ego_n*(ego_n-1)); degree-0
+    vertices get density 0.0.
+
+    Zero new shuffle shapes: reuses the G9 closed-wedge corner counts and
+    the degree aggregation, joined once."""
+    tri = triangles_per_vertex(graph)
+    deg = graph.degrees()
+    d = F.col("degree")
+    t = F.col("triangles")
+    ego_edges = (d + t).cast("long")
+    density = F.when(
+        d > 0, 2.0 * (d + t) / ((d + 1.0) * d)
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "vertex_id").select(
+        "vertex_id",
+        d.cast("long").alias("degree"),
+        (d + 1).cast("long").alias("ego_n"),
+        ego_edges.alias("ego_edges"),
+        F.round(density, 6).alias("ego_density"),
+    )

@@ -151,3 +151,36 @@ def test_fiedler_dispatch_parity(spark):
     assert set(local) == set(dist)
     for v in local:
         assert local[v] == pytest.approx(dist[v], abs=1e-9)
+
+
+def test_spectral_cut_barbell(spark):
+    """The converged spectral bipartition of a barbell graph is the
+    clique split: cut = 1 bridge edge, conductance = 1/13."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    # exercise the same composition the gate runs, inline on a fixture
+    from csd363_sin_spark.operators.eigenvector import fiedler_vector
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)]
+    )
+    g = graph_from_edges(spark, edges)
+    fv = {
+        r["vertex_id"]: r["fiedler"]
+        for r in fiedler_vector(g, max_iter=3000).collect()
+    }
+    pos = {v for v, s in fv.items() if round(s, 6) >= 0}
+    neg = set(fv) - pos
+    assert {frozenset(pos), frozenset(neg)} == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({4, 5, 6, 7}),
+    }
+    cut = sum(1 for u, v in edges if (u in pos) != (v in pos))
+    assert cut == 1
+    # vol of each side: 3 internal K4 degrees * ... = 2*6 + 1 = 13
+    assert cut / 13.0 == pytest.approx(1 / 13)

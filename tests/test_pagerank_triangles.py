@@ -241,3 +241,24 @@ def test_transitivity_vs_networkx(spark):
     path = graph_from_edges(spark, [(i, i + 1) for i in range(3)])
     r = transitivity(path).collect()[0]
     assert (r["triangles"], r["transitivity"]) == (0, 0.0)
+
+
+def test_ego_stats_vs_networkx(spark):
+    from csd363_sin_spark.operators.triangles import ego_stats
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    got = {
+        r["vertex_id"]: (r["degree"], r["ego_n"], r["ego_edges"], r["ego_density"])
+        for r in ego_stats(g).collect()
+    }
+    assert set(got) == set(nxg.nodes)
+    for v in nxg.nodes:
+        ego = nx.ego_graph(nxg, v)
+        n, m = ego.number_of_nodes(), ego.number_of_edges()
+        dens = 2.0 * m / (n * (n - 1)) if n > 1 else 0.0
+        assert got[v][0] == nxg.degree(v)
+        assert got[v][1] == n
+        assert got[v][2] == m
+        assert got[v][3] == pytest.approx(dens, abs=1e-6)
