@@ -1275,6 +1275,29 @@ def q_tool_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_activity_bursts(_transcripts(spark, sf_dir))
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms with count >= 2, dense ids in
+    (count DESC, term ASC) order — the deterministic vocab file every
+    tokenizer-training pipeline needs (the size cap binds at gate scale,
+    so the boundary tie-break is value-hash-pinned); window rewritten to
+    a partial+final WindowGroupLimit by Spark."""
+    from csd363_sin_spark.functions.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), max_size=20, min_count=2)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    audit — pure map-side; explicit floor(x + 0.5) rounding makes the
+    codes engine-portable (codes emitted as CSV so the value hash covers
+    every element)."""
+    from csd363_sin_spark.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(_embeddings(spark, sf_dir)).select(
+        "vec_id", "scale_ppb", "codes_csv", "max_err_ppm"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window chunking with overlap (training-sequence prep,
     12-token windows advancing by 8) — pure map-side explode, every chunk
@@ -1970,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "chunk_documents": q_chunk_documents,
         "tool_activity_bursts": q_tool_activity_bursts,
+        "build_vocab": q_build_vocab,
+        "quantize_embeddings": q_quantize_embeddings,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3990,6 +4015,53 @@ SELECT tool, period, calls,
   (round(CASE WHEN sd > 0 THEN (calls - mu) / sd ELSE 0.0 END, 6) >= 2.0)
     AS is_burst
 FROM wstats
+""",
+        "build_vocab": _DOC_PRELUDE
+        + """
+, tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM toksrc
+),
+tf AS (
+  SELECT term, count(*) AS count FROM tok WHERE term <> '' GROUP BY 1
+),
+dfq AS (
+  SELECT term, count(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+  ) GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY tf.count DESC, tf.term ASC) - 1
+         AS BIGINT) AS term_id,
+         tf.term, tf.count, dfq.doc_freq
+  FROM tf JOIN dfq USING (term)
+  WHERE tf.count >= 2
+) WHERE term_id < 20
+""",
+        "quantize_embeddings": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, v, scale,
+    CASE WHEN scale > 0 THEN list_transform(
+           v, x -> CAST(greatest(-127, least(127, floor(x / scale + 0.5)))
+                   AS INT))
+         ELSE list_transform(v, x -> 0) END AS codes
+  FROM s
+)
+SELECT vec_id,
+  CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_ppb,
+  array_to_string(codes, ',') AS codes_csv,
+  CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+       i -> abs(v[i] - CAST(codes[i] AS DOUBLE) * scale))) * 1000000 + 0.5)
+       AS BIGINT) AS max_err_ppm
+FROM c
 """,
         "chunk_documents": _DOC_PRELUDE
         + """

@@ -514,3 +514,57 @@ def semantic_dedup(
             F.coalesce(F.col("_drop") == F.lit(False), F.lit(True)).alias("keep"),
         )
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard storage/serving
+    compression for embedding tables): ``scale = max(|x|) / 127``, codes =
+    round-half-up(x / scale) clamped to [-127, 127]; all-zero vectors get
+    scale 0 and all-zero codes.
+
+    Returns ``(vec_id, scale_ppb, codes array<int>, codes_csv,
+    max_err_ppm)``: ``scale_ppb`` is the scale in integer nano-units and
+    ``max_err_ppm`` the per-vector worst reconstruction error
+    ``max|x - code*scale|`` in micro-units — the quantization-quality
+    audit column (integer units because decimal round() string
+    conversion differs between engines at midpoints; floor(x*k + 0.5) is
+    exact IEEE).  Pure map-side higher-order functions, zero shuffle;
+    the explicit FLOOR(x + 0.5) code rounding is engine-portable too."""
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    max_abs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    e = e.withColumn("scale", max_abs / F.lit(127.0))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    )
+    codes = F.when(
+        F.col("scale") > 0, F.transform(F.col("v"), code)
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    out = e.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+        )
+    )
+    return out.select(
+        "vec_id",
+        # integer nano-units: floor(x*1e9 + 0.5) is exact IEEE on the
+        # engine-identical double, unlike decimal round() whose string
+        # conversion differs between engines at midpoints
+        F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("long").alias("scale_ppb"),
+        "codes",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+        F.floor(err * 1e6 + F.lit(0.5)).cast("long").alias("max_err_ppm"),
+    )

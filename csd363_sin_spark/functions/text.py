@@ -459,3 +459,39 @@ def chunk_documents(
         F.size(window).cast("int").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    max_size: int = 30000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent tokens (shared
+    tokenizer) with count >= ``min_count``, assigned DENSE 0-based ids in
+    (count DESC, term ASC) order — the deterministic ordering every
+    tokenizer-training pipeline needs for reproducible vocab files.
+
+    Returns ``(term_id, term, count, doc_freq)``.  Plan: one explode +
+    map-side-combined (term) count, one distinct-per-doc count for
+    doc_freq, then a row_number window whose ``< max_size`` filter Spark
+    rewrites into a partial+final WindowGroupLimit (top-k per partition
+    first), so the single-partition sort sees at most
+    partitions x max_size candidate rows, never the full term table."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("count"))
+    df_ = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    cand = tf.filter(F.col("count") >= min_count).join(df_, "term")
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    return (
+        cand.withColumn("term_id", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("term_id") < max_size)
+        .select("term_id", "term", "count", "doc_freq")
+    )

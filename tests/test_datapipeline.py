@@ -759,3 +759,59 @@ def test_chunk_documents_hand_computed(spark):
     assert seen == {f"t{i}" for i in range(23)}
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_build_vocab_hand_computed(spark):
+    from csd363_sin_spark.functions.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana apple date"),
+            (3, "Cherry! banana."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["term_id"]: (r["term"], r["count"], r["doc_freq"])
+        for r in build_vocab(docs, max_size=3, min_count=1).collect()
+    }
+    # counts: apple 3, banana 3, cherry 2, date 1; ties (apple/banana) by term
+    assert rows == {
+        0: ("apple", 3, 2),
+        1: ("banana", 3, 3),
+        2: ("cherry", 2, 2),
+    }
+    # min_count filter
+    all_rows = build_vocab(docs, max_size=10, min_count=2).collect()
+    assert {r["term"] for r in all_rows} == {"apple", "banana", "cherry"}
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from csd363_sin_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero: scale 0, codes 0
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert got[2]["codes"] == [0, 0, 0, 0] and got[2]["scale_ppb"] == 0
+    # vec 1: scale 1/127 -> codes [127, -64 (floor(-63.5+0.5)), 32 (31.75->32.25 floor 32), 0]
+    assert got[1]["codes"] == [127, -63, 32, 0]
+    assert got[3]["codes"] == [-127, 127, 64, -63]
+    # reconstruction error bound: |x - c*scale| <= scale/2 + eps
+    for vid, vec in ((1, [1.0, -0.5, 0.25, 0.0]), (3, [-2.0, 2.0, 1.0, -1.0])):
+        scale = got[vid]["scale_ppb"] / 1e9
+        worst = max(
+            abs(x - c * scale) for x, c in zip(vec, got[vid]["codes"])
+        )
+        # scale here is ppb-rounded (off by <=0.5e-9, amplified by |c|<=127)
+        assert worst <= scale / 2 + 127 * 1e-9
+        assert abs(got[vid]["max_err_ppm"] - worst * 1e6) <= 1.0
+    assert got[1]["codes_csv"] == "127,-63,32,0"
