@@ -431,6 +431,23 @@ def q_hash_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WL_GATE_ROUNDS = 3
+
+
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: 1-WL color refinement (3 rounds of
+    hash(color, sorted neighbor colors) — structural-role classes), every
+    round mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import wl_refinement
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return wl_refinement(
+        g.vertices.select("actor"), edges, rounds=_WL_GATE_ROUNDS
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: deterministic DeepWalk corpus (2 walks x 4 steps
     per vertex; successor = integer-hash argmin over neighbors) — every
@@ -1921,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "mis": q_mis,
         "hash_coloring": q_hash_coloring,
+        "wl_refinement": q_wl_refinement,
         "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "ppmi_scores": q_ppmi_scores,
@@ -2947,6 +2965,33 @@ FROM verts v LEFT JOIN sel m USING (actor)
     return "".join(parts)
 
 
+def _wl_sql(rounds: int, salt: str = "wl") -> str:
+    """Unrolled mirror of operators/coloring.py wl_refinement:
+    color_{r+1}(v) = md5(salt : color_r(v) : sorted neighbor colors),
+    uniform start color, final colors joined with their class sizes."""
+    parts = [
+        f"""
+, wl0 AS MATERIALIZED (SELECT actor, md5('{salt}:init') AS color FROM verts)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+wla{r} AS MATERIALIZED (
+  SELECT s.u AS actor,
+         array_to_string(list(c.color ORDER BY c.color), ',') AS nbs
+  FROM sym s JOIN wl{r - 1} c ON c.actor = s.v GROUP BY s.u
+),
+wl{r} AS MATERIALIZED (
+  SELECT w.actor,
+         md5('{salt}:' || w.color || ':' || COALESCE(a.nbs, '')) AS color
+  FROM wl{r - 1} w LEFT JOIN wla{r} a USING (actor)
+)""")
+    parts.append(f"""
+, wsz AS (SELECT color, count(*) AS class_size FROM wl{rounds} GROUP BY 1)
+SELECT w.actor, w.color AS wl_color, wsz.class_size
+FROM wl{rounds} w JOIN wsz USING (color)""")
+    return "".join(parts)
+
+
 def _stats_cte(part_sql: str) -> str:
     # the partition expression is written over a column named `actor`;
     # textually rebind it to each endpoint of the symmetric edge view
@@ -3717,6 +3762,7 @@ SELECT tool, count(*) AS n_calls,
        strftime(max(ts), '%Y-%m-%d') AS last_day
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
+        "wl_refinement": p + _wl_sql(_WL_GATE_ROUNDS),
         "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
         "hash_coloring": p
         + _luby_sql("color", _COLOR_GATE_ROUNDS, remove_neighbors=False),

@@ -160,3 +160,67 @@ def hash_coloring(
         .join(sel, "actor", "left")
         .select("actor", F.coalesce(F.col("round"), F.lit(-1)).alias("color"))
     )
+
+
+def wl_refinement(
+    vertices_named: DataFrame,
+    edges_named: DataFrame,
+    rounds: int = 3,
+    salt: str = "wl",
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement (1-WL / naive vertex refinement,
+    Weisfeiler & Leman 1968): iterate
+
+        color_{r+1}(v) = md5(salt : color_r(v) : sorted neighbor colors)
+
+    from the uniform start color.  After r rounds two vertices share a
+    color only if their depth-r neighborhood trees agree — the standard
+    structural-role / graph-isomorphism primitive (and the expressive
+    ceiling of message-passing GNNs, Xu et al. 2019).
+
+    Returns ``(actor, wl_color, class_size)`` — the round-``rounds``
+    color (md5 hex) and how many vertices share it.  Per round: one
+    sym-edge join + one sorted-list aggregation per vertex (the sort is
+    per-group over neighbor colors, map-side combinable by Spark's
+    collect_list + sort_array) — O(E log d) work, the distributed-WL
+    standard.  Isolated vertices keep hashing their own color alone."""
+    sym = _sym_named(edges_named).persist()
+    sym.count()
+    colors = materialize(
+        vertices_named.select("actor").distinct().withColumn(
+            "color", F.md5(F.lit(salt + ":init"))
+        )
+    )
+    for _ in range(rounds):
+        nb = colors.select(
+            F.col("actor").alias("v"), F.col("color").alias("nb_color")
+        )
+        agg = (
+            sym.join(nb, "v")
+            .groupBy(F.col("u").alias("actor"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("nb_color")), ","
+                ).alias("nbs")
+            )
+        )
+        prev = colors
+        colors = materialize(
+            prev.join(agg, "actor", "left")
+            .fillna({"nbs": ""})
+            .select(
+                "actor",
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("color"), F.lit(":"), F.col("nbs")
+                    )
+                ).alias("color"),
+            )
+        )
+        release(prev)
+    sym.unpersist()
+    sizes = colors.groupBy("color").agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        colors.join(sizes, "color")
+        .select("actor", F.col("color").alias("wl_color"), "class_size")
+    )

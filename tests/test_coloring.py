@@ -107,3 +107,59 @@ def test_mis_round_cap_matches_mirror(spark):
     expected = {a: mirror.get(a, -1) for a in adj}
     assert got == expected
     assert -1 in got.values()  # the cap genuinely bites on this graph
+
+
+def test_wl_refinement_structure(spark):
+    """WL colors capture structural roles: a cycle is color-uniform, a
+    path splits by distance-to-end symmetry, and the rounds match an
+    independent python mirror."""
+    from csd363_sin_spark.operators.coloring import wl_refinement
+
+    def named(edges):
+        e = spark.createDataFrame(
+            [(f"v{u}", f"v{v}", 1.0) for u, v in edges],
+            "src_actor string, dst_actor string, weight double",
+        )
+        verts = e.selectExpr("src_actor AS actor").union(
+            e.selectExpr("dst_actor AS actor")
+        ).distinct()
+        return verts, e
+
+    # 6-cycle: vertex-transitive -> one color class of size 6
+    verts, e = named([(i, (i + 1) % 6) for i in range(6)])
+    got = wl_refinement(verts, e, rounds=3).collect()
+    assert {r["class_size"] for r in got} == {6}
+    assert len({r["wl_color"] for r in got}) == 1
+
+    # 5-path: classes by mirror symmetry {0,4}, {1,3}, {2}
+    verts, e = named([(i, i + 1) for i in range(4)])
+    got = {r["actor"]: r["wl_color"] for r in wl_refinement(verts, e, rounds=3).collect()}
+    assert got["v0"] == got["v4"]
+    assert got["v1"] == got["v3"]
+    assert len({got["v0"], got["v1"], got["v2"]}) == 3
+
+    # python mirror on the transcript graph
+    import hashlib
+
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+    from csd363_sin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=30, n_tools=8, n_clusters=2, seed=3)
+    edges = induce_actor_edges(t)
+    verts = edges.selectExpr("src_actor AS actor").union(
+        edges.selectExpr("dst_actor AS actor")
+    ).distinct()
+    adj: dict = {}
+    for r in edges.collect():
+        adj.setdefault(r["src_actor"], set()).add(r["dst_actor"])
+        adj.setdefault(r["dst_actor"], set()).add(r["src_actor"])
+    col = {a: hashlib.md5(b"wl:init").hexdigest() for a in adj}
+    for _ in range(3):
+        col = {
+            a: hashlib.md5(
+                f"wl:{col[a]}:{','.join(sorted(col[b] for b in adj[a]))}".encode()
+            ).hexdigest()
+            for a in adj
+        }
+    got = {r["actor"]: r["wl_color"] for r in wl_refinement(verts, edges, rounds=3).collect()}
+    assert got == col
