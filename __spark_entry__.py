@@ -434,6 +434,16 @@ def q_hash_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WL_GATE_ROUNDS = 3
 
 
+def q_actor_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge mixing matrix by actor type (conv/tool) with per-cell edge
+    fractions — attribute-assortativity summary of the co-occurrence
+    graph."""
+    from csd363_sin_spark.plans.directed import actor_type_mixing
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    return actor_type_mixing(induce_actor_edges(_transcripts(spark, sf_dir)))
+
+
 def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: 1-WL color refinement (3 rounds of
     hash(color, sorted neighbor colors) — structural-role classes), every
@@ -1939,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "hash_coloring": q_hash_coloring,
         "wl_refinement": q_wl_refinement,
+        "actor_type_mixing": q_actor_type_mixing,
         "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "ppmi_scores": q_ppmi_scores,
@@ -3763,6 +3774,25 @@ SELECT tool, count(*) AS n_calls,
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
         "wl_refinement": p + _wl_sql(_WL_GATE_ROUNDS),
+        "actor_type_mixing": p
+        + """
+, typed AS (
+  SELECT LEAST(split_part(src_actor, ':', 1), split_part(dst_actor, ':', 1))
+           AS type_a,
+         GREATEST(split_part(src_actor, ':', 1), split_part(dst_actor, ':', 1))
+           AS type_b,
+         weight
+  FROM edges
+),
+tagg AS (
+  SELECT type_a, type_b, count(*) AS edges, sum(weight) AS weight
+  FROM typed GROUP BY 1, 2
+),
+ttot AS (SELECT sum(edges) AS total FROM tagg)
+SELECT type_a, type_b, edges, weight,
+       round(edges / (SELECT total FROM ttot), 6) AS edge_frac
+FROM tagg
+""",
         "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
         "hash_coloring": p
         + _luby_sql("color", _COLOR_GATE_ROUNDS, remove_neighbors=False),

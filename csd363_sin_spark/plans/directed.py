@@ -200,3 +200,28 @@ def directed_degree_stats(dg: DiGraph) -> DataFrame:
         "num_vertices long, num_edges long, reciprocity double, "
         "max_in_degree long, max_out_degree long, sources long, sinks long",
     )
+
+
+def actor_type_mixing(edges_named: DataFrame) -> DataFrame:
+    """Edge mixing matrix by actor type (the ``conv:``/``tool:`` prefix):
+    ``(type_a, type_b, edges, weight)`` with the type pair canonicalized
+    (type_a <= type_b) plus each cell's fraction of all edges — the
+    attribute-assortativity summary for the bipartite-leaning
+    co-occurrence graph.  One map-side-combined aggregation."""
+    ty = lambda c: F.split(F.col(c), ":").getItem(0)  # noqa: E731
+    typed = edges_named.select(
+        F.least(ty("src_actor"), ty("dst_actor")).alias("type_a"),
+        F.greatest(ty("src_actor"), ty("dst_actor")).alias("type_b"),
+        "weight",
+    )
+    agg = typed.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("edges"), F.sum("weight").alias("weight")
+    )
+    total = agg.agg(F.sum("edges").alias("total"))
+    return agg.crossJoin(total).select(
+        "type_a",
+        "type_b",
+        "edges",
+        "weight",
+        F.round(F.col("edges") / F.col("total"), 6).alias("edge_frac"),
+    )

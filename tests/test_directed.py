@@ -244,3 +244,25 @@ def test_directed_degree_stats_hand_computed(spark):
     assert row["max_in_degree"] == 1
     assert row["sources"] == 0  # every vertex has an in-edge? 0 has in from 1
     assert row["sinks"] == 1  # vertex 3
+
+
+def test_actor_type_mixing_hand_computed(spark):
+    from csd363_sin_spark.plans.directed import actor_type_mixing
+
+    e = spark.createDataFrame(
+        [
+            ("conv:a", "tool:x", 2.0),
+            ("conv:b", "tool:x", 1.0),
+            ("tool:x", "tool:y", 3.0),
+            ("conv:c", "tool:y", 1.0),
+        ],
+        "src_actor string, dst_actor string, weight double",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (r["edges"], r["weight"], r["edge_frac"])
+        for r in actor_type_mixing(e).collect()
+    }
+    assert got == {
+        ("conv", "tool"): (3, 4.0, 0.75),
+        ("tool", "tool"): (1, 3.0, 0.25),
+    }
