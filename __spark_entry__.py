@@ -432,6 +432,24 @@ def q_hash_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WL_GATE_ROUNDS = 3
+_DENSEST_GATE_ROUNDS = 12  # sf0.01 peel reaches its best (round 1) and
+# empties well inside this; both engines unroll the same cap
+
+
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Bahmani et al. 2012 parallel densest-subgraph peel
+    (2(1+eps)-approx, eps=0.5): per-vertex membership of the best-density
+    round snapshot + the density in integer micro-units, every round
+    mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import densest_subgraph
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return densest_subgraph(
+        g.vertices.select("actor"), edges, eps=0.5,
+        max_rounds=_DENSEST_GATE_ROUNDS,
+    )
 
 
 def q_actor_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1950,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_coloring": q_hash_coloring,
         "wl_refinement": q_wl_refinement,
         "actor_type_mixing": q_actor_type_mixing,
+        "densest_subgraph": q_densest_subgraph,
         "node2vec_walks": q_node2vec_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "ppmi_scores": q_ppmi_scores,
@@ -2976,6 +2995,60 @@ FROM verts v LEFT JOIN sel m USING (actor)
     return "".join(parts)
 
 
+def _densest_sql(rounds: int, eps: float = 0.5) -> str:
+    """Unrolled mirror of operators/coloring.py densest_subgraph: per
+    round, density rho = m/n over the surviving set, peel vertices with
+    in-set degree <= 2(1+eps)*rho; answer = best-density round (earliest
+    on ties), membership + density in micro-units."""
+    thr = 2.0 * (1.0 + eps)
+    parts = ["""
+, ds0 AS MATERIALIZED (SELECT actor FROM verts)"""]
+    for r in range(rounds):
+        parts.append(f""",
+dnm{r} AS MATERIALIZED (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ds{r}) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM edges e
+          JOIN ds{r} a ON a.actor = e.src_actor
+          JOIN ds{r} b ON b.actor = e.dst_actor) AS m
+),
+dr{r} AS (SELECT CASE WHEN n > 0 THEN m / n ELSE -1 END AS rho FROM dnm{r}),
+ds{r + 1} AS MATERIALIZED (
+  SELECT s.actor FROM ds{r} s
+  LEFT JOIN (
+    SELECT u AS actor, count(*) AS d FROM (
+      SELECT e.src_actor AS u FROM edges e
+      JOIN ds{r} a ON a.actor = e.src_actor
+      JOIN ds{r} b ON b.actor = e.dst_actor
+      UNION ALL
+      SELECT e.dst_actor FROM edges e
+      JOIN ds{r} a ON a.actor = e.src_actor
+      JOIN ds{r} b ON b.actor = e.dst_actor
+    ) GROUP BY 1
+  ) d USING (actor)
+  WHERE COALESCE(d.d, 0) > {thr} * (SELECT rho FROM dr{r})
+)""")
+    cand = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT rho FROM dr{r}) AS rho FROM dnm{r} WHERE n > 0"
+        for r in range(rounds)
+    )
+    mem = " UNION ALL ".join(
+        f"SELECT actor, {r} AS round FROM ds{r}" for r in range(rounds)
+    )
+    parts.append(f"""
+, dcand AS ({cand}),
+dbest AS (SELECT round, rho FROM dcand ORDER BY rho DESC, round ASC LIMIT 1),
+dmem AS ({mem})
+SELECT v.actor,
+  (m.actor IS NOT NULL) AS in_densest,
+  CAST(floor((SELECT rho FROM dbest) * 1000000 + 0.5) AS INT) AS density_ppm,
+  CAST((SELECT round FROM dbest) AS INT) AS best_round
+FROM verts v
+LEFT JOIN (
+  SELECT actor FROM dmem WHERE round = (SELECT round FROM dbest)
+) m USING (actor)""")
+    return "".join(parts)
+
+
 def _wl_sql(rounds: int, salt: str = "wl") -> str:
     """Unrolled mirror of operators/coloring.py wl_refinement:
     color_{r+1}(v) = md5(salt : color_r(v) : sorted neighbor colors),
@@ -3774,6 +3847,7 @@ SELECT tool, count(*) AS n_calls,
 FROM t WHERE tool IS NOT NULL GROUP BY 1
 """,
         "wl_refinement": p + _wl_sql(_WL_GATE_ROUNDS),
+        "densest_subgraph": p + _densest_sql(_DENSEST_GATE_ROUNDS),
         "actor_type_mixing": p
         + """
 , typed AS (

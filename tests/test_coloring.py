@@ -163,3 +163,41 @@ def test_wl_refinement_structure(spark):
         }
     got = {r["actor"]: r["wl_color"] for r in wl_refinement(verts, edges, rounds=3).collect()}
     assert got == col
+
+
+def test_densest_subgraph_planted_core(spark):
+    """A planted K8 inside a sparse path is recovered exactly (its density
+    3.5 dominates), and the reported density is a valid 2(1+eps) bound."""
+    from csd363_sin_spark.operators.coloring import densest_subgraph
+
+    core = [(f"k{a}", f"k{b}") for a in range(8) for b in range(a + 1, 8)]
+    tail = [(f"p{i}", f"p{i+1}") for i in range(20)] + [("k0", "p0")]
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in core + tail],
+        "src_actor string, dst_actor string, weight double",
+    )
+    verts = e.selectExpr("src_actor AS actor").union(
+        e.selectExpr("dst_actor AS actor")
+    ).distinct()
+    got = {r["actor"]: r for r in densest_subgraph(verts, e, eps=0.5).collect()}
+    members = {a for a, r in got.items() if r["in_densest"]}
+    assert members == {f"k{i}" for i in range(8)}
+    # K8 density = 28/8 = 3.5 -> 3_500_000 ppm
+    assert next(iter(got.values()))["density_ppm"] == 3_500_000
+    # python mirror of the peel (same rule) agrees on the best density
+    adj: dict = {}
+    edges_set = set()
+    for u, v in core + tail:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        edges_set.add((u, v))
+    s = set(adj)
+    best = -1.0
+    while s:
+        m = sum(1 for u, v in edges_set if u in s and v in s)
+        rho = m / len(s)
+        best = max(best, rho)
+        if m == 0:
+            break
+        s = {a for a in s if sum(1 for b in adj[a] if b in s) > 3.0 * rho}
+    assert best == 3.5
