@@ -1132,6 +1132,33 @@ def q_betweenness_exact_topk_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     return _betweenness_exact_topk(spark, sf_dir, 0)
 
 
+def _closeness_exact(spark, sf_dir: str, local_edges_threshold: int) -> DataFrame:
+    from csd363_sin_spark.operators.bfs import closeness_exact
+
+    g = _graph(spark, sf_dir)
+    return (
+        closeness_exact(
+            g, max_depth=_BET_GATE_DEPTH, local_edges_threshold=local_edges_threshold
+        )
+        .join(g.vertices, "vertex_id")
+        .select("actor", "n_reached", "closeness", "harmonic")
+    )
+
+
+def q_closeness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: EXACT all-sources closeness + harmonic centrality
+    (nx semantics incl. the Wasserman-Faust component correction),
+    mirrored by the forward layers of the unrolled Brandes oracle."""
+    return _closeness_exact(spark, sf_dir, 100_000)
+
+
+def q_closeness_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the batched all-sources Pregel BFS (driver
+    dispatch off, DataFrame-seeded — no vertex-set collect) against the
+    SAME oracle."""
+    return _closeness_exact(spark, sf_dir, 0)
+
+
 def _vertex_betweenness_all(
     spark, sf_dir: str, local_edges_threshold: int
 ) -> DataFrame:
@@ -2018,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_topk": q_betweenness_topk,
         "betweenness_exact_topk": q_betweenness_exact_topk,
         "vertex_betweenness": q_vertex_betweenness,
+        "closeness_exact": q_closeness_exact,
         "pipeline_final": q_pipeline_final,
         "streaming_refresh": q_streaming_refresh,
         # forced-distributed twins (regression-guard the kernels a
@@ -2034,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_topk_dist": q_betweenness_topk_dist,
         "betweenness_exact_topk_dist": q_betweenness_exact_topk_dist,
         "vertex_betweenness_dist": q_vertex_betweenness_dist,
+        "closeness_exact_dist": q_closeness_exact_dist,
         # CSR/Arrow kernel twins (the plans/csr.py north-star layout paths)
         "label_propagation_csr": q_label_propagation_csr,
         "pagerank_fixed_csr": q_pagerank_fixed_csr,
@@ -2841,13 +2870,14 @@ a{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _brandes_cte_parts(depth: int) -> list:
+def _brandes_cte_parts(depth: int, backward: bool = True) -> list:
     """Shared unrolled-CTE body for the Brandes oracles: forward BFS
     layers f0..fD (per-layer sigma path counts, visited-set anti-join),
-    then deepest-first backward contribution layers g{d} with
-    c(v,w) = sigma_v/sigma_w * (1 + delta_w).  The edge and vertex
-    betweenness oracles differ only in the final aggregation over the
-    same g{d} rows."""
+    then (``backward=True``) deepest-first backward contribution layers
+    g{d} with c(v,w) = sigma_v/sigma_w * (1 + delta_w).  The edge and
+    vertex betweenness oracles differ only in the final aggregation over
+    the same g{d} rows; the closeness oracle uses the forward layers
+    alone."""
     parts = [
         """
 , f0 AS MATERIALIZED (SELECT actor AS s, actor AS v, 1.0 AS sigma FROM verts),
@@ -2866,6 +2896,8 @@ vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
 vis{d} AS MATERIALIZED (
   SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
 )""")
+    if not backward:
+        return parts
     # backward: deepest layer first (delta = 0 there), then each layer's
     # vertex deltas feed the next-shallower layer's edge contributions
     for d in range(depth, 0, -1):
@@ -2915,6 +2947,37 @@ SELECT src_actor, dst_actor, round(b, 4) AS betweenness
 FROM eb
 ORDER BY round(b, 4) DESC, src_actor ASC, dst_actor ASC
 LIMIT 20""")
+    return "".join(parts)
+
+
+def _closeness_sql(depth: int) -> str:
+    """Exact closeness/harmonic oracle: the forward BFS layers of the
+    shared Brandes CTE (no backward pass), aggregated per source —
+    r-1 = reached rows, closeness = ((r-1)/sum_d) * ((r-1)/(n-1)),
+    harmonic = sum 1/d; 6-dp rounded."""
+    parts = _brandes_cte_parts(depth, backward=False)
+    union = " UNION ALL ".join(
+        f"SELECT s, {d} AS dist FROM f{d}" for d in range(1, depth + 1)
+    )
+    parts.append(f"""
+, allf AS ({union}),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+cl AS (
+  SELECT s AS actor,
+         CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(dist) AS DOUBLE) AS sumd,
+         sum(1.0 / dist) AS harm
+  FROM allf GROUP BY 1
+)
+SELECT v.actor,
+  COALESCE(cl.n_reached, 0) AS n_reached,
+  round(CASE WHEN COALESCE(cl.sumd, 0) > 0
+        THEN (cl.n_reached / cl.sumd)
+             * (cl.n_reached / (CASE WHEN (SELECT n FROM nn) > 1
+                                THEN (SELECT n FROM nn) - 1 ELSE 1 END))
+        ELSE 0.0 END, 6) AS closeness,
+  round(COALESCE(cl.harm, 0.0), 6) AS harmonic
+FROM verts v LEFT JOIN cl USING (actor)""")
     return "".join(parts)
 
 
@@ -4061,6 +4124,9 @@ GROUP BY 1
         # accumulation) matching DuckDB exactly
         "betweenness_exact_topk_dist": p + _betweenness_sql(_BET_GATE_DEPTH),
         "vertex_betweenness": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
+        "closeness_exact": p + _closeness_sql(_BET_GATE_DEPTH),
+        # same-oracle twin for the DataFrame-seeded all-sources BFS
+        "closeness_exact_dist": p + _closeness_sql(_BET_GATE_DEPTH),
         # same-oracle twin for the distributed per-vertex delta pass
         "vertex_betweenness_dist": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
         "modularity_fixed_partition": p

@@ -81,17 +81,20 @@ def landmark_distances(
     (a vertex_id DataFrame) overrides the degree-based selection."""
     if landmarks is None:
         landmarks = select_landmarks(graph, n_landmarks)
-    landmark_ids = [int(r["vertex_id"]) for r in landmarks.collect()]
     if graph.edges.count() <= local_edges_threshold:
+        landmark_ids = [int(r["vertex_id"]) for r in landmarks.collect()]
         return _bfs_driver(graph, landmark_ids, max_depth)
 
-    spark = graph.edges.sparkSession
     # pre-partitioned on the expansion join key: each round exchanges
     # only the (small) frontier side
     sym = graph.edges_sym().select("src", "dst").repartition("src").persist()
     sym.count()
-    seed = spark.createDataFrame(
-        [(lm, lm, 0) for lm in landmark_ids], "landmark long, vertex_id long, dist long"
+    # seed straight from the DataFrame — the all-sources callers
+    # (closeness_exact) must never collect the vertex set to the driver
+    seed = landmarks.select(
+        F.col("vertex_id").alias("landmark"),
+        "vertex_id",
+        F.lit(0).cast("long").alias("dist"),
     )
     state = materialize(seed)
     frontier = state
@@ -277,5 +280,54 @@ def diameter_double_sweep(
             F.col("landmark").alias("vertex_a"),
             F.col("vertex_id").alias("vertex_b"),
             F.col("dist").alias("diameter_lb"),
+        )
+    )
+
+
+def closeness_exact(
+    graph: Graph,
+    max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """EXACT closeness + harmonic centrality for EVERY vertex —
+    ``(vertex_id, n_reached, closeness, harmonic)`` with networkx
+    semantics: closeness = ((r-1)/sum_d) * ((r-1)/(n-1)) (the
+    Wasserman-Faust component correction nx applies by default; 0.0 for
+    isolates), harmonic = sum over reached of 1/d.  Complements the
+    sampled :func:`landmark_closeness`: this is the all-sources variant,
+    one batched multi-source BFS (every vertex a landmark, seeded
+    straight from the vertex DataFrame — no driver collect) + one
+    aggregation over the (source, vertex, dist) state.  State is
+    O(sum over sources of reached) rows — the exact-closeness lower
+    bound; shard sources via landmark_distances for bounded-memory
+    approximations."""
+    n = graph.vertices.count()
+    d = landmark_distances(
+        graph,
+        max_depth=max_depth,
+        local_edges_threshold=local_edges_threshold,
+        landmarks=graph.vertices.select("vertex_id"),
+    )
+    agg = d.groupBy(F.col("landmark").alias("vertex_id")).agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum("dist").alias("sumd"),
+        F.sum(
+            F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(F.lit(0.0))
+        ).alias("harm"),
+    )
+    closeness = F.when(
+        F.col("sumd") > 0,
+        (F.col("n_reached") / F.col("sumd"))
+        * (F.col("n_reached") / F.lit(float(n - 1) if n > 1 else 1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        graph.vertices.select("vertex_id")
+        .join(agg, "vertex_id", "left")
+        .fillna({"n_reached": 0, "sumd": 0, "harm": 0.0})
+        .select(
+            "vertex_id",
+            "n_reached",
+            F.round(closeness, 6).alias("closeness"),
+            F.round("harm", 6).alias("harmonic"),
         )
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 import networkx as nx
 
 from csd363_sin_spark.operators.bfs import landmark_distances, select_landmarks
-from csd363_sin_spark.plans.induce import graph_from_edges, induce_graph
+from csd363_sin_spark.plans.induce import Graph, graph_from_edges, induce_graph
 from csd363_sin_spark.sources.synth import synth_transcripts
 
 from tests.conftest import graph_to_networkx
@@ -151,3 +151,45 @@ def test_bfs_depth_cutoff_and_disconnect(spark):
         landmark_distances(g, n_landmarks=1, max_depth=2, local_edges_threshold=0)
     )
     assert dist_path == got
+
+
+def test_closeness_exact_vs_networkx(spark):
+    """closeness_exact matches nx.closeness_centrality (wf_improved
+    default) and nx.harmonic_centrality on both dispatch paths, including
+    a disconnected fixture."""
+    import networkx as nx
+    import pytest
+
+    from csd363_sin_spark.operators.bfs import closeness_exact
+
+    t = synth_transcripts(spark, n_convs=40, n_tools=10, n_clusters=2, seed=42)
+    g = induce_graph(t, binarize=True)
+    nxg = graph_to_networkx(g)
+    exp_c = nx.closeness_centrality(nxg)
+    exp_h = nx.harmonic_centrality(nxg)
+    for thr in (100_000, 0):
+        got = {
+            r["vertex_id"]: (r["closeness"], r["harmonic"], r["n_reached"])
+            for r in closeness_exact(g, local_edges_threshold=thr).collect()
+        }
+        assert set(got) == set(exp_c)
+        for v in exp_c:
+            assert got[v][0] == pytest.approx(exp_c[v], abs=1e-6)
+            assert got[v][1] == pytest.approx(exp_h[v], abs=1e-6)
+    # disconnected: two components + an isolate
+    g2 = graph_from_edges(spark, [(0, 1), (1, 2), (3, 4)])
+    g2 = Graph(
+        vertices=g2.vertices.select("vertex_id").unionByName(
+            spark.createDataFrame([(9,)], "vertex_id long")
+        ),
+        edges=g2.edges,
+    )
+    nxg2 = graph_to_networkx(g2)
+    exp2 = nx.closeness_centrality(nxg2)
+    got2 = {
+        r["vertex_id"]: (r["closeness"], r["n_reached"])
+        for r in closeness_exact(g2).collect()
+    }
+    for v in exp2:
+        assert got2[v][0] == pytest.approx(exp2[v], abs=1e-6)
+    assert got2[9] == (0.0, 0)
