@@ -170,6 +170,24 @@ def q_ego_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge embeddedness / neighborhood overlap / local-bridge flag
+    (Granovetter tie strength) — one wedge join + one degree join."""
+    from csd363_sin_spark.operators.triangles import edge_embeddedness
+
+    g = _graph(spark, sf_dir)
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    return (
+        edge_embeddedness(g)
+        .join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src_actor", "dst_actor", "common_neighbors", "overlap", "is_local_bridge"
+        )
+    )
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (nx.transitivity): 3*triangles over
     connected triples, with both exact integer counts emitted alongside
@@ -1975,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "transitivity": q_transitivity,
         "ego_stats": q_ego_stats,
+        "edge_embeddedness": q_edge_embeddedness,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
         "core_number": q_core_number,
@@ -3722,6 +3741,27 @@ SELECT count(*) AS triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+""",
+        "edge_embeddedness": p
+        + """
+, cmn AS (
+  SELECT e.src_actor, e.dst_actor, count(*) AS common_neighbors
+  FROM edges e
+  JOIN sym a ON a.u = e.src_actor
+  JOIN sym b ON b.u = e.dst_actor AND b.v = a.v
+  GROUP BY 1, 2
+)
+SELECT e.src_actor, e.dst_actor,
+  COALESCE(c.common_neighbors, 0) AS common_neighbors,
+  round(CASE WHEN du.degree + dv.degree - COALESCE(c.common_neighbors, 0) - 2.0 > 0
+        THEN COALESCE(c.common_neighbors, 0)
+             / (du.degree + dv.degree - COALESCE(c.common_neighbors, 0) - 2.0)
+        ELSE 0.0 END, 6) AS overlap,
+  (COALESCE(c.common_neighbors, 0) = 0) AS is_local_bridge
+FROM edges e
+LEFT JOIN cmn c USING (src_actor, dst_actor)
+JOIN deg du ON du.actor = e.src_actor
+JOIN deg dv ON dv.actor = e.dst_actor
 """,
         "ego_stats": p
         + """

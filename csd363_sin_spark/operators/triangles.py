@@ -152,3 +152,49 @@ def ego_stats(graph: Graph) -> DataFrame:
         ego_edges.alias("ego_edges"),
         F.round(density, 6).alias("ego_density"),
     )
+
+
+def edge_embeddedness(graph: Graph) -> DataFrame:
+    """Per-edge embeddedness (Granovetter tie strength): common neighbors
+    of the endpoints, neighborhood overlap = common / (|N(u) ∪ N(v)| - 2),
+    and the local-bridge flag (embeddedness 0 — edges whose removal
+    lengthens every path between their endpoints).
+
+    Returns ``(src, dst, common_neighbors, overlap, is_local_bridge)``
+    for every canonical edge.  Plan: one wedge join (the G9 expansion
+    restricted to edge-adjacent wedges) + one degree join — the
+    embeddedness of edge (u, v) counts wedges u-w-v, i.e. common
+    neighbors; union size = deg(u) + deg(v) - common - 2 self terms."""
+    e = graph.edges.select("src", "dst").distinct()
+    sym = graph.edges_sym().select("src", "dst").distinct()
+    # wedges u-w-v for the edge (u, v): neighbor lists joined on the middle
+    a = sym.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+    b = sym.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    common = (
+        e.join(a, e["src"] == a["u"])
+        .join(b, (e["dst"] == b["v"]) & (a["w"] == b["w"]))
+        .groupBy(e["src"], e["dst"])
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    deg = graph.degrees()
+    du = deg.select(F.col("vertex_id").alias("src"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("vertex_id").alias("dst"), F.col("degree").alias("dv"))
+    out = (
+        e.join(common, ["src", "dst"], "left")
+        .fillna({"common_neighbors": 0})
+        .join(du, "src")
+        .join(dv, "dst")
+    )
+    denom = F.col("du") + F.col("dv") - F.col("common_neighbors") - 2.0
+    return out.select(
+        "src",
+        "dst",
+        "common_neighbors",
+        F.round(
+            F.when(denom > 0, F.col("common_neighbors") / denom).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("overlap"),
+        (F.col("common_neighbors") == 0).alias("is_local_bridge"),
+    )

@@ -262,3 +262,26 @@ def test_ego_stats_vs_networkx(spark):
         assert got[v][1] == n
         assert got[v][2] == m
         assert got[v][3] == pytest.approx(dens, abs=1e-6)
+
+
+def test_edge_embeddedness_vs_networkx(spark):
+    from csd363_sin_spark.operators.triangles import edge_embeddedness
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    got = {
+        (r["src"], r["dst"]): (
+            r["common_neighbors"], r["overlap"], r["is_local_bridge"]
+        )
+        for r in edge_embeddedness(g).collect()
+    }
+    assert set(got) == {tuple(sorted(e)) for e in nxg.edges}
+    for u, v in nxg.edges:
+        cn = len(set(nxg[u]) & set(nxg[v]))
+        union = len((set(nxg[u]) | set(nxg[v])) - {u, v})
+        exp_ov = cn / union if union > 0 else 0.0
+        key = tuple(sorted((u, v)))
+        assert got[key][0] == cn
+        assert got[key][1] == pytest.approx(exp_ov, abs=1e-6)
+        assert got[key][2] == (cn == 0)
