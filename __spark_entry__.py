@@ -864,6 +864,39 @@ def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPECTRAL_K = 6  # gate cluster count
+
+
+def q_spectral_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: spectral clustering — two deflated Laplacian
+    eigenvector approximations (K=8 fixed iterations each, the second
+    orthogonalized against the first) -> 6-dp lifted coordinates ->
+    portable spherical k-means (shared Lloyd quantizer), every stage
+    mirrored in SQL."""
+    from csd363_sin_spark.operators.eigenvector import (
+        _fiedler_start_expr,
+        _fiedler_start_expr2,
+        spectral_clustering,
+    )
+
+    g = _graph(spark, sf_dir)
+    start = g.vertices.select(
+        "vertex_id", _fiedler_start_expr(F.col("actor")).alias("score")
+    )
+    start2 = g.vertices.select(
+        "vertex_id", _fiedler_start_expr2(F.col("actor")).alias("score")
+    )
+    sc = spectral_clustering(
+        g,
+        n_clusters=_SPECTRAL_K,
+        max_iter=_PR_GATE_ITERS,
+        portable=True,
+        start=start,
+        start2=start2,
+    )
+    return sc.join(g.vertices, "vertex_id").select("actor", "cluster")
+
+
 def q_fiedler_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: Fiedler vector (spectral bipartition signal) at
     exactly K=8 deflated shifted-Laplacian power iterations (tol=0),
@@ -2056,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fiedler_fixed": q_fiedler_fixed,
         "fiedler_fixed_dist": q_fiedler_fixed_dist,
         "spectral_cut": q_spectral_cut,
+        "spectral_clustering": q_spectral_clustering,
         "personalized_pagerank": q_personalized_pagerank,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
@@ -2773,6 +2807,64 @@ SELECT n_pos, n_neg, cut_edges,
     AS conductance
 FROM vols, cut
 """
+
+
+def _spectral_clustering_sql(k: int, n_clusters: int, kmeans_iters: int = 3) -> str:
+    """Spectral-clustering oracle: the shared Fiedler CTE (f1), a second
+    deflated iteration chain orthogonalized against the K-step f1 (f2),
+    6-dp-rounded lifted coordinates [f1, f2, 1], then the shared unrolled
+    portable-Lloyd quantizer over them."""
+    parts = [_fiedler_cte(k)]
+    parts.append(f"""
+, f1n AS (SELECT sum(score * score) AS nrm FROM fx{k}),
+f2x0 AS MATERIALIZED (
+  SELECT actor,
+         (CAST('0x' || substr(md5('fiedler2:' || actor), 1, 15) AS BIGINT)
+          % 1000003) / 1000003.0 AS score
+  FROM verts
+)""")
+    for i in range(1, k + 1):
+        parts.append(f"""
+, f2g{i} AS MATERIALIZED (
+  SELECT w.actor,
+         ((SELECT c FROM fc) - w.deg) * x.score + COALESCE(g.gather, 0.0) AS g
+  FROM wdeg w JOIN f2x{i - 1} x USING (actor)
+  LEFT JOIN (
+    SELECT s.v AS actor, sum(s.weight * x.score) AS gather
+    FROM sym s JOIN f2x{i - 1} x ON x.actor = s.u GROUP BY 1
+  ) g USING (actor)
+),
+f2m{i} AS (SELECT sum(g) / (SELECT n FROM fn) AS mean FROM f2g{i}),
+f2d{i} AS (
+  SELECT sum((g.g - (SELECT mean FROM f2m{i})) * f.score) AS dot
+  FROM f2g{i} g JOIN fx{k} f USING (actor)
+),
+f2y{i} AS MATERIALIZED (
+  SELECT g.actor,
+         g.g - (SELECT mean FROM f2m{i})
+             - (CASE WHEN (SELECT nrm FROM f1n) > 0
+                THEN (SELECT dot FROM f2d{i}) / (SELECT nrm FROM f1n)
+                ELSE 0.0 END) * f.score AS y
+  FROM f2g{i} g JOIN fx{k} f USING (actor)
+),
+f2mx{i} AS (SELECT max(abs(y)) AS mx FROM f2y{i}),
+f2x{i} AS MATERIALIZED (
+  SELECT actor,
+         y / (CASE WHEN (SELECT mx FROM f2mx{i}) > 0
+              THEN (SELECT mx FROM f2mx{i}) ELSE 1.0 END) AS score
+  FROM f2y{i}
+)""")
+    parts.append(f"""
+, coords AS MATERIALIZED (
+  SELECT a.actor AS vec_id,
+         [round(a.score, 6), round(b.score, 6), 1.0] AS embedding
+  FROM fx{k} a JOIN f2x{k} b USING (actor)
+)""")
+    lloyd, prev = _lloyd_cte(n_clusters, kmeans_iters, source="coords")
+    parts.append(lloyd.replace("\nWITH e AS", ",\ne AS", 1))
+    parts.append("""
+SELECT af.vec_id AS actor, CAST(af.cluster AS INT) AS cluster FROM af""")
+    return "".join(parts)
 
 
 def _katz_sql(k: int, alpha: float = 0.005, beta: float = 1.0) -> str:
@@ -4145,6 +4237,8 @@ GROUP BY 1
         # same-oracle twin for the distributed deflated-power-iteration kernel
         "fiedler_fixed_dist": p + _fiedler_sql(_PR_GATE_ITERS),
         "spectral_cut": p + _spectral_cut_sql(_PR_GATE_ITERS),
+        "spectral_clustering": p
+        + _spectral_clustering_sql(_PR_GATE_ITERS, _SPECTRAL_K),
         "personalized_pagerank": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p

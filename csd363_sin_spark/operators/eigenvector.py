@@ -378,3 +378,158 @@ def fiedler_vector(
     sym.unpersist()
     deg.unpersist()
     return x.withColumnRenamed("score", "fiedler")
+
+
+def spectral_embedding(
+    graph: Graph,
+    max_iter: int = 8,
+    local_edges_threshold: int = 100_000,
+    start: DataFrame | None = None,
+    start2: DataFrame | None = None,
+) -> DataFrame:
+    """Two-coordinate spectral embedding ``(vertex_id, f1, f2)``: f1 is
+    the :func:`fiedler_vector` (fixed ``max_iter`` deflated power
+    iterations), f2 repeats the same recurrence additionally
+    orthogonalized against the FIXED f1 each step —
+
+        g  = (c - deg) * x + A x
+        g -= avg(g)
+        g -= (sum(g * f1) / sum(f1 * f1)) * f1
+        x  = g / max(|g|)
+
+    so f2 approximates the third-smallest Laplacian eigenvector.  Both
+    vectors are defined at exactly ``max_iter`` steps (the fixed-work
+    portability contract — deflating against the K-step f1 rather than
+    the true eigenvector keeps the spec reproducible in any engine).
+    The f2 loop is one gather + three scalar jobs per step; f1 dispatches
+    through fiedler_vector as usual."""
+    f1 = fiedler_vector(
+        graph,
+        max_iter=max_iter,
+        tol=0.0,
+        local_edges_threshold=local_edges_threshold,
+        start=start,
+    ).withColumnRenamed("fiedler", "f1")
+    f1 = materialize(f1)
+    verts = graph.vertices.select("vertex_id")
+    if start2 is None:
+        start2 = verts.select(
+            "vertex_id", _fiedler_start_expr2(F.col("vertex_id")).alias("score")
+        )
+    sym = (
+        graph.edges_sym()
+        .select("src", "dst", "weight")
+        .repartition("src")
+        .persist()
+    )
+    sym.count()
+    deg = sym.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.sum("weight").alias("deg")
+    )
+    deg = verts.join(deg, "vertex_id", "left").fillna({"deg": 0.0}).persist()
+    c = 1.0 + 2.0 * float(deg.agg(F.max("deg")).collect()[0][0] or 0.0)
+    n = verts.count()
+    norm1 = float(
+        f1.agg(F.sum(F.col("f1") * F.col("f1"))).collect()[0][0] or 0.0
+    )
+    x = materialize(start2.select("vertex_id", "score"))
+    for _ in range(max_iter):
+        xs = x.select(F.col("vertex_id").alias("src"), F.col("score").alias("xs"))
+        gather = (
+            sym.join(xs, "src")
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum(F.col("weight") * F.col("xs")).alias("gather"))
+        )
+        g = materialize(
+            x.join(deg, "vertex_id")
+            .join(gather, "vertex_id", "left")
+            .fillna({"gather": 0.0})
+            .select(
+                "vertex_id",
+                (
+                    (F.lit(c) - F.col("deg")) * F.col("score") + F.col("gather")
+                ).alias("g"),
+            )
+        )
+        mean = float(g.agg(F.sum("g")).collect()[0][0] or 0.0) / n if n else 0.0
+        gj = g.join(f1, "vertex_id")
+        dot = float(
+            gj.agg(F.sum((F.col("g") - F.lit(mean)) * F.col("f1"))).collect()[0][0]
+            or 0.0
+        )
+        coef = dot / norm1 if norm1 > 0 else 0.0
+        y = gj.select(
+            "vertex_id",
+            (F.col("g") - F.lit(mean) - F.lit(coef) * F.col("f1")).alias("y"),
+        )
+        mx = float(y.agg(F.max(F.abs(F.col("y")))).collect()[0][0] or 0.0)
+        new_x = materialize(
+            y.select(
+                "vertex_id",
+                (F.col("y") / F.lit(mx if mx > 0 else 1.0)).alias("score"),
+            )
+        )
+        release(g)  # only after new_x is checkpointed — y reads g
+        release(x)
+        x = new_x
+    sym.unpersist()
+    deg.unpersist()
+    out = f1.join(x.withColumnRenamed("score", "f2"), "vertex_id").select(
+        "vertex_id", "f1", "f2"
+    )
+    out = materialize(out)
+    release(f1)
+    release(x)
+    return out
+
+
+def _fiedler_start_expr2(key_col):
+    from csd363_sin_spark.functions.dedup import portable_hash64
+
+    return F.pmod(
+        portable_hash64(F.concat(F.lit("fiedler2:"), key_col.cast("string"))),
+        F.lit(1000003),
+    ) / F.lit(1000003.0)
+
+
+def spectral_clustering(
+    graph: Graph,
+    n_clusters: int = 4,
+    max_iter: int = 8,
+    kmeans_iters: int = 3,
+    local_edges_threshold: int = 100_000,
+    start: DataFrame | None = None,
+    start2: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Spectral clustering (Shi-Malik style, k > 2): spherical k-means
+    over the LIFTED spectral embedding ``[f1, f2, 1]`` with the seeded
+    deterministic Lloyd quantizer (functions/similarity.ivf_flat_index —
+    cosine metric, seeds = lowest-id vertices, first-index tie-breaks).
+    The constant bias coordinate makes cosine-of-lifted-points behave
+    like positional closeness on the (f1, f2) plane and keeps
+    near-origin vertices well-defined.  Coordinates are 6-dp rounded
+    before clustering so the k-means input is engine-portable.  Returns
+    ``(vertex_id, cluster)``."""
+    from csd363_sin_spark.functions.similarity import ivf_flat_index
+
+    emb = spectral_embedding(
+        graph,
+        max_iter=max_iter,
+        local_edges_threshold=local_edges_threshold,
+        start=start,
+        start2=start2,
+    )
+    coords = emb.select(
+        F.col("vertex_id").alias("vec_id"),
+        F.array(F.round("f1", 6), F.round("f2", 6), F.lit(1.0)).alias("embedding"),
+    )
+    assigned, _ = ivf_flat_index(
+        coords,
+        dim=3,
+        n_clusters=n_clusters,
+        iters=kmeans_iters,
+        quantize=6 if portable else None,
+        score_round=9 if portable else None,
+    )
+    return assigned.select(F.col("vec_id").alias("vertex_id"), "cluster")

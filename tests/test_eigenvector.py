@@ -184,3 +184,40 @@ def test_spectral_cut_barbell(spark):
     assert cut == 1
     # vol of each side: 3 internal K4 degrees * ... = 2*6 + 1 = 13
     assert cut / 13.0 == pytest.approx(1 / 13)
+
+
+def test_spectral_clustering_three_cliques(spark):
+    """Three K5 cliques in a ring (ids interleaved so the deterministic
+    lowest-id k-means seeds land one per clique): converged spectral
+    clustering recovers the cliques exactly, and f2 is orthogonal to both
+    the constant vector and f1."""
+    import numpy as np
+
+    from csd363_sin_spark.operators.eigenvector import (
+        spectral_clustering,
+        spectral_embedding,
+    )
+
+    # clique c = {v : v % 3 == c}, v in 0..14 (K5 each); ring bridges
+    edges = [
+        (a, b)
+        for a in range(15)
+        for b in range(a + 1, 15)
+        if a % 3 == b % 3
+    ] + [(0, 1), (1, 2), (0, 2)]
+    g = graph_from_edges(spark, edges)
+    emb = {
+        r["vertex_id"]: (r["f1"], r["f2"])
+        for r in spectral_embedding(g, max_iter=40).collect()
+    }
+    f1 = np.array([emb[v][0] for v in range(15)])
+    f2 = np.array([emb[v][1] for v in range(15)])
+    assert abs(f2.sum()) < 1e-6
+    assert abs(f1 @ f2) / (np.linalg.norm(f1) * np.linalg.norm(f2)) < 1e-6
+    got = {
+        r["vertex_id"]: r["cluster"]
+        for r in spectral_clustering(g, n_clusters=3, max_iter=40).collect()
+    }
+    by_clique = [{got[v] for v in range(15) if v % 3 == c} for c in range(3)]
+    assert all(len(s) == 1 for s in by_clique)
+    assert len(set().union(*by_clique)) == 3
