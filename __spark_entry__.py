@@ -159,6 +159,22 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients phi(k) for k in {1,2,4,8,16} — density of
+    the subgraph of vertices with degree > k."""
+    from csd363_sin_spark.operators.degree import rich_club
+
+    return rich_club(_graph(spark, sf_dir))
+
+
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution (histogram-grouped
+    rank math — no |V|-row global sort)."""
+    from csd363_sin_spark.operators.degree import degree_gini
+
+    return degree_gini(_graph(spark, sf_dir))
+
+
 def q_ego_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex ego-network profile (size, edge count via triangles +
     spokes, density) — zero new shuffle shapes over G9."""
@@ -1389,6 +1405,22 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (slope of ln count vs ln rank) over the corpus
+    vocabulary — a one-row corpus-health diagnostic."""
+    from csd363_sin_spark.functions.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), max_size=1000, min_count=2)
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-taking profile: consecutive-turn role-to-role transition
+    counts + fractions (one lag window per conversation)."""
+    from csd363_sin_spark.plans.temporal import role_transition_matrix
+
+    return role_transition_matrix(_transcripts(spark, sf_dir))
+
+
 def q_tool_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(tool, day) call counts with burst flags (z >= 2 vs the tool's
     own per-period mean/population-sd) — anomaly detection over the
@@ -2027,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "ego_stats": q_ego_stats,
         "edge_embeddedness": q_edge_embeddedness,
+        "rich_club": q_rich_club,
+        "degree_gini": q_degree_gini,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction_topk": q_link_prediction_topk,
         "core_number": q_core_number,
@@ -2125,6 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_activity_bursts": q_tool_activity_bursts,
         "build_vocab": q_build_vocab,
         "quantize_embeddings": q_quantize_embeddings,
+        "zipf_fit": q_zipf_fit,
+        "role_transitions": q_role_transitions,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3834,6 +3870,49 @@ FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
 """,
+        "rich_club": p
+        + """
+, ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+club AS (
+  SELECT k.k, d.actor FROM ks k JOIN deg d ON d.degree > k.k
+),
+cstat AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_club FROM club GROUP BY 1
+),
+cedges AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS club_edges
+  FROM ks k JOIN edges e ON TRUE
+  JOIN club a ON a.k = k.k AND a.actor = e.src_actor
+  JOIN club b ON b.k = k.k AND b.actor = e.dst_actor
+  GROUP BY 1
+)
+SELECT ks.k, COALESCE(cs.n_club, 0) AS n_club,
+  COALESCE(ce.club_edges, 0) AS club_edges,
+  round(CASE WHEN COALESCE(cs.n_club, 0) > 1
+        THEN 2.0 * COALESCE(ce.club_edges, 0)
+             / (cs.n_club * (cs.n_club - 1)) ELSE 0.0 END, 6) AS phi
+FROM ks LEFT JOIN cstat cs ON cs.k = ks.k LEFT JOIN cedges ce ON ce.k = ks.k
+""",
+        "degree_gini": p
+        + """
+, dhist AS (SELECT degree, count(*) AS c FROM deg GROUP BY 1),
+dcum AS (
+  SELECT degree, c,
+         COALESCE(sum(c) OVER (ORDER BY degree
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM dhist
+),
+dagg AS (
+  SELECT sum(c) AS n, sum(degree * c) AS sumd,
+         sum(degree * c * (2.0 * s + c + 1.0)) AS wsum
+  FROM dcum
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(sumd / n, 6) AS mean_degree,
+  round(CASE WHEN n > 0 AND sumd > 0
+        THEN (wsum - (n + 1.0) * sumd) / (n * sumd) ELSE 0.0 END, 6) AS gini
+FROM dagg
+""",
         "edge_embeddedness": p
         + """
 , cmn AS (
@@ -4347,6 +4426,42 @@ SELECT round(CASE
   WHEN ((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0 = 0 OR (SELECT mi FROM mi) = 0 THEN 0.0
   ELSE LEAST(1.0, (SELECT mi FROM mi) / (((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0))
 END, 6) AS nmi
+""",
+        "zipf_fit": _DOC_PRELUDE
+        + """
+, tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),
+tf AS (SELECT term, count(*) AS count FROM tok WHERE term <> '' GROUP BY 1),
+vc AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY count DESC, term ASC) - 1 AS term_id,
+           count
+    FROM tf WHERE count >= 2
+  ) WHERE term_id < 1000
+),
+xy AS (SELECT ln(term_id + 1.0) AS x, ln(CAST(count AS DOUBLE)) AS y FROM vc)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+  round(CASE WHEN var_pop(x) > 0
+        THEN covar_pop(x, y) / var_pop(x) ELSE 0.0 END, 6) AS slope,
+  round(CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0
+        THEN covar_pop(x, y) * covar_pop(x, y) / (var_pop(x) * var_pop(y))
+        ELSE 0.0 END, 6) AS r2
+FROM xy
+""",
+        "role_transitions": f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+pr AS (
+  SELECT role AS role_from,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_to
+  FROM t
+),
+ag AS (
+  SELECT role_from, role_to, count(*) AS transitions
+  FROM pr WHERE role_to IS NOT NULL GROUP BY 1, 2
+),
+tt AS (SELECT sum(transitions) AS total FROM ag)
+SELECT role_from, role_to, transitions,
+       round(transitions / (SELECT total FROM tt), 6) AS frac
+FROM ag
 """,
         "tool_activity_bursts": f"""
 WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),

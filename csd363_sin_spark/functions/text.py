@@ -495,3 +495,44 @@ def build_vocab(
         .filter(F.col("term_id") < max_size)
         .select("term_id", "term", "count", "doc_freq")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    max_size: int = 30000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(count)
+    vs ln(rank) (natural text sits near -1; heavily deduplicated or
+    templated corpora drift away — a cheap corpus-health diagnostic).
+
+    Returns one row ``(n_terms, slope, r2)``.  One regression aggregation
+    (covar_pop / var_pop / corr) over the :func:`build_vocab` output —
+    the vocab table is already bounded by ``max_size``."""
+    vocab = build_vocab(docs, max_size=max_size, min_count=min_count)
+    xy = vocab.select(
+        F.log(F.col("term_id") + 1.0).alias("x"),
+        F.log(F.col("count").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+    )
+    # r2 from cov^2/(vx*vy) with explicit guards: F.corr raises
+    # DIVIDE_BY_ZERO under ANSI mode when either variance is 0
+    r2 = F.when(
+        (F.col("vx") > 0) & (F.col("vy") > 0),
+        (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_terms",
+        F.round(
+            F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("slope"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -127,3 +127,73 @@ def degree_assortativity(graph: Graph) -> DataFrame:
         .join(dv, "dst")
         .agg(F.round(F.corr("du", "dv"), 6).alias("assortativity"))
     )
+
+
+def rich_club(graph: Graph, ks: list[int] | None = None) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) — the density
+    of the subgraph induced by vertices with degree > k (Zhou & Mondragon
+    2004) — for each threshold in ``ks`` (default 1, 2, 4, 8, 16).
+
+    Returns ``(k, n_club, club_edges, phi)``.  Per threshold: two
+    broadcast-style semi-joins of the canonical edge table against the
+    (tiny, high-degree) club membership plus one count — no all-pairs
+    work; thresholds share the single degree aggregation."""
+    if ks is None:
+        ks = [1, 2, 4, 8, 16]
+    deg = graph.degrees().persist()
+    e = graph.edges.select("src", "dst").distinct()
+    spark = graph.edges.sparkSession
+    rows = []
+    for k in ks:
+        club = deg.filter(F.col("degree") > k).select("vertex_id")
+        n_club = club.count()
+        club_edges = (
+            e.join(club.withColumnRenamed("vertex_id", "src"), "src", "left_semi")
+            .join(club.withColumnRenamed("vertex_id", "dst"), "dst", "left_semi")
+            .count()
+        )
+        phi = (
+            2.0 * club_edges / (n_club * (n_club - 1)) if n_club > 1 else 0.0
+        )
+        rows.append((k, n_club, club_edges, round(phi, 6)))
+    deg.unpersist()
+    return spark.createDataFrame(
+        rows, "k int, n_club long, club_edges long, phi double"
+    )
+
+
+def degree_gini(graph: Graph) -> DataFrame:
+    """One row ``(n, mean_degree, gini)`` — the Gini coefficient of the
+    degree distribution (0 = regular graph, near 1 = hub-dominated), the
+    standard inequality summary for skew-aware capacity planning.
+
+    Gini = sum_i (2i - n - 1) * d_(i) / (n * sum d) over degrees sorted
+    ascending (i 1-based).  Plan: degrees collapse to their HISTOGRAM
+    first (one map-side-combined agg), then the rank math runs grouped —
+    a tie group with count c starting after s rows contributes
+    d*c*(2s + c + 1) to sum 2i*d — so the only window is a running sum
+    over the tiny distinct-degree table, never a |V|-row global sort."""
+    from pyspark.sql import Window
+
+    hist = graph.degrees().groupBy("degree").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.asc("degree")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grouped = hist.withColumn("s", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = grouped.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("degree") * F.col("c")).alias("sumd"),
+        F.sum(
+            F.col("degree") * F.col("c") * (2.0 * F.col("s") + F.col("c") + 1.0)
+        ).alias("wsum"),
+    )
+    gini = F.when(
+        (F.col("n") > 0) & (F.col("sumd") > 0),
+        (F.col("wsum") - (F.col("n") + 1.0) * F.col("sumd"))
+        / (F.col("n") * F.col("sumd")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").alias("n"),
+        F.round(F.col("sumd") / F.col("n"), 6).alias("mean_degree"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -144,3 +144,30 @@ def tool_activity_bursts(
         F.round(z, 6).alias("z_score"),
         (F.round(z, 6) >= z_threshold).alias("is_burst"),
     )
+
+
+def role_transition_matrix(transcripts: DataFrame) -> DataFrame:
+    """Turn-taking profile: ``(role_from, role_to, transitions, frac)``
+    over consecutive turns within each conversation (one lag window per
+    conversation — the same shape as the handoff-graph induction — plus
+    one map-side-combined aggregation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            F.col("role").alias("role_from"),
+            F.lead("role").over(w).alias("role_to"),
+        )
+        .filter(F.col("role_to").isNotNull())
+        .groupBy("role_from", "role_to")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    total = pairs.agg(F.sum("transitions").alias("total"))
+    return pairs.crossJoin(total).select(
+        "role_from",
+        "role_to",
+        "transitions",
+        F.round(F.col("transitions") / F.col("total"), 6).alias("frac"),
+    )

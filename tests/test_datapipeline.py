@@ -815,3 +815,29 @@ def test_quantize_embeddings_roundtrip(spark):
         assert worst <= scale / 2 + 127 * 1e-9
         assert abs(got[vid]["max_err_ppm"] - worst * 1e6) <= 1.0
     assert got[1]["codes_csv"] == "127,-63,32,0"
+
+
+def test_zipf_fit_planted_law(spark):
+    """A corpus with exactly Zipfian counts (count = C / rank) fits slope
+    ~ -1 with r2 ~ 1; a flat corpus fits slope 0."""
+    import numpy as np
+
+    from csd363_sin_spark.functions.text import zipf_fit
+
+    # terms w0..w19, term i repeated round(200/(i+1)) times
+    words = []
+    for i in range(20):
+        words += [f"w{i}"] * int(round(200 / (i + 1)))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs, max_size=100, min_count=1).collect()[0]
+    assert row["n_terms"] == 20
+    assert row["slope"] == pytest.approx(-1.0, abs=0.05)
+    assert row["r2"] > 0.99
+    flat = spark.createDataFrame(
+        [(1, " ".join(f"t{i} t{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    row2 = zipf_fit(flat, max_size=100, min_count=1).collect()[0]
+    assert row2["slope"] == pytest.approx(0.0, abs=1e-9)

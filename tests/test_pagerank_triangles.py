@@ -285,3 +285,29 @@ def test_edge_embeddedness_vs_networkx(spark):
         assert got[key][0] == cn
         assert got[key][1] == pytest.approx(exp_ov, abs=1e-6)
         assert got[key][2] == (cn == 0)
+
+
+def test_rich_club_and_gini(spark):
+    """rich_club matches nx.rich_club_coefficient (non-normalized); gini
+    matches the direct sorted-rank formula; anchors: regular graph gini 0."""
+    from csd363_sin_spark.operators.degree import degree_gini, rich_club
+
+    t = synth_transcripts(spark, n_convs=60, n_tools=12, n_clusters=3, seed=7)
+    g = induce_graph(t)
+    nxg = graph_to_networkx(g)
+    nx_rc = nx.rich_club_coefficient(nxg, normalized=False)
+    got = {r["k"]: (r["n_club"], r["phi"]) for r in rich_club(g).collect()}
+    for k in (1, 2, 4, 8, 16):
+        if k in nx_rc:
+            assert got[k][1] == pytest.approx(nx_rc[k], abs=1e-6), k
+    degs = sorted(d for _, d in nxg.degree())
+    n, sumd = len(degs), sum(degs)
+    expected_gini = sum((2 * (i + 1) - n - 1) * d for i, d in enumerate(degs)) / (
+        n * sumd
+    )
+    row = degree_gini(g).collect()[0]
+    assert row["gini"] == pytest.approx(expected_gini, abs=1e-6)
+    assert row["n"] == n
+    # 6-cycle: 2-regular -> gini exactly 0
+    cyc = graph_from_edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert degree_gini(cyc).collect()[0]["gini"] == 0.0

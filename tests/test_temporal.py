@@ -134,3 +134,29 @@ def test_tool_activity_bursts_hand_computed(spark):
     for d in ("2026-01-01", "2026-01-02", "2026-01-03"):
         assert got[("B", d)] == (1, 0.0, False)
     assert got[("C", "2026-01-01")] == (1, 0.0, False)
+
+
+def test_role_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from csd363_sin_spark.plans.temporal import role_transition_matrix
+
+    rows = [
+        ("c1", 0, "user", "q", None, dt.datetime(2026, 1, 1)),
+        ("c1", 1, "assistant", "a", "search", dt.datetime(2026, 1, 1)),
+        ("c1", 2, "user", "q2", None, dt.datetime(2026, 1, 1)),
+        ("c2", 0, "user", "q", None, dt.datetime(2026, 1, 2)),
+        ("c2", 1, "assistant", "a", None, dt.datetime(2026, 1, 2)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r["role_from"], r["role_to"]): (r["transitions"], r["frac"])
+        for r in role_transition_matrix(t).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (2, round(2 / 3, 6)),
+        ("assistant", "user"): (1, round(1 / 3, 6)),
+    }
