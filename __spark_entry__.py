@@ -1430,6 +1430,17 @@ def q_tool_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_activity_bursts(_transcripts(spark, sf_dir))
 
 
+def q_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by covariance-free
+    power iteration (K=8, portable quantization) — every iterate mirrored
+    in SQL."""
+    from csd363_sin_spark.functions.similarity import pca_top_component
+
+    return pca_top_component(
+        _embeddings(spark, sf_dir), dim=64, iters=8, portable=True
+    )
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-20 terms with count >= 2, dense ids in
     (count DESC, term ASC) order — the deterministic vocab file every
@@ -2160,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "quantize_embeddings": q_quantize_embeddings,
         "zipf_fit": q_zipf_fit,
+        "embedding_pca_top": q_embedding_pca_top,
         "role_transitions": q_role_transitions,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
@@ -3834,6 +3846,54 @@ ORDER BY c.vec_id
     return sql
 
 
+def _pca_sql(dim: int = 64, iters: int = 8) -> str:
+    """Mirror of functions/similarity.pca_top_component(portable=True):
+    6-dp coordinate means, hash start per position, per-iteration
+    max-abs normalization quantized to 9 dp."""
+    start = (
+        "(CAST('0x' || substr(md5('pca:' || CAST(pos AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 1000003) / 1000003.0"
+    )
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+xp AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(v) + 1)) - 1 AS pos, unnest(v) AS val
+  FROM e
+),
+pmu AS MATERIALIZED (SELECT pos, round(avg(val), 6) AS m FROM xp GROUP BY 1),
+pnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+pv0 AS MATERIALIZED (
+  SELECT unnest(range(0, {dim})) AS pos
+)"""
+    sql += f""",
+pv0x AS MATERIALIZED (SELECT pos, {start} AS x FROM pv0)"""
+    prev = "pv0x"
+    for i in range(1, iters + 1):
+        sql += f""",
+ps{i} AS MATERIALIZED (
+  SELECT xp.vec_id, sum((xp.val - pmu.m) * v.x) AS s
+  FROM xp JOIN pmu USING (pos) JOIN {prev} v USING (pos) GROUP BY 1
+),
+pw{i} AS MATERIALIZED (
+  SELECT xp.pos, sum(ps{i}.s * (xp.val - pmu.m)) / (SELECT n FROM pnn) AS w
+  FROM xp JOIN pmu USING (pos) JOIN ps{i} USING (vec_id) GROUP BY 1
+),
+pm{i} AS (SELECT max(abs(w)) AS mx FROM pw{i}),
+pv{i} AS MATERIALIZED (
+  SELECT pos, round(w / (CASE WHEN (SELECT mx FROM pm{i}) > 0
+                         THEN (SELECT mx FROM pm{i}) ELSE 1.0 END), 9) AS x
+  FROM pw{i}
+)"""
+        prev = f"pv{i}"
+    sql += f"""
+SELECT CAST(pos AS INT) AS pos, round(x, 6) AS loading FROM {prev}
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     p = _ORACLE_PRELUDE
     part = _PART_SQL
@@ -4853,6 +4913,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "semantic_dedup": _semantic_dedup_sql(0.9),
+        "embedding_pca_top": _pca_sql(64, 8),
         # pagerank/louvain/gn/infomap/betweenness/pipeline: intentionally
         # omitted -> rows-only check (iterative fixpoints; not
         # ANSI-SQL-expressible; exactness covered by pytest oracles)

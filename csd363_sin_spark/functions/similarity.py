@@ -568,3 +568,78 @@ def quantize_embeddings(
         ).alias("codes_csv"),
         F.floor(err * 1e6 + F.lit(0.5)).cast("long").alias("max_err_ppm"),
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    dim: int,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Top principal component of the embedding table by covariance-FREE
+    power iteration (never materializes the d x d covariance): per step
+
+        s_i = (x_i - mu) . v          (one map-side pass)
+        w   = sum_i s_i (x_i - mu) / N  (one elementwise aggregation)
+        v   = w / max|w|               (sqrt-free, engine-portable)
+
+    with mu the coordinate mean and v seeded from the portable hash of
+    the position.  The running vector lives as plan literals (the
+    broadcast-k-means pattern ivf_flat_index uses), so each iteration is
+    two aggregations over the exploded (vec_id, pos, val) relation —
+    O(N*d) per step, the PCA-at-scale standard.
+
+    Returns ``(pos, loading)`` (dim rows, loading 6-dp).  ``portable``
+    quantizes mu to 6 decimals and each iterate to 9 so the DuckDB
+    oracle replays the identical trajectory."""
+    import hashlib
+
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    xp = (
+        embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+        .select("vec_id", F.posexplode("v").alias("pos", "val"))
+        .persist()
+    )
+    n = xp.count() // dim if dim else 0
+    mu_round = 6 if portable else None
+    mu_col = F.avg("val") if mu_round is None else F.round(F.avg("val"), mu_round)
+    mu_rows = xp.groupBy("pos").agg(mu_col.alias("m")).collect()
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[int(r["pos"])] = float(r["m"])
+    v = [
+        (int(hashlib.md5(f"pca:{j}".encode()).hexdigest()[:15], 16) % 1000003)
+        / 1000003.0
+        for j in range(dim)
+    ]
+    w_round = 9 if portable else None
+    for _ in range(max(iters, 1)):
+        mu_lit = F.array(*[F.lit(m) for m in mu])
+        v_lit = F.array(*[F.lit(x) for x in v])
+        centered = F.col("val") - F.element_at(mu_lit, F.col("pos") + 1)
+        s = xp.groupBy("vec_id").agg(
+            F.sum(centered * F.element_at(v_lit, F.col("pos") + 1)).alias("s")
+        )
+        w_rows = (
+            xp.join(s, "vec_id")
+            .groupBy("pos")
+            .agg((F.sum(F.col("s") * centered) / F.lit(float(n))).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[int(r["pos"])] = float(r["w"])
+        mx = max(abs(x) for x in w) if w else 0.0
+        if mx == 0.0:
+            v = w
+            break
+        v = [x / mx for x in w]
+        if w_round is not None:
+            v = [round(x, w_round) for x in v]
+    xp.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(j, round(v[j], 6)) for j in range(dim)], "pos int, loading double"
+    )

@@ -841,3 +841,37 @@ def test_zipf_fit_planted_law(spark):
     )
     row2 = zipf_fit(flat, max_size=100, min_count=1).collect()[0]
     assert row2["slope"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pca_top_component_vs_numpy(spark):
+    """Converged power iteration aligns with numpy's leading eigenvector
+    of the centered covariance (up to sign) on a planted-direction set."""
+    from csd363_sin_spark.functions.similarity import pca_top_component
+
+    rng_free = []
+    # planted dominant direction d ~ [3, -2, 1, 0] + structured residue
+    for i in range(40):
+        t = (i - 20) / 5.0
+        rng_free.append(
+            (
+                i,
+                [
+                    3.0 * t + 0.1 * ((i * 7) % 5 - 2),
+                    -2.0 * t + 0.1 * ((i * 3) % 5 - 2),
+                    1.0 * t + 0.1 * ((i * 11) % 5 - 2),
+                    0.1 * ((i * 13) % 5 - 2),
+                ],
+            )
+        )
+    emb = spark.createDataFrame(rng_free, "vec_id long, embedding array<double>")
+    got = {
+        r["pos"]: r["loading"]
+        for r in pca_top_component(emb, dim=4, iters=60).collect()
+    }
+    v = np.array([got[j] for j in range(4)])
+    X = np.array([row[1] for row in rng_free])
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc / len(X))
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos == pytest.approx(1.0, abs=1e-6)
