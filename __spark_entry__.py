@@ -1430,6 +1430,27 @@ def q_tool_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_activity_bursts(_transcripts(spark, sf_dir))
 
 
+def q_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (no SQL engine decodes image bytes): aHash perceptual
+    near-duplicate pairs over the deterministic synthetic media corpus
+    with planted exact copies — the banded Hamming join over decoded
+    pixels; exactness pinned by tests/test_multimodal_real.py on real
+    BMP/PNG bytes."""
+    from csd363_sin_spark.functions.multimodal import (
+        perceptual_near_dups,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48, seed=42)
+    copies = media.filter(F.col("kind") == "image").limit(6).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        *[c for c in media.columns if c != "media_id"],
+    )
+    return perceptual_near_dups(
+        media.unionByName(copies), max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding table by covariance-free
     power iteration (K=8, portable quantization) — every iterate mirrored
@@ -2172,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "zipf_fit": q_zipf_fit,
         "embedding_pca_top": q_embedding_pca_top,
+        "perceptual_near_dups": q_perceptual_near_dups,
         "role_transitions": q_role_transitions,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,

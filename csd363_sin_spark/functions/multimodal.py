@@ -533,3 +533,95 @@ def sample_frames(media: DataFrame, every_k: int = 2, decoder: str = "fake") -> 
     return media.filter(F.col("kind") == "video").mapInPandas(
         kernel, "media_id long, frame_idx int, frame_mean double"
     )
+
+
+def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint: decode, 8x8
+    nearest-neighbor downsample of the first frame, threshold each cell
+    by the 64-cell mean, pack the 64 sign bits row-major into one BIGINT.
+    Returns ``(media_id, phash long)``.  Deterministic — pure integer /
+    float math on the decoded pixels, no RNG, so identical payloads hash
+    identically across runs and engines.
+
+    The classic near-duplicate-image primitive: visually similar images
+    land within a few Hamming bits (jpeg re-encodes, small crops,
+    brightness shifts), which :func:`perceptual_near_dups` exploits with
+    the SAME pigeonhole band join the SimHash text dedup uses."""
+
+    decode = _pick_decoder(decoder)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode(bytes(payload))[0]
+                h, w = arr.shape
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                small = arr[np.ix_(ys, xs)].astype(np.float64)
+                bits = (small >= small.mean()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # interpret as signed 64-bit for the LongType column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(mid)
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, "media_id long, phash long"
+    )
+
+
+def perceptual_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    num_bands: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance <=
+    ``max_hamming``, using the pigeonhole band join (two hashes within
+    ``max_hamming`` bits must agree on at least one of ``num_bands`` >
+    max_hamming 8-bit bands) — candidate generation is an equi-join on
+    (band, band_bits), never all-pairs, exactly like the SimHash text
+    path.  Returns ``(id_a, id_b, hamming)``."""
+    ph = perceptual_hash(media, decoder=decoder)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bits"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "media_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bits"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+            F.col("x.phash").alias("ha"),
+            F.col("y.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

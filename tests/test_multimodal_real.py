@@ -220,3 +220,48 @@ def test_wav_unsupported_raises():
             + b"data" + _s.pack("<I", 0))
     with pytest.raises(NotImplementedError):
         _decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_perceptual_hash_and_near_dups(spark):
+    """aHash on REAL decoded bytes: a BMP and the PNG re-encode of the
+    same pixels hash identically; a uniformly brightened copy stays
+    within a few bits; unrelated images are far; the banded near-dup
+    join finds exactly the planted pairs."""
+    from csd363_sin_spark.functions.multimodal import (
+        perceptual_hash,
+        perceptual_near_dups,
+    )
+
+    base = _gray(32, 32, seed=3)
+    bright = np.clip(base.astype(np.int64) + 12, 0, 255).astype(np.uint8)
+    other = _gray(32, 32, seed=911)[::-1].T.copy()
+    rows = [
+        (1, "image", bytearray(encode_bmp(base))),
+        (2, "image", bytearray(encode_png(base))),      # re-encode of 1
+        (3, "image", bytearray(encode_bmp(bright))),    # brightness shift
+        (4, "image", bytearray(encode_bmp(other))),     # unrelated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    ph = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(media, decoder="real").collect()
+    }
+    assert ph[1] == ph[2]
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(ph[1], ph[3]) <= 4  # uniform shift barely moves mean bits
+    assert ham(ph[1], ph[4]) > 10
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in perceptual_near_dups(media, max_hamming=6, decoder="real").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # determinism across runs
+    ph2 = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(media, decoder="real").collect()
+    }
+    assert ph == ph2
