@@ -1900,6 +1900,31 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Structured-Streaming NEAR-dup maintenance — LSH
+    band rows persisted per micro-batch (pure function of each doc's
+    text, split-invariant), candidates + exact verification derived at
+    read time.  Equals batch minhash_lsh_pairs on everything ingested,
+    so the oracle is the SAME md5-portable MinHash SQL the batch gate
+    uses."""
+    import os
+    import tempfile
+
+    from csd363_sin_spark.streaming.dedup import (
+        read_near_dup_pairs,
+        run_streaming_minhash,
+    )
+
+    d = tempfile.mkdtemp(prefix="gate_sminhash_")
+    inp = os.path.join(d, "in")
+    docs = _docs(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(inp)
+    run_streaming_minhash(spark, inp, os.path.join(d, "store"), hash_mode="md5")
+    return read_near_dup_pairs(
+        spark, os.path.join(d, "store"), docs, n=3, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # directed layer (plans/directed.py): handoff graph, SCC, directed PR, HITS
 # ---------------------------------------------------------------------------
@@ -2200,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dups": q_streaming_near_dups,
         "streaming_graph_stats": q_streaming_graph_stats,
         "doc_repetition": q_doc_repetition,
         "quality_filter": q_quality_filter,
@@ -4925,6 +4951,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """,
+        # the streaming near-dup store is batch-equivalent by contract, so
+        # the SAME portable MinHash SQL oracle-checks the streaming path
+        "streaming_near_dups": _minhash_lsh_sql()
+        + "SELECT doc_a, doc_b, jaccard FROM dups",
         "minhash_lsh_dups": _minhash_lsh_sql()
         + "SELECT doc_a, doc_b, jaccard FROM dups",
         # transitive closure over the SAME dup pairs: recursive CTE vs the

@@ -226,6 +226,27 @@ def minhash_lsh_pairs(
     n-gram Jaccard then filters to >= threshold, so the output has no
     false positives (only possible false negatives, tuned by bands/rows).
     """
+    banded = minhash_band_rows(docs, n, num_hashes, bands, hash_mode)
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_candidate_pairs(cands, docs, n, threshold)
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """``(doc_id, band, bh)`` LSH band rows — a pure function of each
+    document's text (split/batch-invariant), the minimal relation the
+    streaming near-dup store persists (streaming/dedup.py)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, n, num_hashes, hash_mode=hash_mode)
     banded = sigs.select(
@@ -252,19 +273,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # materialize: the self-join below would otherwise evaluate the whole
-    # signature pipeline once per alias
-    banded = materialize(banded)
-    cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # exact verification on CANDIDATES ONLY (shingle sets joined onto the
-    # candidate pairs — cost proportional to |candidates|, not all pairs);
-    # shingle only the docs that appear in some candidate pair
+    # materialize: self-joins over the band rows would otherwise evaluate
+    # the whole signature pipeline once per alias
+    return materialize(banded)
+
+
+def verify_candidate_pairs(
+    cands: DataFrame, docs: DataFrame, n: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification on CANDIDATES ONLY (shingle sets joined
+    onto the candidate pairs — cost proportional to |candidates|, not all
+    pairs); shingles only the docs appearing in some candidate pair."""
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))

@@ -103,3 +103,76 @@ def read_deduped_ids(spark: SparkSession, output_dir: str) -> DataFrame:
         .filter(F.col("is_keeper"))
         .select("doc_id")
     )
+
+
+# --- streaming NEAR-duplicate maintenance (MinHash + LSH) -----------------
+#
+# Same batch-equivalence contract as the exact store above, extended to
+# near-dups: the stream persists each micro-batch's distinct LSH band
+# rows (functions/dedup.minhash_band_rows — a pure function of each
+# document's text, hence split/batch-invariant), and the read side
+# derives candidates from the accumulated store and exact-verifies them
+# against the document lake.  Because the stored band rows are identical
+# to what the batch operator computes, the verified pairs EXACTLY equal
+# batch ``minhash_lsh_pairs`` on the union of all micro-batches.  The
+# win over re-running batch: signatures (the expensive shingle +
+# num_hashes aggregation) are computed once per document at ingest, not
+# once per refresh.
+
+
+def run_streaming_minhash(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+):
+    """Maintain the incremental LSH band-row store; replay-idempotent
+    (a replayed batch id overwrites its own directory)."""
+    from csd363_sin_spark.functions.dedup import minhash_band_rows
+
+    ckpt = checkpoint_dir or os.path.join(output_dir, "_stream_ckpt")
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_band_rows(
+            batch_df, n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch={batch_id}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_near_dup_pairs(
+    spark: SparkSession,
+    output_dir: str,
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs over everything ingested so far:
+    candidates = self-join of the accumulated band rows, exact-verified
+    against ``docs`` (the document lake the stream also feeds) — equals
+    batch ``minhash_lsh_pairs`` on the union of all micro-batches."""
+    from csd363_sin_spark.functions.dedup import verify_candidate_pairs
+
+    banded = spark.read.parquet(os.path.join(output_dir, "batch=*")).distinct()
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_candidate_pairs(cands, docs, n, threshold)
