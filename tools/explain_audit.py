@@ -188,6 +188,47 @@ def main() -> int:
         formatted(tfidf_top_terms(docs, k=3)),
     ))
 
+    # 10. document chunking (pure map-side: the zero-exchange plan)
+    from csd363_sin_spark.functions.text import chunk_documents
+
+    sections.append((
+        "Document chunking (fixed token windows)",
+        "Tokenize + sequence explode + slice, all inside one codegen span "
+        "over the parquet scan — ZERO exchanges; the training-sequence "
+        "prep step costs exactly one pass at any scale.",
+        formatted(chunk_documents(docs, chunk_tokens=12, overlap=4)),
+    ))
+
+    # 11. SemDeDup within-cluster pairs (equi-join on cluster id)
+    from csd363_sin_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sections.append((
+        "SemDeDup semantic dedup",
+        "Candidate pairs come from an equi-join on the k-means cluster id "
+        "(bounded per cluster), never a cross join; the drop rule is one "
+        "filter + distinct + left join back to the corpus.",
+        formatted(semantic_dedup(emb, dim=64, n_clusters=8)),
+    ))
+
+    # 12. one WL refinement round (sym join + sorted-list agg)
+    from csd363_sin_spark.operators.coloring import wl_refinement
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    actor_edges = induce_actor_edges(transcripts_from_events(events))
+    verts_named = (
+        actor_edges.selectExpr("src_actor AS actor")
+        .union(actor_edges.selectExpr("dst_actor AS actor"))
+        .distinct()
+    )
+    sections.append((
+        "WL color refinement (3 rounds)",
+        "Per round one sym-edge join + one collect_list/sort_array "
+        "aggregation per vertex (map-side combinable); rounds are "
+        "materialize()d so lineage stays flat across iterations.",
+        formatted(wl_refinement(verts_named, actor_edges, rounds=3)),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
