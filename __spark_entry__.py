@@ -1226,6 +1226,30 @@ def q_closeness_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _closeness_exact(spark, sf_dir, 0)
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: one explicit shortest path — from the lowest-actor
+    vertex to the farthest reachable vertex (ties to lowest actor),
+    parent = min predecessor id at each hop; every hop mirrored by the
+    unrolled single-source BFS + parent-walk oracle."""
+    from csd363_sin_spark.operators.bfs import landmark_distances, shortest_path
+
+    g = _graph(spark, sf_dir)
+    src_row = (
+        g.vertices.orderBy("actor").limit(1).collect()[0]
+    )
+    src = int(src_row["vertex_id"])
+    lm = spark.createDataFrame([(src,)], "vertex_id long")
+    dists = landmark_distances(g, max_depth=_BET_GATE_DEPTH, landmarks=lm)
+    far = (
+        dists.join(g.vertices, "vertex_id")
+        .orderBy(F.desc("dist"), F.asc("actor"))
+        .limit(1)
+        .collect()[0]
+    )
+    path = shortest_path(g, src, int(far["vertex_id"]), max_depth=_BET_GATE_DEPTH)
+    return path.join(g.vertices, "vertex_id").select("step", "actor")
+
+
 def _vertex_betweenness_all(
     spark, sf_dir: str, local_edges_threshold: int
 ) -> DataFrame:
@@ -2190,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_exact_topk": q_betweenness_exact_topk,
         "vertex_betweenness": q_vertex_betweenness,
         "closeness_exact": q_closeness_exact,
+        "shortest_path": q_shortest_path,
         "pipeline_final": q_pipeline_final,
         "streaming_refresh": q_streaming_refresh,
         # forced-distributed twins (regression-guard the kernels a
@@ -3185,6 +3210,44 @@ SELECT v.actor,
         ELSE 0.0 END, 6) AS closeness,
   round(COALESCE(cl.harm, 0.0), 6) AS harmonic
 FROM verts v LEFT JOIN cl USING (actor)""")
+    return "".join(parts)
+
+
+def _shortest_path_sql(depth: int) -> str:
+    """Unrolled single-source BFS (source = min actor) + min-parent map +
+    backward path walk; dst = farthest reachable vertex (ties to lowest
+    actor).  Mirrors operators/bfs.shortest_path hop for hop."""
+    parts = ["""
+, sp0 AS MATERIALIZED (SELECT (SELECT min(actor) FROM verts) AS v, 0 AS d),
+spvis0 AS (SELECT v FROM sp0)"""]
+    for d in range(1, depth + 1):
+        parts.append(f""",
+sp{d} AS MATERIALIZED (
+  SELECT DISTINCT e.v, {d} AS d
+  FROM sym e JOIN sp{d - 1} f ON f.v = e.u
+  WHERE e.v NOT IN (SELECT v FROM spvis{d - 1})
+),
+spvis{d} AS (SELECT v FROM spvis{d - 1} UNION ALL SELECT v FROM sp{d})""")
+    layers = " UNION ALL ".join(f"SELECT v, d FROM sp{d}" for d in range(depth + 1))
+    parts.append(f""",
+spd AS MATERIALIZED ({layers}),
+spdst AS (SELECT v, d FROM spd ORDER BY d DESC, v ASC LIMIT 1),
+sppar AS MATERIALIZED (
+  SELECT b.v, min(a.v) AS parent
+  FROM sym e JOIN spd a ON a.v = e.u JOIN spd b ON b.v = e.v
+  WHERE a.d = b.d - 1 GROUP BY b.v
+),
+spp0 AS (SELECT v, d AS step FROM spdst)""")
+    for i in range(1, depth + 1):
+        parts.append(f""",
+spp{i} AS (
+  SELECT p.parent AS v, w.step - 1 AS step
+  FROM spp{i - 1} w JOIN sppar p ON p.v = w.v
+  WHERE w.step > 0
+)""")
+    walk = " UNION ALL ".join(f"SELECT step, v FROM spp{i}" for i in range(depth + 1))
+    parts.append(f"""
+SELECT CAST(step AS INT) AS step, v AS actor FROM ({walk})""")
     return "".join(parts)
 
 
@@ -4446,6 +4509,7 @@ GROUP BY 1
         "betweenness_exact_topk_dist": p + _betweenness_sql(_BET_GATE_DEPTH),
         "vertex_betweenness": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
         "closeness_exact": p + _closeness_sql(_BET_GATE_DEPTH),
+        "shortest_path": p + _shortest_path_sql(_BET_GATE_DEPTH),
         # same-oracle twin for the DataFrame-seeded all-sources BFS
         "closeness_exact_dist": p + _closeness_sql(_BET_GATE_DEPTH),
         # same-oracle twin for the distributed per-vertex delta pass

@@ -331,3 +331,58 @@ def closeness_exact(
             F.round("harm", 6).alias("harmonic"),
         )
     )
+
+
+def shortest_path(
+    graph: Graph,
+    src: int,
+    dst: int,
+    max_depth: int = 64,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """One explicit shortest path src -> dst: ``(step, vertex_id)`` rows
+    (step 0 = src), empty if dst is unreachable within ``max_depth``.
+
+    Deterministic: among the BFS predecessors of each vertex (neighbors
+    at distance d-1) the MINIMUM vertex id is the parent, so the
+    extracted path is unique and engine-reproducible.
+
+    Plan: one single-source BFS (landmark_distances), one join + min
+    aggregation for the full parent map, then at most ``dist(dst)`` tiny
+    broadcast probes that walk the path backwards — each probe joins the
+    1-row frontier against the parent map, so the walk never collects
+    more than the path itself."""
+    spark = graph.edges.sparkSession
+    lm = spark.createDataFrame([(int(src),)], "vertex_id long")
+    dists = landmark_distances(
+        graph,
+        max_depth=max_depth,
+        local_edges_threshold=local_edges_threshold,
+        landmarks=lm,
+    ).select("vertex_id", "dist")
+    target = dists.filter(F.col("vertex_id") == dst).collect()
+    if not target:
+        return spark.createDataFrame([], "step int, vertex_id long")
+    d_dst = int(target[0]["dist"])
+    sym = graph.edges_sym().select("src", "dst")
+    dv = dists.select(F.col("vertex_id").alias("v"), F.col("dist").alias("dv"))
+    du = dists.select(F.col("vertex_id").alias("u"), F.col("dist").alias("du"))
+    parents = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(dv, "v")
+        .join(du, "u")
+        .filter(F.col("du") == F.col("dv") - 1)
+        .groupBy("v")
+        .agg(F.min("u").alias("parent"))
+    )
+    parents = materialize(parents)
+    rows = [(d_dst, int(dst))]
+    cur = int(dst)
+    for step in range(d_dst, 0, -1):
+        cur = int(
+            parents.filter(F.col("v") == cur).collect()[0]["parent"]
+        )
+        rows.append((step - 1, cur))
+    release(parents)
+    out = spark.createDataFrame(sorted(rows), "step int, vertex_id long")
+    return out

@@ -193,3 +193,32 @@ def test_closeness_exact_vs_networkx(spark):
     for v in exp2:
         assert got2[v][0] == pytest.approx(exp2[v], abs=1e-6)
     assert got2[9] == (0.0, 0)
+
+
+def test_shortest_path_extraction(spark):
+    """Extracted path is a valid shortest path with the deterministic
+    min-parent rule, on a fixture with multiple equal-length paths; empty
+    when unreachable."""
+    from csd363_sin_spark.operators.bfs import shortest_path
+
+    # diamond: 0-1-3, 0-2-3 both length 2 -> parent rule picks min id (1)
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+    path = [
+        (r["step"], r["vertex_id"])
+        for r in shortest_path(g, 0, 4).orderBy("step").collect()
+    ]
+    assert path == [(0, 0), (1, 1), (2, 3), (3, 4)]
+    # distances match nx; the path is genuinely shortest
+    nxg = graph_to_networkx(g)
+    assert len(path) - 1 == nx.shortest_path_length(nxg, 0, 4)
+    # unreachable -> empty
+    g2 = graph_from_edges(spark, [(0, 1), (5, 6)])
+    assert shortest_path(g2, 0, 6).count() == 0
+    # both dispatch paths of the underlying BFS agree
+    path_dist = [
+        (r["step"], r["vertex_id"])
+        for r in shortest_path(g, 0, 4, local_edges_threshold=0)
+        .orderBy("step")
+        .collect()
+    ]
+    assert path_dist == path
