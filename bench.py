@@ -155,8 +155,11 @@ def main() -> None:
     timed("square_total", lambda: square_total(g).collect())
     timed(
         "node2vec_walks",
+        # production hash family: one hash per (walk, neighbor) candidate
+        # is the step's hot cost; md5 is the oracle-portable gate mode
         lambda: node2vec_walks(
-            entrymod._named_edges(spark, sf_dir), walk_length=4
+            entrymod._named_edges(spark, sf_dir), walk_length=4,
+            hash_mode="xxhash64",
         ).count(),
     )
     timed("quality_filter", lambda: quality_filter(docs).count())

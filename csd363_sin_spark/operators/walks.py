@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from csd363_sin_spark.functions.dedup import portable_hash64
+from csd363_sin_spark.functions.dedup import _hash64
 from csd363_sin_spark.plans.lineage import materialize
 
 
@@ -35,12 +35,19 @@ def random_walks(
     walk_length: int = 4,
     walks_per_vertex: int = 2,
     salt: str = "walk",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Uniform random walks over actor-named edges
     ``(src_actor, dst_actor, ...)``: returns ``(start_actor, walk_id,
     step, actor)`` — one row per visited position, step 0 = the start
     vertex itself.  Deterministic: a pure function of the edge set and
-    the salt."""
+    the salt.
+
+    ``hash_mode``: "md5" (the oracle-portable family the gate and python
+    mirrors replay) or "xxhash64" (production — JVM-fused, several times
+    cheaper per candidate row; the hot cost of a walk step is ONE hash
+    per (walk, neighbor) candidate).  Same algorithm either way, exactly
+    like the dedup family's hash_mode."""
     sym = (
         edges_named.select(
             F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
@@ -74,7 +81,7 @@ def random_walks(
             "start_actor",
             "walk_id",
             F.col("v").alias("cand"),
-            portable_hash64(
+            _hash64(
                 F.concat_ws(
                     ":",
                     F.lit(salt),
@@ -82,16 +89,23 @@ def random_walks(
                     F.col("walk_id").cast("string"),
                     F.lit(str(step)),
                     F.col("v"),
-                )
+                ),
+                None,
+                hash_mode,
             ).alias("h"),
         )
-        w = Window.partitionBy("start_actor", "walk_id").orderBy("h", "cand")
+        # argmin as a map-side-combinable min_by aggregation (a row_number
+        # window here would full-sort-shuffle every candidate row per
+        # step; min_by reduces each input partition to one row per walk
+        # before the exchange).  (h, cand) is duplicate-free per walk, so
+        # the struct ordering is a total order — same winner as the spec.
         # NOTE: earlier states are NOT released — every step's state is a
         # slice of the returned corpus (frames below reference them)
         state = materialize(
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("start_actor", "walk_id", F.col("cand").alias("actor"))
+            cand.groupBy("start_actor", "walk_id")
+            .agg(
+                F.min_by("cand", F.struct("h", "cand")).alias("actor")
+            )
         )
         frames.append(state.withColumn("step", F.lit(step).cast("long")))
         if state.isEmpty():
@@ -115,6 +129,7 @@ def node2vec_walks(
     p_cost: int = 2,
     q_cost: int = 2,
     salt: str = "n2v",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Second-order (node2vec-style) biased walks, derandomized.
 
@@ -186,7 +201,7 @@ def node2vec_walks(
             "prev_actor",
             F.col("v").alias("cand"),
             F.pmod(
-                portable_hash64(
+                _hash64(
                     F.concat_ws(
                         ":",
                         F.lit(salt),
@@ -194,7 +209,9 @@ def node2vec_walks(
                         F.col("walk_id").cast("string"),
                         F.lit(str(step)),
                         F.col("v"),
-                    )
+                    ),
+                    None,
+                    hash_mode,
                 ),
                 F.lit(N2V_HASH_MOD),
             ).alias("h"),
@@ -219,16 +236,19 @@ def node2vec_walks(
             "cand",
             (F.col("h") * cost).alias("score"),
         )
-        w = Window.partitionBy("start_actor", "walk_id").orderBy("score", "cand")
+        # argmin via map-side-combinable min_by (see random_walks); cur is
+        # functionally dependent on the walk so it joins the group key
         # NOTE: earlier states are NOT released — every step's state is a
         # slice of the returned corpus (frames below reference them)
         state = materialize(
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            scored.groupBy("start_actor", "walk_id", "cur")
+            .agg(
+                F.min_by("cand", F.struct("score", "cand")).alias("actor")
+            )
             .select(
                 "start_actor",
                 "walk_id",
-                F.col("cand").alias("actor"),
+                "actor",
                 F.col("cur").alias("prev_actor"),
             )
         )
