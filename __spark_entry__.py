@@ -1746,6 +1746,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(_docs(spark, sf_dir), n=3, threshold=0.5, hash_mode="md5")
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2021,
+    arXiv:2107.06499, fixed 6-token rolling windows): spans of tokens
+    whose exact k-gram occurs >= 2 times anywhere in the corpus, merged
+    to maximal per-document extents.  Oracle-checked end to end: window
+    explode + HAVING count >= 2 + gaps-and-islands mirrored in DuckDB."""
+    from csd363_sin_spark.functions.dedup import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), k=6, min_count=2, hash_mode="md5")
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cleaning step: drop every token covered by a duplicated
+    span (drop-all mode), emitting the surviving normalized text.
+    Oracle-checked: the spans pipeline + positional anti-semantics NOT
+    EXISTS + ordered string_agg mirrored in DuckDB."""
+    from csd363_sin_spark.functions.dedup import strip_repeated_spans
+
+    return strip_repeated_spans(_docs(spark, sf_dir), k=6, min_count=2, hash_mode="md5")
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding (hamming <= 3), oracle-checked: 60-bit md5-portable
     hash family (the production default stays 64-bit xxhash64).
@@ -2270,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "repeated_spans": q_repeated_spans,
+        "strip_spans": q_strip_spans,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3693,6 +3716,90 @@ JOIN csize s USING (canonical_doc_id)
     )
 
 
+def _spans_prefix(k: int = 6, min_count: int = 2) -> str:
+    """Shared ExactSubstr spans pipeline: k-token rolling windows over the
+    shared tokenizer, HAVING count >= min_count (occurrence semantics, not
+    document semantics), gaps-and-islands merge — mirroring
+    functions/dedup.py repeated_spans(hash_mode="md5") exactly (the oracle
+    groups by the window STRING; the engine groups by its injective-at-
+    this-scale 64-bit hash — identical duplicated-window sets)."""
+    return (
+        _DOC_PRELUDE
+        + f"""
+, w AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {k} + 2)) AS start, toks
+  FROM toksrc WHERE len(toks) >= {k}
+), h AS (
+  SELECT doc_id, start,
+         array_to_string(list_slice(toks, start, start + {k - 1}), ' ') AS win
+  FROM w
+), c AS (SELECT win FROM h GROUP BY win HAVING count(*) >= {min_count}),
+d AS (
+  SELECT h.doc_id, h.start, h.start + {k - 1} AS fin
+  FROM h JOIN c USING (win)
+), g AS (
+  SELECT doc_id, start, fin,
+    CASE WHEN start > coalesce(max(fin) OVER (
+        PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      THEN 1 ELSE 0 END AS new_span
+  FROM d
+), si AS (
+  SELECT doc_id, start, fin,
+    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+  FROM g
+), spans AS (
+  SELECT doc_id,
+    CAST(min(start) AS BIGINT) AS span_start,
+    CAST(max(fin) AS BIGINT) AS span_end,
+    CAST(max(fin) - min(start) + 1 AS BIGINT) AS span_tokens,
+    CAST(count(*) AS BIGINT) AS n_windows
+  FROM si GROUP BY doc_id, span_id
+)
+"""
+    )
+
+
+def _repeated_spans_sql(k: int = 6, min_count: int = 2) -> str:
+    return (
+        _spans_prefix(k=k, min_count=min_count)
+        + "SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans"
+    )
+
+
+def _strip_spans_sql(k: int = 6, min_count: int = 2) -> str:
+    """strip_repeated_spans oracle: positions covered by any duplicated
+    span are dropped (NOT EXISTS range probe), survivors re-joined in
+    position order; empty-raw-text docs carry zero tokens (the engine's
+    guard on trim(text))."""
+    return (
+        _spans_prefix(k=k, min_count=min_count)
+        + """
+, tsrc AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE toks END AS t
+  FROM toksrc
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM tsrc
+), tk AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk.doc_id
+      AND tk.i BETWEEN s.span_start AND s.span_end
+  )
+)
+SELECT t.doc_id,
+  CAST(len(t.t) AS BIGINT) AS n_tokens,
+  CAST(len(t.t) - count(k.i) AS BIGINT) AS n_removed,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+FROM tsrc t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.t)
+"""
+    )
+
+
 def _simhash_sql(
     n: int = 2, bits: int = 60, bands: int = 4, max_hamming: int = 3
 ) -> str:
@@ -5025,6 +5132,8 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         # engine's large-star/small-star CC kernel over the pair graph
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "repeated_spans": _repeated_spans_sql(),
+        "strip_spans": _strip_spans_sql(),
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -543,3 +543,157 @@ def bloom_contamination(
             "flagged_frac"
         ),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Cross-document repeated-span detection — the fixed-window
+    approximation of ExactSubstr deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), which the suffix-array original cannot do
+    distributed; every production Spark pipeline uses this k-token
+    rolling-window form instead.
+
+    A k-token window (shared tokenizer) is *duplicated* when the exact
+    same token sequence occurs >= ``min_count`` times anywhere in the
+    corpus (across documents OR repeated within one document — the
+    paper's semantics count occurrences, not documents).  Overlapping or
+    adjacent duplicated windows within a document merge into maximal
+    spans.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_windows)``
+    with 1-based inclusive token positions and ``n_windows`` the number
+    of duplicated k-windows the span absorbed.
+
+    Scale shape: one tokenize + window explode (O(total tokens) rows,
+    map-side), one map-side-combined count by 64-bit window hash — never
+    by the string, so the shuffle carries 8-byte keys — one semi-join
+    back (no pair explosion anywhere: duplicated windows are *counted*,
+    not paired), then a per-document gaps-and-islands window function
+    (partitioned by doc_id, bounded by tokens/doc).  ``hash_mode="md5"``
+    is the engine-portable gate family; ``"xxhash64"`` the production
+    family (identical plan shape, cheaper hash).
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, "doc_id").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    wins = (
+        base.filter(F.size(toks) >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ).alias("pos0", "win"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("start"),
+            _hash64(F.col("win"), None, hash_mode).alias("win_hash"),
+        )
+    )
+    dup_hashes = (
+        wins.groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("win_hash")
+    )
+    dup_wins = wins.join(dup_hashes, "win_hash", "left_semi").select(
+        "doc_id", "start", (F.col("start") + k - 1).alias("end")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = dup_wins.withColumn(
+        "new_span",
+        F.when(
+            F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("new_span").over(w_ord))
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Remove every token covered by a duplicated span (repeated_spans
+    semantics): the ExactSubstr cleaning step, dropping ALL occurrences
+    of >= min_count-repeated k-token sequences, exactly as Lee et al.
+    2021 do ("we remove all but one" is their alternate mode; the
+    drop-all mode is bias-free and deterministic without a global
+    occurrence order, so it is the one distributed pipelines ship).
+
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` joins the surviving shared-tokenizer tokens (so the
+    output is engine-portable, like chunk_documents) and documents with
+    no duplicated spans pass through with ``n_removed = 0``.
+
+    Scale shape: repeated_spans + one collect_list of the (few) spans
+    per document joined back to the token arrays, then a pure map-side
+    indexed-filter over each array — no second shuffle over tokens.
+    """
+    spans = (
+        repeated_spans(docs, k=k, min_count=min_count, hash_mode=hash_mode)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.length(F.trim(F.col("text"))) == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(_tokens(F.col("text")))
+        .alias("toks"),
+    )
+    joined = base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    n_toks = F.size("toks")
+    return joined.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        (n_toks - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

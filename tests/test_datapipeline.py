@@ -875,3 +875,61 @@ def test_pca_top_component_vs_numpy(spark):
     top = evecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_repeated_spans_hand_computed(spark):
+    """ExactSubstr fixed-window spans (Lee et al. 2021): shared 4-gram
+    across docs 1/2 merges overlapping windows into one maximal span;
+    within-doc repetition counts toward min_count; unique text yields
+    no spans."""
+    from csd363_sin_spark.functions.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens -> two 4-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3 u4"),        # span at tokens 3..7
+            (2, f"{shared} v1 v2 v3"),            # span at tokens 1..5
+            (3, "w1 w2 rep rep rep rep rep w3"),  # within-doc 4-gram x2
+            (4, "x1 x2 x3 x4 x5 x6 x7 x8"),       # unique -> nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+        for r in repeated_spans(docs, k=4, min_count=2).collect()
+    }
+    # doc 1: windows starting at 3 and 4 (1-based) merge -> span 3..7
+    assert got[1] == (3, 7, 5, 2)
+    assert got[2] == (1, 5, 5, 2)
+    # doc 3: "rep rep rep rep" occurs at starts 3 and 4 -> span 3..7
+    assert got[3] == (3, 7, 5, 2)
+    assert 4 not in got
+    # production hash family: identical span set
+    got_xx = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+        for r in repeated_spans(docs, k=4, min_count=2, hash_mode="xxhash64").collect()
+    }
+    assert got_xx == got
+
+
+def test_strip_repeated_spans_hand_computed(spark):
+    from csd363_sin_spark.functions.dedup import strip_repeated_spans
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3"),   # 7 tokens, drop 3..6
+            (2, f"{shared} v1"),          # 5 tokens, drop 1..4
+            (3, "clean text only here"),  # untouched
+            (4, "   "),                    # empty -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in strip_repeated_spans(docs, k=4, min_count=2).collect()
+    }
+    assert got[1] == (7, 4, "u1 u2 u3")
+    assert got[2] == (5, 4, "v1")
+    assert got[3] == (4, 0, "clean text only here")
+    assert got[4] == (0, 0, "")
