@@ -1604,6 +1604,19 @@ def q_shard_by_budget_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shard_by_budget(spark, sf_dir, 0)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style token-stream packing: the corpus concatenated in the
+    deterministic md5-shuffled order and cut every 64 tokens, one row per
+    (sequence x document) fragment with exact token provenance.
+    Oracle-checked end to end: the two-phase prefix sum is a global
+    ordered window in SQL; fragment math and slices mirrored verbatim."""
+    from csd363_sin_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), seq_tokens=64, shuffle_salt="packshuffle"
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: 3-gram overlap of every candidate
     doc against a deterministic ~5% 'benchmark' subset (md5 bucket of
@@ -2293,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "repeated_spans": q_repeated_spans,
         "strip_spans": q_strip_spans,
+        "pack_sequences": q_pack_sequences,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3800,6 +3814,46 @@ GROUP BY t.doc_id, len(t.t)
     )
 
 
+def _pack_sequences_sql(c: int = 64, salt: str = "packshuffle") -> str:
+    """pack_sequences oracle: md5-shuffled order, global-window prefix sum
+    (the engine uses the two-phase range-partition plan — same integers),
+    then each doc explodes onto the sequence ids it overlaps with verbatim
+    fragment math."""
+    return (
+        _DOC_PRELUDE
+        + f"""
+, t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE toks END AS tk
+  FROM toksrc
+), nz AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    {_ph(f"'{salt}:' || CAST(doc_id AS VARCHAR)")} AS ord
+  FROM t WHERE len(tk) > 0
+), o AS (
+  SELECT doc_id, tk, n,
+    CAST(coalesce(sum(n) OVER (ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM nz
+), e AS (
+  SELECT doc_id, tk, n, off,
+    unnest(range(off // {c}, (off + n - 1) // {c} + 1)) AS seq_id
+  FROM o
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(off, seq_id * {c}) - seq_id * {c} AS BIGINT) AS seq_offset,
+  doc_id,
+  CAST(greatest(off, seq_id * {c}) - off + 1 AS BIGINT) AS doc_start,
+  CAST(least(off + n, (seq_id + 1) * {c}) - greatest(off, seq_id * {c})
+       AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(tk,
+      greatest(off, seq_id * {c}) - off + 1,
+      least(off + n, (seq_id + 1) * {c}) - off), ' ') AS frag_text
+FROM e
+"""
+    )
+
+
 def _simhash_sql(
     n: int = 2, bits: int = 60, bands: int = 4, max_hamming: int = 3
 ) -> str:
@@ -5134,6 +5188,7 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         "dedup_keep_best": _dedup_keep_best_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "strip_spans": _strip_spans_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -210,3 +210,114 @@ def explode_copies(df: DataFrame) -> DataFrame:
         "copy_idx",
         F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int = 128,
+    shuffle_salt: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style token-stream packing: concatenate the corpus in a
+    deterministic order and cut it every ``seq_tokens`` tokens — the
+    standard pretraining sequence-preparation step (documents split at
+    sequence boundaries; no padding waste, unlike per-document chunking).
+
+    Order: ``doc_id`` ascending, or — with ``shuffle_salt`` — the
+    engine-portable md5 order ``(portable_hash64(salt:doc_id), doc_id)``,
+    the deterministic corpus shuffle every trainer wants (reproducible
+    across runs/retries/partitionings, no ``rand()``).
+
+    Returns one row per (sequence x document) fragment:
+    ``(seq_id, seq_offset, doc_id, doc_start, n_tokens, frag_text)`` with
+    ``seq_offset`` the fragment's 0-based position inside the sequence,
+    ``doc_start`` the 1-based token offset inside the document, and
+    ``frag_text`` the fragment's shared-tokenizer tokens — so
+    ``GROUP BY seq_id ORDER BY seq_offset`` reassembles exact
+    ``seq_tokens``-length training rows (the tail sequence may be short).
+
+    Scale shape: the global token offset is the same two-phase prefix
+    sum as :func:`shard_by_token_budget` (range-repartition on the order
+    key, per-partition running sums, one collected row per partition —
+    never a single-partition global window), then a pure map-side
+    ``sequence`` explode of each document onto the sequences it overlaps
+    (output rows ~ docs + tokens/seq_tokens, no shuffle after the
+    prefix sum).
+    """
+    from pyspark.sql import Window
+
+    from csd363_sin_spark.functions.text import _tokens
+    from csd363_sin_spark.plans.lineage import materialize
+
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = max(1, spark.sparkContext.defaultParallelism)
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.length(F.trim(F.col("text"))) == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(_tokens(F.col("text")))
+        .alias("toks"),
+    ).withColumn("n", F.size("toks").cast("long"))
+    base = base.filter(F.col("n") > 0)
+    if shuffle_salt is not None:
+        okey = portable_hash64(
+            F.concat(F.lit(shuffle_salt + ":"), F.col("doc_id").cast("string"))
+        )
+    else:
+        okey = F.col("doc_id").cast("long")
+    parted = (
+        base.withColumn("_ord", okey)
+        .repartitionByRange(num_partitions, "_ord", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = parted.groupBy("_pid").agg(F.sum("n").alias("t")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["t"])
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("_offset")).alias("off")
+    placed = parted.join(F.broadcast(offset_df), "_pid").select(
+        "doc_id", "toks", "n", off
+    )
+    c = F.lit(int(seq_tokens))
+    exploded = placed.select(
+        "doc_id",
+        "toks",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / c),
+                F.floor((F.col("off") + F.col("n") - 1) / c),
+            )
+        ).alias("seq_id"),
+    )
+    gstart = F.greatest(F.col("off"), F.col("seq_id") * c)
+    gend = F.least(F.col("off") + F.col("n"), (F.col("seq_id") + 1) * c)
+    doc_start = gstart - F.col("off") + 1
+    out = exploded.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (gstart - F.col("seq_id") * c).cast("long").alias("seq_offset"),
+        "doc_id",
+        doc_start.cast("long").alias("doc_start"),
+        (gend - gstart).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), doc_start.cast("int"), (gend - gstart).cast("int")),
+            " ",
+        ).alias("frag_text"),
+    )
+    out = materialize(out)
+    parted.unpersist()
+    return out

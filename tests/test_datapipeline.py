@@ -933,3 +933,49 @@ def test_strip_repeated_spans_hand_computed(spark):
     assert got[2] == (5, 4, "v1")
     assert got[3] == (4, 0, "clean text only here")
     assert got[4] == (0, 0, "")
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Token-stream packing: doc_id order (no salt), capacity 4.
+    Stream: d1 = a b c (3), d2 = d e f g h (5), d3 = i (1) ->
+    seq0 = a b c d, seq1 = e f g h, seq2 = i."""
+    from csd363_sin_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, "i"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (
+            (r["seq_id"], r["seq_offset"], r["doc_id"], r["doc_start"],
+             r["n_tokens"], r["frag_text"])
+            for r in pack_sequences(docs, seq_tokens=4).collect()
+        )
+    )
+    assert rows == [
+        (0, 0, 1, 1, 3, "a b c"),
+        (0, 3, 2, 1, 1, "d"),
+        (1, 0, 2, 2, 4, "e f g h"),
+        (2, 0, 3, 1, 1, "i"),
+    ]
+    # reassembly invariant under the shuffled order: every sequence except
+    # the last is exactly full, and the token multiset is preserved
+    long_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    frags = pack_sequences(long_docs, seq_tokens=8, shuffle_salt="s").collect()
+    total = sum(r["n_tokens"] for r in frags)
+    assert total == sum(i % 7 + 1 for i in range(40))
+    per_seq = {}
+    for r in frags:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    last = max(per_seq)
+    assert all(v == 8 for s, v in per_seq.items() if s != last)
+    assert 0 < per_seq[last] <= 8
+    # fragment texts concatenate to each doc's normalized tokens
+    by_doc = {}
+    for r in sorted(frags, key=lambda r: (r["doc_id"], r["doc_start"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["frag_text"])
+    for i in range(40):
+        assert " ".join(by_doc[i]) == " ".join(f"w{i}t{j}" for j in range(i % 7 + 1))
