@@ -163,6 +163,18 @@ def main() -> None:
         ).count(),
     )
     timed("quality_filter", lambda: quality_filter(docs).count())
+    from csd363_sin_spark.functions.dedup import repeated_spans
+    from csd363_sin_spark.functions.sampling import pack_sequences
+
+    timed(
+        "repeated_spans",
+        # production hash family; the md5 family is the oracle gate mode
+        lambda: repeated_spans(docs, k=6, hash_mode="xxhash64").count(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: pack_sequences(docs, seq_tokens=512, shuffle_salt="s").count(),
+    )
     timed(
         "hll_tool_reach",
         lambda: entrymod.q_hll_tool_reach(spark, sf_dir).count(),
