@@ -159,6 +159,16 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_four_clique_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K4 count via ordered-join clique listing (each a<b<c<d
+    emitted once); SQL mirror pairs triangles sharing their smallest
+    edge (materialized tri CTE — the naive six-join stalls DuckDB's
+    join-order optimizer)."""
+    from csd363_sin_spark.operators.triangles import four_clique_total
+
+    return four_clique_total(_graph(spark, sf_dir))
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficients phi(k) for k in {1,2,4,8,16} — density of
     the subgraph of vertices with degree > k."""
@@ -2170,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
         "square_total": q_square_total,
+        "four_clique_total": q_four_clique_total,
         "clustering_coefficient": q_clustering_coefficient,
         "transitivity": q_transitivity,
         "ego_stats": q_ego_stats,
@@ -4201,6 +4212,19 @@ SELECT count(*) AS triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst_actor = e2.src_actor
 JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+""",
+        "four_clique_total": p
+        + """
+, tri AS MATERIALIZED (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src_actor = e1.dst_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+)
+SELECT count(*) AS cliques4
+FROM tri t1
+JOIN tri t2 ON t2.a = t1.a AND t2.b = t1.b AND t1.c < t2.c
+JOIN edges e ON e.src_actor = t1.c AND e.dst_actor = t2.c
 """,
         "rich_club": p
         + """

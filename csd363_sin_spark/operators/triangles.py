@@ -128,6 +128,35 @@ def square_total(graph: Graph) -> DataFrame:
     )
 
 
+def four_clique_total(graph: Graph) -> DataFrame:
+    """Exact 4-clique (K4) count: one row ``(cliques4 long)``.
+
+    Ordered-join clique listing (Chiba-Nishizeki style): every K4
+    {a < b < c < d} is the unique extension of the ordered triangle
+    (a, b, c) by a vertex d adjacent to all three with d > c, so
+
+        K4 = triangles(a,b,c) JOIN e(c,d) JOIN e(b,d) JOIN e(a,d)
+
+    on the canonical (src < dst) edge table emits each clique exactly
+    once.  The (c, d) join runs first: it is the most selective
+    (d must exceed the triangle's largest vertex), so the two remaining
+    joins filter an already-small candidate set.  All equi-joins —
+    Catalyst picks sort-merge, AQE splits skewed hub keys.  Scale note:
+    exact clique counting is inherently O(m * alpha^2) (alpha =
+    degeneracy); deployments on hub-heavy graphs should re-canonicalize
+    edges by (degree, id) rank first — degeneracy ordering bounds the
+    join fan-out by the core number instead of the max degree; the
+    id-ordered form keeps the SQL oracle verbatim.
+    """
+    e = graph.edges.select("src", "dst").distinct()
+    tri = _closed_wedges(graph)
+    ad = e.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    bd = e.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    cd = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    k4 = tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
+    return k4.agg(F.count(F.lit(1)).cast("long").alias("cliques4"))
+
+
 def ego_stats(graph: Graph) -> DataFrame:
     """Per-vertex ego-network profile: ``(vertex_id, degree, ego_n,
     ego_edges, ego_density)`` where the ego net of v is {v} + N(v), its

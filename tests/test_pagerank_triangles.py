@@ -225,6 +225,44 @@ def test_square_total_vs_trace_formula(spark):
     ).collect()[0]["squares"] == 0
 
 
+def test_four_clique_total_vs_enumeration(spark):
+    """K4 count vs brute-force enumeration + hand anchors."""
+    import itertools
+    import random
+
+    from csd363_sin_spark.operators.triangles import four_clique_total
+
+    rng = random.Random(11)
+    n = 13
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if rng.random() < 0.35
+    ]
+    g = graph_from_edges(spark, edges)
+    eset = {frozenset(e) for e in edges}
+    exact = sum(
+        1
+        for quad in itertools.combinations(range(n), 4)
+        if all(
+            frozenset(p) in eset for p in itertools.combinations(quad, 2)
+        )
+    )
+    assert four_clique_total(g).collect()[0]["cliques4"] == exact
+    # hand anchors: K4 has 1; K5 has C(5,4)=5; C4 and a triangle have 0
+    k5 = graph_from_edges(
+        spark, [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    )
+    assert four_clique_total(k5).collect()[0]["cliques4"] == 5
+    assert four_clique_total(
+        graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ).collect()[0]["cliques4"] == 0
+    assert four_clique_total(
+        graph_from_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    ).collect()[0]["cliques4"] == 0
+
+
 def test_transitivity_vs_networkx(spark):
     from csd363_sin_spark.operators.triangles import transitivity
 
