@@ -778,6 +778,18 @@ def q_nmi_fixed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(v, 6),)], "nmi double")
 
 
+def q_ari_fixed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index between the two fixed gate partitions —
+    pair-counting agreement with chance correction, fully mirrored in
+    SQL (contingency + marginal binomials)."""
+    from csd363_sin_spark.functions.metrics import adjusted_rand
+
+    v = adjusted_rand(
+        _assign(spark, sf_dir, _part_spark()), _assign(spark, sf_dir, _part2_spark())
+    )
+    return spark.createDataFrame([(round(v, 6),)], "ari double")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (iterative fixpoint; not ANSI-SQL-expressible).
 
@@ -2238,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
         "nmi_fixed_partitions": q_nmi_fixed_partitions,
+        "ari_fixed_partitions": q_ari_fixed_partitions,
         "split_disconnected": q_split_disconnected,
         # iterative operators (SURVEY §2.2/2.3) — rows-only
         "pagerank": q_pagerank,
@@ -4783,6 +4796,30 @@ SELECT round(CASE
   WHEN ((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0 = 0 OR (SELECT mi FROM mi) = 0 THEN 0.0
   ELSE LEAST(1.0, (SELECT mi FROM mi) / (((SELECT h FROM hu) + (SELECT h FROM hv)) / 2.0))
 END, 6) AS nmi
+""",
+        "ari_fixed_partitions": p
+        + f"""
+, lab AS (
+  SELECT {part} AS pred, {_PART2_SQL} AS "true" FROM verts
+),
+cont AS (SELECT pred, "true", CAST(count(*) AS DOUBLE) AS n_ij FROM lab GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_ij) AS DOUBLE) AS n FROM cont),
+sij AS (SELECT COALESCE(sum(n_ij * (n_ij - 1) / 2.0), 0) AS s FROM cont),
+sa AS (SELECT COALESCE(sum(a_i * (a_i - 1) / 2.0), 0) AS s
+       FROM (SELECT sum(n_ij) AS a_i FROM cont GROUP BY pred)),
+sb AS (SELECT COALESCE(sum(b_j * (b_j - 1) / 2.0), 0) AS s
+       FROM (SELECT sum(n_ij) AS b_j FROM cont GROUP BY "true")),
+parts AS (
+  SELECT (SELECT s FROM sij) AS sij, (SELECT s FROM sa) AS sa,
+         (SELECT s FROM sb) AS sb,
+         (SELECT s FROM sa) * (SELECT s FROM sb)
+           / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1) / 2.0) AS expected
+)
+SELECT round(CASE
+  WHEN (sa + sb) / 2.0 = expected THEN 1.0
+  ELSE (sij - expected) / ((sa + sb) / 2.0 - expected)
+END, 6) AS ari
+FROM parts
 """,
         "zipf_fit": _DOC_PRELUDE
         + """

@@ -223,6 +223,55 @@ def nmi(assign: DataFrame, ground_truth: DataFrame) -> float:
     return min(1.0, mi / denom)
 
 
+def adjusted_rand(assign: DataFrame, ground_truth: DataFrame) -> float:
+    """Adjusted Rand index between two labelings, sklearn-compatible
+    (pair-counting with expected-index correction; complements
+    reference evaluation.py's NMI as a chance-corrected agreement
+    score).
+
+    ``assign``: (vertex_id, comm); ``ground_truth``: (vertex_id, comm).
+    Computed on the overlap only: one contingency aggregation, then
+    three scalar aggregates over the (tiny) contingency table —
+    distributed regardless of label cardinality.
+    """
+    pred = assign.select("vertex_id", F.col("comm").alias("pred"))
+    true = ground_truth.select("vertex_id", F.col("comm").alias("true"))
+    joined = pred.join(true, "vertex_id")
+    cont = joined.groupBy("pred", "true").agg(F.count(F.lit(1)).alias("n_ij"))
+    cont = cont.persist()
+    n = cont.agg(F.sum("n_ij")).collect()[0][0]
+    if not n or n < 2:
+        cont.unpersist()
+        return 1.0 if n else 0.0
+    n = float(n)
+    c2 = lambda c: c * (c - 1.0) / 2.0  # noqa: E731
+    sum_ij = float(
+        cont.agg(F.sum(c2(F.col("n_ij").cast("double")))).collect()[0][0] or 0.0
+    )
+    sum_a = float(
+        cont.groupBy("pred")
+        .agg(F.sum("n_ij").alias("a_i"))
+        .agg(F.sum(c2(F.col("a_i").cast("double"))))
+        .collect()[0][0]
+        or 0.0
+    )
+    sum_b = float(
+        cont.groupBy("true")
+        .agg(F.sum("n_ij").alias("b_j"))
+        .agg(F.sum(c2(F.col("b_j").cast("double"))))
+        .collect()[0][0]
+        or 0.0
+    )
+    cont.unpersist()
+    expected = sum_a * sum_b / c2(n)
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        # both labelings trivial (all one cluster / all singletons):
+        # sklearn returns 1.0
+        return 1.0
+    return (sum_ij - expected) / (max_index - expected)
+
+
 def evaluate_all(
     graph: Graph,
     assign: DataFrame,

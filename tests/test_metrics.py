@@ -114,6 +114,50 @@ def test_nmi_partial_overlap(spark):
     assert nmi(a, b) == pytest.approx(oracle_nmi(pred, true), abs=1e-12)
 
 
+def _oracle_ari(pred: dict, true: dict) -> float:
+    """Pair-counting ARI over the key overlap — independent oracle."""
+    import itertools
+
+    keys = sorted(set(pred) & set(true))
+    if len(keys) < 2:
+        return 1.0 if keys else 0.0
+    same_p = same_t = same_both = 0
+    total = 0
+    for u, v in itertools.combinations(keys, 2):
+        sp, st = pred[u] == pred[v], true[u] == true[v]
+        same_p += sp
+        same_t += st
+        same_both += sp and st
+        total += 1
+    expected = same_p * same_t / total
+    max_index = (same_p + same_t) / 2.0
+    if max_index == expected:
+        return 1.0
+    return (same_both - expected) / (max_index - expected)
+
+
+def test_adjusted_rand_against_oracle(spark, medium):
+    from csd363_sin_spark.functions.metrics import adjusted_rand
+
+    g, nxg, partitions = medium
+    pred = partitions["louvain"]
+    true = partitions["mod4"]
+    a = _assign_df(spark, pred)
+    b = _assign_df(spark, true)
+    assert adjusted_rand(a, b) == pytest.approx(_oracle_ari(pred, true), abs=1e-9)
+    # identity => 1; vs single cluster => 0 (chance-corrected)
+    assert adjusted_rand(a, a) == pytest.approx(1.0, abs=1e-12)
+    ones = _assign_df(spark, {v: 0 for v in pred})
+    assert adjusted_rand(ones, ones) == pytest.approx(1.0)
+    assert adjusted_rand(a, ones) == pytest.approx(0.0, abs=1e-12)
+    # partial overlap: computed on the joined keys only
+    p2 = {0: 0, 1: 0, 2: 1, 3: 1, 9: 4}
+    t2 = {0: 5, 1: 5, 2: 5, 3: 6, 8: 7}
+    assert adjusted_rand(
+        _assign_df(spark, p2), _assign_df(spark, t2)
+    ) == pytest.approx(_oracle_ari(p2, t2), abs=1e-12)
+
+
 def test_evaluate_all_bundle(spark, medium):
     g, nxg, partitions = medium
     part = partitions["louvain"]
