@@ -448,6 +448,24 @@ _MIS_GATE_ROUNDS = 4  # fixpoint at sf0.01 is 2 rounds; margin
 _COLOR_GATE_ROUNDS = 34  # fixpoint at sf0.01 is 28 colors; margin
 
 
+_MATCH_GATE_ROUNDS = 12  # fixpoint at sf0.01 measured well below; margin
+
+
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: deterministic maximal matching (Israeli-Itai
+    handshake derandomized with portable md5 edge priorities — an edge
+    matches iff it is the priority minimum at BOTH endpoints), every
+    round mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import maximal_matching
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return maximal_matching(
+        g.vertices.select("actor"), edges, max_rounds=_MATCH_GATE_ROUNDS
+    )
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: deterministic Luby maximal independent set
     (portable-hash priorities; strict-local-min rule), every round
@@ -2216,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_graph_stats": q_temporal_graph_stats,
         "random_walks": q_random_walks,
         "mis": q_mis,
+        "maximal_matching": q_maximal_matching,
         "hash_coloring": q_hash_coloring,
         "wl_refinement": q_wl_refinement,
         "actor_type_mixing": q_actor_type_mixing,
@@ -3389,6 +3408,54 @@ FROM verts v LEFT JOIN sel m USING (actor)
     return "".join(parts)
 
 
+def _matching_sql(salt: str, rounds: int) -> str:
+    """Unrolled mirror of operators/coloring.py maximal_matching: round r
+    matches every live edge whose ``md5(salt:u|v)||':'||u|v`` priority is
+    the minimum over all live edges at both endpoints; matched endpoints
+    leave the live set.  Rounds beyond the fixpoint are empty; a cap
+    below the fixpoint leaves the same vertices unmatched in BOTH
+    engines."""
+    parts = [
+        f"""
+, l0 AS MATERIALIZED (
+  SELECT src_actor AS u, dst_actor AS v,
+         md5('{salt}:' || src_actor || '|' || dst_actor)
+           || ':' || src_actor || '|' || dst_actor AS prio
+  FROM edges WHERE src_actor <> dst_actor
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+me{r} AS MATERIALIZED (
+  SELECT actor, min(prio) AS minp FROM (
+    SELECT u AS actor, prio FROM l{r}
+    UNION ALL SELECT v AS actor, prio FROM l{r}
+  ) GROUP BY 1
+),
+mw{r} AS MATERIALIZED (
+  SELECT l.u, l.v FROM l{r} l
+  JOIN me{r} a ON a.actor = l.u AND a.minp = l.prio
+  JOIN me{r} b ON b.actor = l.v AND b.minp = l.prio
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT l.u, l.v, l.prio FROM l{r} l
+  WHERE l.u NOT IN (SELECT u FROM mw{r} UNION ALL SELECT v FROM mw{r})
+    AND l.v NOT IN (SELECT u FROM mw{r} UNION ALL SELECT v FROM mw{r})
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT u AS actor, v AS mate, {r} AS round FROM mw{r}"
+        f" UNION ALL SELECT v AS actor, u AS mate, {r} AS round FROM mw{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+, msel AS ({union})
+SELECT v.actor, COALESCE(m.mate, '') AS mate_actor,
+       CAST(COALESCE(m.round, -1) AS INT) AS match_round
+FROM verts v LEFT JOIN msel m USING (actor)
+""")
+    return "".join(parts)
+
+
 def _densest_sql(rounds: int, eps: float = 0.5) -> str:
     """Unrolled mirror of operators/coloring.py densest_subgraph: per
     round, density rho = m/n over the surviving set, peel vertices with
@@ -4511,6 +4578,7 @@ SELECT type_a, type_b, edges, weight,
 FROM tagg
 """,
         "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
+        "maximal_matching": p + _matching_sql("match", _MATCH_GATE_ROUNDS),
         "hash_coloring": p
         + _luby_sql("color", _COLOR_GATE_ROUNDS, remove_neighbors=False),
         "random_walks": p + _walks_sql()

@@ -162,6 +162,101 @@ def hash_coloring(
     )
 
 
+def _edge_prio(salt: str):
+    key = F.concat(F.col("u"), F.lit("|"), F.col("v"))
+    return F.concat(F.md5(F.concat(F.lit(salt + ":"), key)), F.lit(":"), key)
+
+
+def maximal_matching(
+    vertices_named: DataFrame,
+    edges_named: DataFrame,
+    salt: str = "match",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Deterministic maximal matching (Israeli & Itai 1986 style,
+    derandomized with the portable md5 hash family): in round r a live
+    edge is matched iff its priority string is the minimum over ALL live
+    edges sharing either endpoint; matched endpoints leave, repeat.
+    Distinct priorities (the u|v suffix breaks md5 ties) make winners
+    vertex-disjoint by construction, and the globally-minimum edge always
+    wins, so every round makes progress; in expectation over the hash
+    draw a constant fraction of live edges retires per round (O(log E)
+    rounds).
+
+    Returns ``(actor, mate_actor, match_round)`` for EVERY vertex —
+    ``mate_actor = ''`` / ``match_round = -1`` for unmatched vertices
+    (or the round cap hit first; SQL mirrors unroll the same cap, so
+    both engines agree regardless).
+
+    Scale shape per round: one endpoint-explode + min aggregation
+    (map-side combinable) + one self-annotating join + two anti-joins,
+    all O(E_live); the live set shrinks geometrically.  No reference
+    counterpart; included as a link-graph supporting operator."""
+    e = (
+        edges_named.filter(F.col("src_actor") != F.col("dst_actor"))
+        .select(
+            F.least("src_actor", "dst_actor").alias("u"),
+            F.greatest("src_actor", "dst_actor").alias("v"),
+        )
+        .distinct()
+    )
+    live = materialize(e.withColumn("prio", _edge_prio(salt)))
+    spark = vertices_named.sparkSession
+    picked: list[DataFrame] = []
+    for r in range(max_rounds):
+        if live.isEmpty():
+            break
+        ends = live.select(F.col("u").alias("actor"), "prio").unionAll(
+            live.select(F.col("v").alias("actor"), "prio")
+        )
+        minp = ends.groupBy("actor").agg(F.min("prio").alias("minp"))
+        mu = minp.select(F.col("actor").alias("u"), F.col("minp").alias("mu"))
+        mv = minp.select(F.col("actor").alias("v"), F.col("minp").alias("mv"))
+        winners = materialize(
+            live.join(mu, "u")
+            .join(mv, "v")
+            .filter((F.col("prio") == F.col("mu")) & (F.col("prio") == F.col("mv")))
+            .select("u", "v")
+        )
+        picked.append(winners.withColumn("round", F.lit(r)))
+        mvert = winners.select(F.col("u").alias("m")).unionAll(
+            winners.select(F.col("v").alias("m"))
+        )
+        prev = live
+        live = materialize(
+            prev.join(mvert.select(F.col("m").alias("u")), "u", "left_anti")
+            .join(mvert.select(F.col("m").alias("v")), "v", "left_anti")
+        )
+        release(prev)
+    release(live)
+    if picked:
+        pairs = picked[0]
+        for p in picked[1:]:
+            pairs = pairs.unionByName(p)
+    else:
+        pairs = spark.createDataFrame([], "u string, v string, round int")
+    mates = pairs.select(
+        F.col("u").alias("actor"), F.col("v").alias("mate_actor"), "round"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("actor"), F.col("u").alias("mate_actor"), "round"
+        )
+    )
+    out = materialize(
+        vertices_named.select("actor")
+        .distinct()
+        .join(mates, "actor", "left")
+        .select(
+            "actor",
+            F.coalesce("mate_actor", F.lit("")).alias("mate_actor"),
+            F.coalesce(F.col("round"), F.lit(-1)).cast("int").alias("match_round"),
+        )
+    )
+    for p in picked:
+        release(p)
+    return out
+
+
 def wl_refinement(
     vertices_named: DataFrame,
     edges_named: DataFrame,

@@ -109,6 +109,92 @@ def test_mis_round_cap_matches_mirror(spark):
     assert -1 in got.values()  # the cap genuinely bites on this graph
 
 
+def _edge_prio(salt, u, v):
+    key = f"{u}|{v}"
+    return hashlib.md5(f"{salt}:{key}".encode()).hexdigest() + ":" + key
+
+
+def _matching_mirror(adj, salt="match", max_rounds=20):
+    """Pure-python mirror of the derandomized handshake rule."""
+    live = {tuple(sorted((u, v))) for u in adj for v in adj[u]}
+    prio = {e: _edge_prio(salt, *e) for e in live}
+    out = {}
+    for r in range(max_rounds):
+        if not live:
+            break
+        minp = {}
+        for e in live:
+            for a in e:
+                if a not in minp or prio[e] < minp[a]:
+                    minp[a] = prio[e]
+        winners = {
+            e for e in live if prio[e] == minp[e[0]] and prio[e] == minp[e[1]]
+        }
+        for u, v in winners:
+            out[u] = (v, r)
+            out[v] = (u, r)
+        hit = {a for e in winners for a in e}
+        live = {e for e in live if e[0] not in hit and e[1] not in hit}
+    return out
+
+
+def test_maximal_matching_properties_and_mirror(spark):
+    from csd363_sin_spark.operators.coloring import maximal_matching
+
+    verts, edges, adj = _graph(spark)
+    got = {
+        r["actor"]: (r["mate_actor"], r["match_round"])
+        for r in maximal_matching(verts, edges).collect()
+    }
+    assert len(got) == len(adj)
+    matched = {a for a, (m, _) in got.items() if m}
+    # symmetry + edges exist + vertex-disjoint (mate's mate is self)
+    for a in matched:
+        mate = got[a][0]
+        assert got[mate][0] == a
+        assert mate in adj[a]
+        assert got[a][1] == got[mate][1]
+    # maximality: no edge joins two unmatched vertices
+    for a in set(adj) - matched:
+        assert not (adj[a] - matched), a
+        assert got[a] == ("", -1)
+    # exact python mirror of the derandomized rule
+    mirror = _matching_mirror(adj)
+    assert {a: v for a, v in got.items() if v[1] >= 0} == mirror
+    # determinism across runs
+    again = {
+        r["actor"]: (r["mate_actor"], r["match_round"])
+        for r in maximal_matching(verts, edges).collect()
+    }
+    assert got == again
+
+
+def test_maximal_matching_round_cap_and_anchors(spark):
+    from csd363_sin_spark.operators.coloring import maximal_matching
+
+    verts, edges, adj = _graph(spark)
+    got = {
+        r["actor"]: (r["mate_actor"], r["match_round"])
+        for r in maximal_matching(verts, edges, max_rounds=1).collect()
+    }
+    mirror = _matching_mirror(adj, max_rounds=1)
+    expected = {a: mirror.get(a, ("", -1)) for a in adj}
+    assert got == expected
+    # a triangle matches exactly one edge; the third vertex stays single
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)],
+        "src_actor string, dst_actor string, weight double",
+    )
+    v3 = e.selectExpr("src_actor AS actor").union(
+        e.selectExpr("dst_actor AS actor")
+    ).distinct()
+    rows = {r["actor"]: r for r in maximal_matching(v3, e).collect()}
+    n_matched = sum(1 for r in rows.values() if r["match_round"] >= 0)
+    assert n_matched == 2
+    single = next(a for a, r in rows.items() if r["match_round"] == -1)
+    assert rows[single]["mate_actor"] == ""
+
+
 def test_wl_refinement_structure(spark):
     """WL colors capture structural roles: a cycle is color-uniform, a
     path splits by distance-to-end symmetry, and the rounds match an
