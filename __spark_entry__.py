@@ -1592,6 +1592,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the probe query of the 3 highest-df terms;
+    per-term contributions quantized to integer ppm so the per-doc sum
+    is associative (engine-portable) — full SQL mirror."""
+    from csd363_sin_spark.functions.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus composition: doc count, token total,
     mean quality — the data-mixing report, mirrored 1:1 in SQL."""
@@ -2333,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk": q_bm25_topk,
         "corpus_mix": q_corpus_mix,
         "doc_unigram_lm": q_doc_unigram_lm,
         "doc_bigram_lm": q_doc_bigram_lm,
@@ -5147,6 +5157,29 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
+""",
+        "bm25_topk": _DOC_PRELUDE
+        + """
+, tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tokf GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tokf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT (SELECT sum(dl) FROM dl) / (SELECT n FROM nn) AS avgdl),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+probe AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 3),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      ln(1.0 + ((SELECT n FROM nn) - probe.df + 0.5) / (probe.df + 0.5))
+      * (tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))))
+      * 1e6 + 0.5) AS BIGINT) AS contrib_ppm
+  FROM tf JOIN probe USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+FROM contrib GROUP BY 1
+ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
 """,
         "corpus_mix": _DOC_PRELUDE
         + """

@@ -258,6 +258,78 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_query_terms: int = 3,
+) -> DataFrame:
+    """BM25 retrieval top-k (Robertson/Sparck Jones Okapi weighting) —
+    the ranking step of a retrieval / contamination-audit pipeline.
+
+    Deterministic, oracle-portable spec: the probe query is the
+    ``n_query_terms`` highest-document-frequency tokens (ties by term
+    ASC); per (doc, query term)
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        contrib_ppm = floor(idf * norm * 1e6 + 0.5)    -- integer micro-units
+
+    with dl = the doc's non-empty token count and avgdl = total tokens /
+    N over ALL documents.  The per-term quantization makes the final
+    per-doc sum an INTEGER sum — associative, so engine- and
+    partitioning-independent (the same trick densest_subgraph uses for
+    its density snapshots).  Returns the top ``k`` rows
+    ``(doc_id, score_ppm)`` by (score DESC, doc_id ASC).
+
+    Scale: explode → (doc, term) and (term) hash aggs (map-side
+    combined); the probe join broadcasts ``n_query_terms`` rows; the
+    top-k is a TakeOrdered (per-partition heads + driver merge), never a
+    global sort.  N and avgdl are single-row aggregates folded in as
+    literals.
+    """
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    avgdl = (
+        dl.agg(F.sum("dl")).collect()[0][0] or 0.0
+    ) / float(n_docs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    probe = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(n_query_terms)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(probe), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(idf * norm * F.lit(1e6) + F.lit(0.5)).alias("contrib_ppm"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("contrib_ppm").cast("long").alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def unigram_lm_score(docs: DataFrame) -> DataFrame:
     """Corpus-unigram language-model score per document — the cheap
     KenLM-style quality signal: fit an add-one-smoothed unigram model on

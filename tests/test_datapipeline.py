@@ -504,6 +504,52 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert all(term != "common" for (d, rk), (term, *_ ) in got.items() if rk == 1)
 
 
+def test_bm25_topk_vs_python_mirror(spark):
+    import math
+
+    from csd363_sin_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common apple"),
+        (4, "date elderberry"),
+        (5, "common banana banana apple"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score_ppm"]) for r in bm25_topk(docs, k=4).collect()]
+
+    # python mirror of the exact spec
+    toks = {d: t.split() for d, t in rows}
+    n = len(rows)
+    tf: dict = {}
+    dl: dict = {}
+    for d, ts in toks.items():
+        if ts:
+            dl[d] = float(len(ts))
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0.0) + 1.0
+    avgdl = sum(dl.values()) / n
+    dfreq: dict = {}
+    for d, t in tf:
+        dfreq[t] = dfreq.get(t, 0.0) + 1.0
+    probe = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:3]
+    k1, b = 1.2, 0.75
+    scores: dict = {}
+    for (d, t), f in tf.items():
+        if t not in probe:
+            continue
+        idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        norm = f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl[d] / avgdl))
+        scores[d] = scores.get(d, 0) + int(math.floor(idf * norm * 1e6 + 0.5))
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == expected
+    # empty doc never scores; probe = the three most-common terms
+    assert all(d != 6 for d, _ in got)
+    assert set(probe) == {"common", "apple", "banana"}
+
+
 def test_unigram_lm_score_hand_computed(spark):
     import math
 
