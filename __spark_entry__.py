@@ -466,6 +466,28 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (iterative Borůvka contraction; not ANSI-SQL-
+    expressible).  Exactness vs a Kruskal mirror over the same
+    (weight, src, dst) total edge order is covered by tests/test_mst.py,
+    including forced-distributed merge parity."""
+    from csd363_sin_spark.operators.mst import minimum_spanning_forest
+
+    g = _graph(spark, sf_dir)
+    msf = minimum_spanning_forest(g)
+    va = g.vertices.select(
+        F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor")
+    )
+    vb = g.vertices.select(
+        F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor")
+    )
+    return (
+        msf.join(va, "src")
+        .join(vb, "dst")
+        .select("src_actor", "dst_actor", F.round("weight", 6).alias("weight"))
+    )
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: deterministic Luby maximal independent set
     (portable-hash priorities; strict-local-min rule), every round
@@ -2244,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "mis": q_mis,
         "maximal_matching": q_maximal_matching,
+        "minimum_spanning_forest": q_minimum_spanning_forest,
         "hash_coloring": q_hash_coloring,
         "wl_refinement": q_wl_refinement,
         "actor_type_mixing": q_actor_type_mixing,
