@@ -128,7 +128,7 @@ def square_total(graph: Graph) -> DataFrame:
     )
 
 
-def four_clique_total(graph: Graph) -> DataFrame:
+def four_clique_total(graph: Graph, order: str = "id") -> DataFrame:
     """Exact 4-clique (K4) count: one row ``(cliques4 long)``.
 
     Ordered-join clique listing (Chiba-Nishizeki style): every K4
@@ -141,15 +141,51 @@ def four_clique_total(graph: Graph) -> DataFrame:
     once.  The (c, d) join runs first: it is the most selective
     (d must exceed the triangle's largest vertex), so the two remaining
     joins filter an already-small candidate set.  All equi-joins —
-    Catalyst picks sort-merge, AQE splits skewed hub keys.  Scale note:
-    exact clique counting is inherently O(m * alpha^2) (alpha =
-    degeneracy); deployments on hub-heavy graphs should re-canonicalize
-    edges by (degree, id) rank first — degeneracy ordering bounds the
-    join fan-out by the core number instead of the max degree; the
-    id-ordered form keeps the SQL oracle verbatim.
+    Catalyst picks sort-merge, AQE splits skewed hub keys.
+
+    ``order``: the total vertex order the listing runs under.  The count
+    is order-invariant; the INTERMEDIATE sizes are not.  ``"id"``
+    (default) keeps the SQL oracle verbatim.  ``"degree"`` relabels each
+    vertex to the composite key ``degree * C + id`` (C > max id, so the
+    order is (degree, id) lexicographic) and re-canonicalizes edges
+    under it — the standard degeneracy-style orientation that bounds
+    per-vertex out-degree by O(core number) instead of the max degree,
+    the right setting for hub-heavy graphs at scale (exact clique
+    listing is inherently O(m * alpha^2), alpha = degeneracy).  Cost of
+    the relabel: one degree aggregation + one scalar max + two hash
+    joins — no new shuffle shapes.  The composite key needs
+    deg * (max_id + 1) + id < 2^63 — fine through ~3e9 vertices; past
+    that swap the arithmetic key for a dense (degree, id) rank.
     """
     e = graph.edges.select("src", "dst").distinct()
-    tri = _closed_wedges(graph)
+    if order == "degree":
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        c_lit = int(
+            e.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0] or 0
+        ) + 1
+        key = (F.col("deg") * F.lit(c_lit) + F.col("v")).alias("k")
+        ranked = deg.select("v", key)
+        ks = ranked.select(F.col("v").alias("src"), F.col("k").alias("ks"))
+        kd = ranked.select(F.col("v").alias("dst"), F.col("k").alias("kd"))
+        e = (
+            e.join(ks, "src")
+            .join(kd, "dst")
+            .select(
+                F.least("ks", "kd").alias("src"),
+                F.greatest("ks", "kd").alias("dst"),
+            )
+        )
+    elif order != "id":
+        raise ValueError(f"unknown order: {order!r}")
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
     ad = e.select(F.col("src").alias("a"), F.col("dst").alias("d"))
     bd = e.select(F.col("src").alias("b"), F.col("dst").alias("d"))
     cd = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))

@@ -261,6 +261,11 @@ def test_four_clique_total_vs_enumeration(spark):
     assert four_clique_total(
         graph_from_edges(spark, [(0, 1), (1, 2), (2, 0)])
     ).collect()[0]["cliques4"] == 0
+    # degeneracy-style (degree, id) orientation: count is order-invariant
+    assert four_clique_total(g, order="degree").collect()[0]["cliques4"] == exact
+    assert four_clique_total(k5, order="degree").collect()[0]["cliques4"] == 5
+    with pytest.raises(ValueError):
+        four_clique_total(g, order="nope")
 
 
 def test_transitivity_vs_networkx(spark):
