@@ -117,6 +117,26 @@ t0 = time.time()
 neighborhood_function(g, max_t=1).count()
 t_anf = time.time() - t0
 
+# Boruvka MSF end-to-end (struct-min per component + CC merges over the
+# geometrically-shrinking picked-pair graph); deterministic, identical
+# work at both levels
+from csd363_sin_spark.operators.mst import minimum_spanning_forest
+t0 = time.time()
+minimum_spanning_forest(g).count()
+t_msf = time.time() - t0
+
+# derandomized maximal matching end-to-end (handshake rounds over the
+# named edge table; live set shrinks geometrically)
+from csd363_sin_spark.plans.induce import induce_actor_edges
+from csd363_sin_spark.operators.coloring import maximal_matching
+enamed = induce_actor_edges(t).persist()
+vnamed = enamed.selectExpr("src_actor AS actor").union(
+    enamed.selectExpr("dst_actor AS actor")).distinct()
+enamed.count()
+t0 = time.time()
+maximal_matching(vnamed, enamed).count()
+t_mm = time.time() - t0
+
 # embarrassingly parallel workload: brute-force cosine scan (no shuffle)
 from csd363_sin_spark.functions.similarity import cosine_topk
 dim = 64
@@ -154,6 +174,10 @@ print(json.dumps({
     "scc_edges_per_sec": round(n_dedges / t_scc),
     "hyperanf_sec": round(t_anf, 2),
     "hyperanf_reg_rows_per_sec": round(n_edges * 2 / t_anf),
+    "msf_sec": round(t_msf, 2),
+    "msf_edges_per_sec": round(n_edges / t_msf),
+    "matching_sec": round(t_mm, 2),
+    "matching_edges_per_sec": round(n_edges / t_mm),
 }))
 spark.stop()
 """
@@ -243,6 +267,14 @@ def main() -> int:
             "hyperanf": round(
                 high["hyperanf_reg_rows_per_sec"]
                 / (factor * low["hyperanf_reg_rows_per_sec"]),
+                3,
+            ),
+            "msf": round(
+                high["msf_edges_per_sec"] / (factor * low["msf_edges_per_sec"]), 3
+            ),
+            "matching": round(
+                high["matching_edges_per_sec"]
+                / (factor * low["matching_edges_per_sec"]),
                 3,
             ),
         },
