@@ -1614,6 +1614,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (8 merges) over the corpus word-frequency
+    table; the literal-replace merge rule is engine-portable, so every
+    round (pair count -> argmax -> rewrite) mirrors exactly in SQL."""
+    from csd363_sin_spark.functions.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), num_merges=8)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for the probe query of the 3 highest-df terms;
     per-term contributions quantized to integer ppm so the per-doc sum
@@ -2366,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
+        "bpe_merges": q_bpe_merges,
         "corpus_mix": q_corpus_mix,
         "doc_unigram_lm": q_doc_unigram_lm,
         "doc_bigram_lm": q_doc_bigram_lm,
@@ -3437,6 +3447,50 @@ FROM verts v LEFT JOIN sel m USING (actor)
         parts.append("""
 SELECT v.actor, CAST(COALESCE(m.round, -1) AS INT) AS color
 FROM verts v LEFT JOIN sel m USING (actor)
+""")
+    return "".join(parts)
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled mirror of functions/text.py bpe_train: round r counts
+    adjacent symbol pairs over the sentinel-wrapped word strings, takes
+    the (count DESC, left ASC, right ASC) argmax, and rewrites via
+    literal replace — greedy leftmost non-overlapping, byte-identical to
+    the Spark rule."""
+    parts = [
+        r"""
+, bpetok AS (SELECT unnest(toks) AS word FROM toksrc),
+bpew AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         FROM bpetok WHERE word <> '' GROUP BY 1),
+bw0 AS MATERIALIZED (
+  SELECT cnt, regexp_replace(word, '(.)', '|\1|', 'g') || '|#|' AS ws FROM bpew
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+bpc{r} AS (
+  SELECT p[1] AS l, p[2] AS r, sum(cnt) AS pc FROM (
+    SELECT cnt, unnest(list_zip(t, t[2:])) AS p FROM (
+      SELECT cnt, str_split(trim(ws, '|'), '||') AS t FROM bw{r}
+    )
+  ) WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+bb{r} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, pc FROM bpc{r} ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+),
+bw{r + 1} AS MATERIALIZED (
+  SELECT cnt, replace(ws, '|' || b.l || '|' || '|' || b.r || '|',
+                      '|' || b.m || '|') AS ws
+  FROM bw{r}, bb{r} b
+)""")
+    union = " UNION ALL ".join(
+        f'SELECT {r} AS merge_rank, l AS "left", r AS "right", m AS merged,'
+        f" CAST(pc AS BIGINT) AS pair_count FROM bb{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+SELECT * FROM ({union})
 """)
     return "".join(parts)
 
@@ -5181,6 +5235,7 @@ ranked AS (
 )
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
 """,
+        "bpe_merges": _DOC_PRELUDE + _bpe_sql(8),
         "bm25_topk": _DOC_PRELUDE
         + """
 , tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),

@@ -258,6 +258,96 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    marker: str = "#",
+    sep: str = "|",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-prep step of an LLM data pipeline, run on the word-
+    frequency table exactly like subword-nmt.
+
+    Deterministic, oracle-portable spec: words = the shared tokenizer's
+    tokens with corpus frequencies; each word starts as its characters
+    plus a terminal ``marker`` symbol; per round the globally most
+    frequent adjacent symbol pair (ties by (left ASC, right ASC)) merges
+    everywhere, greedy leftmost non-overlapping within each word.
+
+    The merge rewrite is a LITERAL string replace over the sentinel-
+    wrapped symbol string ``|s1||s2||...|``: matches can only start at
+    symbol boundaries (symbols never contain the sentinel — the
+    tokenizer's alphabet is [a-z0-9] plus the marker), and built-in
+    ``replace`` scans left to right continuing AFTER each match, which
+    IS BPE's non-overlapping greedy semantics (``aaaa`` under the a+a
+    merge becomes ``aa aa``).  Identical in Spark and DuckDB, so every
+    round mirrors exactly in SQL.
+
+    Returns the merge table ``(merge_rank int, left string, right
+    string, merged string, pair_count long)``.
+
+    Scale: the state is the WORD-frequency table (vocabulary-sized, not
+    corpus-sized — the standard BPE trick); per round one
+    zip-explode + map-side-combined pair count, a 1-row TakeOrdered
+    argmax folded back as plan literals, and a map-only string rewrite.
+    """
+    from csd363_sin_spark.plans.lineage import materialize, release
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ws = materialize(
+        words.select(
+            "cnt",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", f"{sep}$1{sep}"),
+                F.lit(f"{sep}{marker}{sep}"),
+            ).alias("ws"),
+        )
+    )
+    merges: list[tuple] = []
+    esc_sep = "\\" + sep
+    for rank in range(num_merges):
+        toks = F.split(
+            F.expr(f"trim(BOTH '{sep}' FROM ws)"), esc_sep + esc_sep
+        )
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("l"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("r"),
+        )
+        pc = (
+            ws.select("cnt", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pc.orderBy(F.desc("pc"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        left, right, pair_count = top[0]["l"], top[0]["r"], int(top[0]["pc"])
+        merges.append((rank, left, right, left + right, pair_count))
+        prev = ws
+        ws = materialize(
+            prev.select(
+                "cnt",
+                F.replace(
+                    F.col("ws"),
+                    F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+                    F.lit(f"{sep}{left}{right}{sep}"),
+                ).alias("ws"),
+            )
+        )
+        release(prev)
+    release(ws)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     k: int = 20,

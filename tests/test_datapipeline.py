@@ -504,6 +504,78 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert all(term != "common" for (d, rk), (term, *_ ) in got.items() if rk == 1)
 
 
+def _bpe_mirror(word_counts, num_merges, marker="#"):
+    """Classic BPE on the word-frequency dict — the spec oracle."""
+    seqs = {tuple(w) + (marker,): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        pc: dict = {}
+        for s, c in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        new = {}
+        for s, c in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        seqs = new
+    return merges
+
+
+def test_bpe_train_vs_python_mirror(spark):
+    from csd363_sin_spark.functions.text import bpe_train
+
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest widest widest widest"),
+        (3, "low newest lowest"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expected = _bpe_mirror(wc, 8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, num_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    # overlap semantics: aaaa under the a+a merge yields two "aa" symbols
+    # (greedy leftmost non-overlapping), NOT three overlapping pairs; in
+    # round 2 (aa,#) ties (aa,aa) at count 1 and '#' < 'a' wins the tie
+    docs2 = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got2 = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs2, num_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got2 == [("a", "a", 3), ("aa", "#", 1)]
+    assert got2 == [
+        (left, right, c) for _, left, right, _, c in _bpe_mirror({"aaaa": 1}, 2)
+    ]
+    # determinism
+    got_again = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got_again == expected
+
+
 def test_bm25_topk_vs_python_mirror(spark):
     import math
 
