@@ -1623,6 +1623,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), num_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 trained BPE merges to every document (map-only
+    chained literal replaces); per-doc token count + first-10-token
+    preview, fully mirrored in SQL by replaying the same merge CTEs."""
+    from csd363_sin_spark.functions.text import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), num_merges=8)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for the probe query of the 3 highest-df terms;
     per-term contributions quantized to integer ppm so the per-doc sum
@@ -2376,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "corpus_mix": q_corpus_mix,
         "doc_unigram_lm": q_doc_unigram_lm,
         "doc_bigram_lm": q_doc_bigram_lm,
@@ -3451,12 +3461,12 @@ FROM verts v LEFT JOIN sel m USING (actor)
     return "".join(parts)
 
 
-def _bpe_sql(rounds: int) -> str:
-    """Unrolled mirror of functions/text.py bpe_train: round r counts
-    adjacent symbol pairs over the sentinel-wrapped word strings, takes
-    the (count DESC, left ASC, right ASC) argmax, and rewrites via
-    literal replace — greedy leftmost non-overlapping, byte-identical to
-    the Spark rule."""
+def _bpe_ctes(rounds: int) -> str:
+    """The unrolled BPE training CTE chain shared by the bpe_merges and
+    bpe_encode oracles: round r counts adjacent symbol pairs over the
+    sentinel-wrapped word strings, takes the (count DESC, left ASC,
+    right ASC) argmax into bb{r}, and rewrites via literal replace —
+    greedy leftmost non-overlapping, byte-identical to the Spark rule."""
     parts = [
         r"""
 , bpetok AS (SELECT unnest(toks) AS word FROM toksrc),
@@ -3484,15 +3494,51 @@ bw{r + 1} AS MATERIALIZED (
                       '|' || b.m || '|') AS ws
   FROM bw{r}, bb{r} b
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(rounds: int) -> str:
+    """bpe_merges oracle: the training CTEs + the merge-table union."""
     union = " UNION ALL ".join(
         f'SELECT {r} AS merge_rank, l AS "left", r AS "right", m AS merged,'
         f" CAST(pc AS BIGINT) AS pair_count FROM bb{r}"
         for r in range(rounds)
     )
-    parts.append(f"""
+    return _bpe_ctes(rounds) + f"""
 SELECT * FROM ({union})
-""")
-    return "".join(parts)
+"""
+
+
+def _bpe_encode_sql(rounds: int, preview: int = 10) -> str:
+    """bpe_encode oracle: replay bb0..bb{rounds-1} in rank order as
+    chained literal replaces over each doc's sentinel-wrapped word
+    concatenation (word order = document order; learned patterns cannot
+    span word boundaries — no LEFT symbol contains the terminal
+    marker)."""
+    enc = "bd.ws"
+    for r in range(rounds):
+        enc = (
+            f"replace({enc}, "
+            f"'|' || (SELECT l FROM bb{r}) || '||' || (SELECT r FROM bb{r}) || '|', "
+            f"'|' || (SELECT m FROM bb{r}) || '|')"
+        )
+    return _bpe_ctes(rounds) + f"""
+, bdoc AS (
+  SELECT doc_id, array_to_string(
+    list_transform(list_filter(toks, t -> t <> ''),
+                   t -> regexp_replace(t, '(.)', '|\\1|', 'g') || '|#|'),
+    '') AS ws
+  FROM toksrc
+),
+benc AS (SELECT doc_id, {enc} AS enc FROM bdoc bd)
+SELECT doc_id,
+  CAST(CASE WHEN enc = '' THEN 0
+       ELSE len(str_split(trim(enc, '|'), '||')) END AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN enc = '' THEN ''
+       ELSE array_to_string(str_split(trim(enc, '|'), '||')[1:{preview}], ',')
+  END AS bpe_preview
+FROM benc
+"""
 
 
 def _matching_sql(salt: str, rounds: int) -> str:
@@ -5236,6 +5282,7 @@ ranked AS (
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
 """,
         "bpe_merges": _DOC_PRELUDE + _bpe_sql(8),
+        "bpe_encode": _DOC_PRELUDE + _bpe_encode_sql(8),
         "bm25_topk": _DOC_PRELUDE
         + """
 , tok AS (SELECT doc_id, unnest(toks) AS term FROM toksrc),

@@ -348,6 +348,67 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    num_merges: int = 8,
+    preview: int = 10,
+    marker: str = "#",
+    sep: str = "|",
+) -> DataFrame:
+    """Apply BPE merges to the corpus — train (``bpe_train``) then
+    encode every document by replaying the merge table in rank order.
+
+    Encoding is map-only: each document becomes the concatenation of its
+    sentinel-wrapped words and the k learned merges apply as k chained
+    literal replaces (plan literals).  Cross-word false matches are
+    impossible: a merge's LEFT symbol never contains the terminal
+    ``marker`` (nothing follows the marker inside a word during
+    training), so no learned pattern can span a word boundary.
+
+    Returns ``(doc_id, n_bpe_tokens, bpe_preview)`` — the post-merge
+    token count and the first ``preview`` tokens CSV (the portable
+    fingerprint of the encoding).  Empty docs encode to 0 tokens.
+    """
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_train(docs, num_merges=num_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # build the sentinel-wrapped doc string entirely map-side (word order
+    # is the document's order by construction — no collect_list ordering
+    # hazard, no shuffle)
+    wrapped = F.transform(
+        F.filter(_tokens(F.col("text")), lambda t: t != ""),
+        lambda t: F.concat(
+            F.regexp_replace(t, "(.)", f"{sep}$1{sep}"),
+            F.lit(f"{sep}{marker}{sep}"),
+        ),
+    )
+    doc_str = docs.select("doc_id", F.array_join(wrapped, "").alias("ws"))
+    enc = F.col("ws")
+    for left, right, merged in merges:
+        enc = F.replace(
+            enc,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{merged}{sep}"),
+        )
+    toks = F.split(F.expr(f"trim(BOTH '{sep}' FROM enc)"), "\\" + sep + "\\" + sep)
+    return (
+        doc_str.select("doc_id", enc.alias("enc"))
+        .select(
+            "doc_id",
+            F.when(F.col("enc") == "", F.lit(0))
+            .otherwise(F.size(toks))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.when(F.col("enc") == "", F.lit(""))
+            .otherwise(F.array_join(F.slice(toks, 1, preview), ","))
+            .alias("bpe_preview"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     k: int = 20,

@@ -576,6 +576,48 @@ def test_bpe_train_vs_python_mirror(spark):
     assert got_again == expected
 
 
+def test_bpe_encode_vs_python_mirror(spark):
+    from csd363_sin_spark.functions.text import bpe_encode
+
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest widest widest widest"),
+        (3, "low newest lowest"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    merges = [(m[1], m[2]) for m in _bpe_mirror(wc, 8)]
+
+    def encode_word(w):
+        s = list(w) + ["#"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    expected = {}
+    for d, t in rows:
+        toks = [x for w in t.split() for x in encode_word(w)]
+        expected[d] = (len(toks), ",".join(toks[:10]))
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bpe_preview"])
+        for r in bpe_encode(docs, num_merges=8).collect()
+    }
+    assert got == expected
+    assert got[4] == (0, "")  # empty doc encodes to nothing
+
+
 def test_bm25_topk_vs_python_mirror(spark):
     import math
 
