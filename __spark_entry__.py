@@ -488,6 +488,24 @@ def q_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: locally-heaviest-edge matching (Preis-style 1/2-
+    approx of maximum weight; ppm-quantized weight-desc priorities, hash
+    tie-break), every round mirrored exactly in SQL."""
+    from csd363_sin_spark.operators.coloring import maximal_matching
+    from csd363_sin_spark.plans.induce import induce_actor_edges
+
+    g = _graph(spark, sf_dir)
+    edges = induce_actor_edges(_transcripts(spark, sf_dir))
+    return maximal_matching(
+        g.vertices.select("actor"),
+        edges,
+        salt="wmatch",
+        max_rounds=_MATCH_GATE_ROUNDS,
+        weighted=True,
+    )
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: deterministic Luby maximal independent set
     (portable-hash priorities; strict-local-min rule), every round
@@ -2284,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "mis": q_mis,
         "maximal_matching": q_maximal_matching,
+        "weighted_matching": q_weighted_matching,
         "minimum_spanning_forest": q_minimum_spanning_forest,
         "hash_coloring": q_hash_coloring,
         "wl_refinement": q_wl_refinement,
@@ -3541,19 +3560,30 @@ FROM benc
 """
 
 
-def _matching_sql(salt: str, rounds: int) -> str:
+def _matching_sql(salt: str, rounds: int, weighted: bool = False) -> str:
     """Unrolled mirror of operators/coloring.py maximal_matching: round r
     matches every live edge whose ``md5(salt:u|v)||':'||u|v`` priority is
     the minimum over all live edges at both endpoints; matched endpoints
-    leave the live set.  Rounds beyond the fixpoint are empty; a cap
-    below the fixpoint leaves the same vertices unmatched in BOTH
-    engines."""
+    leave the live set.  ``weighted`` prefixes the ppm-quantized weight
+    complement (heaviest edge wins, hash breaks ties).  Rounds beyond
+    the fixpoint are empty; a cap below the fixpoint leaves the same
+    vertices unmatched in BOTH engines."""
+    hash_prio = (
+        f"md5('{salt}:' || src_actor || '|' || dst_actor)"
+        " || ':' || src_actor || '|' || dst_actor"
+    )
+    if weighted:
+        prio = (
+            "lpad(CAST(CAST(1000000000000000 - floor(weight * 1e6 + 0.5)"
+            f" AS BIGINT) AS VARCHAR), 16, '0') || '~' || {hash_prio}"
+        )
+    else:
+        prio = hash_prio
     parts = [
         f"""
 , l0 AS MATERIALIZED (
   SELECT src_actor AS u, dst_actor AS v,
-         md5('{salt}:' || src_actor || '|' || dst_actor)
-           || ':' || src_actor || '|' || dst_actor AS prio
+         {prio} AS prio
   FROM edges WHERE src_actor <> dst_actor
 )"""
     ]
@@ -4712,6 +4742,8 @@ FROM tagg
 """,
         "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
         "maximal_matching": p + _matching_sql("match", _MATCH_GATE_ROUNDS),
+        "weighted_matching": p
+        + _matching_sql("wmatch", _MATCH_GATE_ROUNDS, weighted=True),
         "hash_coloring": p
         + _luby_sql("color", _COLOR_GATE_ROUNDS, remove_neighbors=False),
         "random_walks": p + _walks_sql()

@@ -162,9 +162,22 @@ def hash_coloring(
     )
 
 
-def _edge_prio(salt: str):
+def _edge_prio(salt: str, weighted: bool = False):
     key = F.concat(F.col("u"), F.lit("|"), F.col("v"))
-    return F.concat(F.md5(F.concat(F.lit(salt + ":"), key)), F.lit(":"), key)
+    prio = F.concat(F.md5(F.concat(F.lit(salt + ":"), key)), F.lit(":"), key)
+    if weighted:
+        # heavier edge = smaller priority string: prefix with the
+        # zero-padded 10^15 complement of the ppm-quantized weight
+        # (exact for weights below 10^9; ties fall through to the hash)
+        wkey = F.lpad(
+            (F.lit(10**15) - F.floor(F.col("w") * 1e6 + F.lit(0.5)))
+            .cast("long")
+            .cast("string"),
+            16,
+            "0",
+        )
+        prio = F.concat(wkey, F.lit("~"), prio)
+    return prio
 
 
 def maximal_matching(
@@ -172,6 +185,7 @@ def maximal_matching(
     edges_named: DataFrame,
     salt: str = "match",
     max_rounds: int = 20,
+    weighted: bool = False,
 ) -> DataFrame:
     """Deterministic maximal matching (Israeli & Itai 1986 style,
     derandomized with the portable md5 hash family): in round r a live
@@ -188,19 +202,28 @@ def maximal_matching(
     (or the round cap hit first; SQL mirrors unroll the same cap, so
     both engines agree regardless).
 
+    ``weighted=True`` orders priorities by ppm-quantized edge weight
+    DESCENDING before the hash — the locally-heaviest-edge handshake
+    (Preis 1999 style), a deterministic 1/2-approximation of the
+    maximum-weight matching (every matched edge is at least as heavy as
+    every edge it excludes at selection time).  Parallel edges collapse
+    to their max weight.
+
     Scale shape per round: one endpoint-explode + min aggregation
     (map-side combinable) + one self-annotating join + two anti-joins,
     all O(E_live); the live set shrinks geometrically.  No reference
     counterpart; included as a link-graph supporting operator."""
     e = (
         edges_named.filter(F.col("src_actor") != F.col("dst_actor"))
-        .select(
+        .groupBy(
             F.least("src_actor", "dst_actor").alias("u"),
             F.greatest("src_actor", "dst_actor").alias("v"),
         )
-        .distinct()
+        .agg(F.max("weight").alias("w"))
     )
-    live = materialize(e.withColumn("prio", _edge_prio(salt)))
+    live = materialize(
+        e.withColumn("prio", _edge_prio(salt, weighted)).select("u", "v", "prio")
+    )
     spark = vertices_named.sparkSession
     picked: list[DataFrame] = []
     for r in range(max_rounds):

@@ -195,6 +195,75 @@ def test_maximal_matching_round_cap_and_anchors(spark):
     assert rows[single]["mate_actor"] == ""
 
 
+def _weighted_prio(salt, u, v, w):
+    import math
+
+    wkey = str(10**15 - int(math.floor(w * 1e6 + 0.5))).zfill(16)
+    return wkey + "~" + _edge_prio(salt, u, v)
+
+
+def test_weighted_matching_mirror_and_half_approx(spark):
+    from csd363_sin_spark.operators.coloring import maximal_matching
+
+    verts, edges, adj = _graph(spark)
+    wmap = {
+        tuple(sorted((r["src_actor"], r["dst_actor"]))): r["weight"]
+        for r in edges.collect()
+    }
+    got = {
+        r["actor"]: (r["mate_actor"], r["match_round"])
+        for r in maximal_matching(verts, edges, salt="wm", weighted=True).collect()
+    }
+    # python mirror with the weighted priority
+    live = set(wmap)
+    prio = {e: _weighted_prio("wm", *e, wmap[e]) for e in live}
+    mirror = {}
+    for rnd in range(20):
+        if not live:
+            break
+        minp: dict = {}
+        for e in live:
+            for a in e:
+                if a not in minp or prio[e] < minp[a]:
+                    minp[a] = prio[e]
+        winners = {
+            e for e in live if prio[e] == minp[e[0]] and prio[e] == minp[e[1]]
+        }
+        for u, v in winners:
+            mirror[u] = (v, rnd)
+            mirror[v] = (u, rnd)
+        hit = {a for e in winners for a in e}
+        live = {e for e in live if e[0] not in hit and e[1] not in hit}
+    assert {a: x for a, x in got.items() if x[1] >= 0} == mirror
+    # 1/2-approximation of the maximum-weight matching (Preis bound)
+    import networkx as nx
+
+    nxg = nx.Graph()
+    for (u, v), w in wmap.items():
+        nxg.add_edge(u, v, weight=w)
+    opt = sum(
+        nxg[u][v]["weight"] for u, v in nx.max_weight_matching(nxg)
+    )
+    got_w = sum(
+        wmap[tuple(sorted((a, m)))] for a, (m, r) in got.items() if r >= 0
+    ) / 2.0
+    assert got_w >= 0.5 * opt - 1e-9
+    # heaviest-edge anchor: on a weighted path, the heavy middle edge wins
+    e3 = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 9.0), ("c", "d", 1.0)],
+        "src_actor string, dst_actor string, weight double",
+    )
+    v3 = e3.selectExpr("src_actor AS actor").union(
+        e3.selectExpr("dst_actor AS actor")
+    ).distinct()
+    rows = {
+        r["actor"]: r["mate_actor"]
+        for r in maximal_matching(v3, e3, weighted=True).collect()
+    }
+    assert rows["b"] == "c" and rows["c"] == "b"
+    assert rows["a"] == "" and rows["d"] == ""
+
+
 def test_wl_refinement_structure(spark):
     """WL colors capture structural roles: a cycle is color-uniform, a
     path splits by distance-to-end symmetry, and the rounds match an
