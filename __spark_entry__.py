@@ -1904,6 +1904,27 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# mutual 5-NN edges over the embeddings — shared by the knn_graph and
+# semantic_clusters oracles (mirrors functions/similarity.py knn_graph)
+_KNN_MUTUAL_SQL = """WITH scored AS (
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored
+),
+knn AS MATERIALIZED (SELECT probe_id AS a, vec_id AS b FROM ranked WHERE rk <= 5),
+mutual AS MATERIALIZED (
+  SELECT k1.a, k1.b FROM knn k1
+  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+  WHERE k1.a < k1.b
+)"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for probe vectors (vec_id < 3).
 
@@ -1916,6 +1937,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return cosine_topk(emb, probes, k=5).select("probe_id", "vec_id", "rank")
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual 5-NN graph over the embeddings (6-dp-rounded cosine
+    ranking, id tie-break); integer-only (src, dst) output so float32
+    noise cannot flip the value hash."""
+    from csd363_sin_spark.functions.similarity import knn_graph
+
+    return knn_graph(_embeddings(spark, sf_dir), k=5).select("src", "dst")
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the mutual 5-NN graph — semantic
+    clustering of the embedded corpus; mirrored by a recursive-CTE
+    closure over the same SQL-ranked mutual edges."""
+    from csd363_sin_spark.functions.similarity import semantic_clusters
+
+    return semantic_clusters(_embeddings(spark, sf_dir), k=5)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2424,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
+        "knn_graph": q_knn_graph,
+        "semantic_clusters": q_semantic_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "lsh_topk": q_lsh_topk,
@@ -5494,6 +5535,28 @@ SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
+""",
+        "knn_graph": _KNN_MUTUAL_SQL + """
+SELECT a AS src, b AS dst FROM mutual
+""",
+        "semantic_clusters": "WITH RECURSIVE "
+        + _KNN_MUTUAL_SQL.removeprefix("WITH ")
+        + """
+, reach AS (
+  SELECT vec_id AS a, vec_id AS b FROM embeddings
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN (
+    SELECT a AS u, b AS v FROM mutual
+    UNION ALL
+    SELECT b AS u, a AS v FROM mutual
+  ) e ON r.b = e.u
+),
+canon AS MATERIALIZED (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+SELECT c.vec_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM canon c JOIN csize s USING (cluster_id)
 """,
         # the streaming near-dup store is batch-equivalent by contract, so
         # the SAME portable MinHash SQL oracle-checks the streaming path

@@ -643,3 +643,85 @@ def pca_top_component(
     return spark.createDataFrame(
         [(j, round(v[j], 6)) for j in range(dim)], "pos int, loading double"
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact mutual k-NN graph over an embedding column: edge (src, dst)
+    iff each vector is in the other's top-k by (6-dp-rounded cosine
+    DESC, id ASC), self excluded.  Returns canonical ``(src, dst,
+    cosine)`` rows (src < dst) — the similarity graph that bridges the
+    embedding operators into the link-graph layer.
+
+    Scale note: exact mode is the |V|^2 oracle baseline (the corpus side
+    streams; probes broadcast).  At production scale swap the candidate
+    generator for the LSH buckets of :func:`lsh_topk` / the IVF probes of
+    :func:`ivf_topk` — the rank/mutual/canonicalize tail is identical.
+    """
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    probes = corpus.select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("p")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity_col(F.col("v"), F.col("p")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    top = _topk(scored, k)
+    e1 = top.select(
+        F.col("probe_id").alias("a"), F.col("vec_id").alias("b"), "cosine"
+    )
+    rev = e1.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        e1.join(rev, ["a", "b"], "left_semi")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "cosine")
+    )
+
+
+def semantic_clusters(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering = connected components over the mutual k-NN
+    graph (the classic density-free clustering of an embedded corpus).
+    Returns ``(vec_id, cluster_id, cluster_size)`` for EVERY vector —
+    cluster_id = the minimum vec_id in the component (isolated vectors
+    are singleton clusters).  The CC kernel is the engine's large-star/
+    small-star operator, so the component step scales independently of
+    the candidate generator."""
+    from csd363_sin_spark.operators.components import connected_components
+    from csd363_sin_spark.plans.induce import Graph
+
+    edges = knn_graph(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    verts = embeddings.select(F.col(id_col).alias("vertex_id"))
+    labels = connected_components(
+        Graph(
+            vertices=verts,
+            edges=edges.select(
+                "src", "dst", F.col("cosine").alias("weight")
+            ),
+        )
+    )
+    sizes = labels.groupBy("comp_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp_id")
+        .select(
+            F.col("vertex_id").alias("vec_id"),
+            F.col("comp_id").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

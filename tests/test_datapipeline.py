@@ -195,6 +195,77 @@ def test_cosine_topk_exact(spark, embeddings):
     assert [r["vec_id"] for r in got] == [i for i, _ in expected]
 
 
+def test_knn_graph_and_semantic_clusters(spark):
+    from csd363_sin_spark.functions.similarity import knn_graph, semantic_clusters
+
+    # three tight planted clusters of 6 vectors in 6-d, plus one outlier
+    import itertools
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(3, 6) * 10.0
+    rows = []
+    for c in range(3):
+        for j in range(6):
+            v = centers[c] + rng.uniform(-0.5, 0.5, 6)
+            rows.append((c * 6 + j, [float(x) for x in v]))
+    rows.append((99, [float(x) for x in -np.ones(6)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got_edges = {
+        (r["src"], r["dst"]) for r in knn_graph(emb, k=3).collect()
+    }
+    # numpy mirror of the spec: top-3 by (6dp cosine DESC, id ASC), mutual
+    vecs = {i: np.array(v) for i, v in rows}
+    topk = {}
+    for i, v in vecs.items():
+        sims = [
+            (
+                -round(
+                    float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))), 6
+                ),
+                j,
+            )
+            for j, w in vecs.items()
+            if j != i
+        ]
+        topk[i] = {j for _, j in sorted(sims)[:3]}
+    expected_edges = {
+        (min(i, j), max(i, j))
+        for i, j in itertools.permutations(vecs, 2)
+        if j in topk[i] and i in topk[j] and i < j
+    }
+    assert got_edges == expected_edges
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in semantic_clusters(emb, k=3).collect()
+    }
+    # union-find mirror over the expected mutual edges
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in expected_edges:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for i in vecs:
+        comp.setdefault(find(i), []).append(i)
+    expected = {}
+    for members in comp.values():
+        lab = min(members)
+        for m in members:
+            expected[m] = (lab, len(members))
+    assert got == expected
+    # the plant is recovered: 3 clusters of 6 + the singleton outlier
+    sizes = sorted(s for _, s in set(got.values()))
+    assert sizes == [1, 6, 6, 6]
+    assert got[99] == (99, 1)
+
+
 def test_lsh_topk_recall(spark, embeddings):
     probes = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0, 0.5])],
