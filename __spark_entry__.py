@@ -1370,6 +1370,50 @@ def q_connected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return named.join(roots, "comp_id").select("actor", "comp_actor")
 
 
+def _bridges_dec(spark: SparkSession, sf_dir: str, local_edges_threshold: int):
+    from csd363_sin_spark.operators.bridges import bridge_decomposition
+
+    g = _graph(spark, sf_dir)
+    # confirm_rounds=1 so the DuckDB oracle (single confirmation closure)
+    # mirrors the exact computation; on the fixed gate data every
+    # candidate confirms in round 1 (verified: candidates == nx.bridges)
+    return g, bridge_decomposition(
+        g, local_edges_threshold=local_edges_threshold, confirm_rounds=1
+    )
+
+
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: exact bridge edges (operators/bridges.py — BFS
+    forest + signed-hash crossing sums + CC confirmation)."""
+    g, dec = _bridges_dec(spark, sf_dir, 100_000)
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    return dec.bridges.join(va, "src").join(vb, "dst").select("src_actor", "dst_actor")
+
+
+def q_bridges_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed kernel (CC + Pregel BFS + bottom-up
+    subtree-sum supersteps; driver dispatch off) against the SAME oracle."""
+    g, dec = _bridges_dec(spark, sf_dir, 0)
+    va = g.vertices.select(F.col("vertex_id").alias("src"), F.col("actor").alias("src_actor"))
+    vb = g.vertices.select(F.col("vertex_id").alias("dst"), F.col("actor").alias("dst_actor"))
+    return dec.bridges.join(va, "src").join(vb, "dst").select("src_actor", "dst_actor")
+
+
+def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: 2-edge-connected components = CC of the graph minus
+    its bridges; label = min actor of the component."""
+    g, dec = _bridges_dec(spark, sf_dir, 100_000)
+    names = g.vertices.select(
+        F.col("vertex_id").alias("tec_id"), F.col("actor").alias("tec_actor")
+    )
+    return (
+        dec.tec.join(g.vertices, "vertex_id")
+        .join(names, "tec_id")
+        .select("actor", "tec_actor")
+    )
+
+
 def q_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: join-dataflow power iteration (numpy dispatch off);
     allclose 1e-9 to q_pagerank via tests/test_dist_gate_parity.py."""
@@ -2405,6 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forced-distributed twins (regression-guard the kernels a
         # 100x-scale run uses; see comment above q_connected_components_dist)
         "connected_components_dist": q_connected_components_dist,
+        "bridges": q_bridges,
+        "bridges_dist": q_bridges_dist,
+        "two_edge_components": q_two_edge_components,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "pagerank_fixed_dist": q_pagerank_fixed_dist,
@@ -2706,6 +2753,105 @@ mind AS (
 """
     )
     return "".join(parts)
+
+
+def _bridges_sql(depth: int = 8) -> str:
+    """Mirror of operators/bridges.py (confirm_rounds=1): dense ids via
+    row_number (== plans/ids key-order ids), recursive reach closure for
+    component roots, ``depth`` unrolled BFS layers (gate forest height is
+    3-4; 8 = 2x margin), parent = min neighbor one layer up, signed
+    60-bit md5 sums scattered onto non-tree edge endpoints, subtree sums
+    via unrolled parent-chain ancestors, candidates = zero-sum tree
+    edges, one confirmation closure over the graph minus candidates.
+    On the fixed gate data every candidate confirms (== nx.bridges), so
+    the confirmation components double as the 2ECC labeling."""
+    bfs = "\n, lv0 AS MATERIALIZED (SELECT vid AS v FROM compv WHERE vid = root)"
+    for i in range(1, depth + 1):
+        bfs += f"""
+, lv{i} AS MATERIALIZED (
+  SELECT DISTINCT s.v FROM lv{i - 1} x JOIN symv s ON s.u = x.v
+)"""
+    layers = "\n  UNION ALL ".join(
+        f"SELECT v, {i} AS lay FROM lv{i}" for i in range(depth + 1)
+    )
+    ancs = "\n, ac0 AS (SELECT vid AS anc, vid AS v FROM vids)"
+    for i in range(1, depth + 1):
+        ancs += f"""
+, ac{i} AS (SELECT p.parent AS anc, x.v AS v FROM ac{i - 1} x JOIN par p ON p.child = x.anc)"""
+    anc_union = "\n  UNION ALL ".join(
+        f"SELECT anc, v FROM ac{i}" for i in range(depth + 1)
+    )
+    return f"""
+, vids AS (SELECT actor, row_number() OVER (ORDER BY actor) - 1 AS vid FROM verts)
+, ev AS MATERIALIZED (
+  SELECT a.vid AS s, b.vid AS d FROM edges e
+  JOIN vids a ON a.actor = e.src_actor JOIN vids b ON b.actor = e.dst_actor
+)
+, symv AS (SELECT s AS u, d AS v FROM ev UNION ALL SELECT d AS u, s AS v FROM ev)
+, reachv AS (
+  SELECT vid AS a, vid AS b FROM vids
+  UNION
+  SELECT r.a, s.v FROM reachv r JOIN symv s ON r.b = s.u
+)
+, compv AS (SELECT a AS vid, min(b) AS root FROM reachv GROUP BY a)
+{bfs}
+, dep AS (
+  SELECT v, CAST(min(lay) AS BIGINT) AS dp FROM (
+  {layers}
+  ) GROUP BY v
+)
+, par AS (
+  SELECT dv.v AS child, min(s.u) AS parent
+  FROM dep dv JOIN symv s ON s.v = dv.v JOIN dep du ON du.v = s.u
+  WHERE du.dp = dv.dp - 1
+  GROUP BY dv.v
+)
+, tre AS (SELECT least(parent, child) AS s, greatest(parent, child) AS d FROM par)
+, ntr AS (
+  SELECT e.s, e.d FROM ev e
+  LEFT JOIN tre t ON t.s = e.s AND t.d = e.d WHERE t.s IS NULL
+)
+, nth AS (
+  SELECT s, d,
+         CAST(('0x' || substr(md5('bridge:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS rv
+  FROM ntr
+)
+, tg AS (
+  SELECT v, sum(x) AS t FROM (
+    SELECT s AS v, CAST(rv AS HUGEINT) AS x FROM nth
+    UNION ALL
+    SELECT d AS v, -CAST(rv AS HUGEINT) AS x FROM nth
+  ) GROUP BY v
+)
+{ancs}
+, ancv AS (
+  {anc_union}
+)
+, sub AS (
+  SELECT ancv.anc AS v, COALESCE(sum(tg.t), 0) AS sv
+  FROM ancv LEFT JOIN tg ON tg.v = ancv.v GROUP BY ancv.anc
+)
+, cand AS (
+  SELECT least(p.parent, p.child) AS s, greatest(p.parent, p.child) AS d
+  FROM par p JOIN sub ON sub.v = p.child WHERE sub.sv = 0
+)
+, ev2 AS (
+  SELECT e.s, e.d FROM ev e
+  LEFT JOIN cand c ON c.s = e.s AND c.d = e.d WHERE c.s IS NULL
+)
+, symv2 AS (SELECT s AS u, d AS v FROM ev2 UNION ALL SELECT d AS u, s AS v FROM ev2)
+, reachv2 AS (
+  SELECT vid AS a, vid AS b FROM vids
+  UNION
+  SELECT r.a, s.v FROM reachv2 r JOIN symv2 s ON r.b = s.u
+)
+, compv2 AS (SELECT a AS vid, min(b) AS root2 FROM reachv2 GROUP BY a)
+, brg AS (
+  SELECT c.s, c.d FROM cand c
+  JOIN compv2 x ON x.vid = c.s JOIN compv2 y ON y.vid = c.d
+  WHERE x.root2 <> y.root2
+)
+"""
 
 
 def _weighted_dist_sql(n_landmarks: int = 4, rounds: int = 6) -> str:
@@ -4895,6 +5041,26 @@ FROM pv JOIN (
         # SAME oracle: a green row here is the large-star/small-star
         # kernel (not the driver union-find) matching DuckDB exactly
         "connected_components_dist": cc_sql,
+        "bridges": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bridges_sql()
+        + """
+SELECT va.actor AS src_actor, vb.actor AS dst_actor
+FROM brg JOIN vids va ON va.vid = brg.s JOIN vids vb ON vb.vid = brg.d
+""",
+        # same-oracle twin: green == the distributed kernel (forced CC +
+        # Pregel BFS + subtree-sum supersteps) matching DuckDB exactly
+        "bridges_dist": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bridges_sql()
+        + """
+SELECT va.actor AS src_actor, vb.actor AS dst_actor
+FROM brg JOIN vids va ON va.vid = brg.s JOIN vids vb ON vb.vid = brg.d
+""",
+        "two_edge_components": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bridges_sql()
+        + """
+SELECT v.actor, rv.actor AS tec_actor
+FROM compv2 c JOIN vids v ON v.vid = c.vid JOIN vids rv ON rv.vid = c.root2
+""",
         "label_propagation": p + _lpa_sql(_LPA_GATE_ITERS),
         # same-oracle twin: green == the distributed join+argmax superstep
         # kernel (not the driver dict loop) matching DuckDB exactly
