@@ -1104,6 +1104,31 @@ def q_personalized_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _personalized_pagerank(spark, sf_dir, 0)
 
 
+def q_local_community_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: PageRank-Nibble conductance sweep over the K=8
+    tool-seeded PPR (operators/nibble.py) — sweep order = 6-dp-rounded
+    score/degree DESC then actor ASC, vol/cut exact integers, so the
+    whole sweep table is value-hash-pinned against the unrolled PPR CTE
+    plus window prefix sums in DuckDB."""
+    from csd363_sin_spark.operators.nibble import conductance_sweep
+    from csd363_sin_spark.operators.pagerank import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vertex_id")
+    ppr = personalized_pagerank(
+        g, seeds, weighted=True, tol=0.0, max_iter=_PR_GATE_ITERS
+    )
+    sweep = conductance_sweep(g, ppr, top_m=32)
+    return sweep.join(g.vertices, "vertex_id").select(
+        F.col("rank").cast("long").alias("rank"),
+        "actor",
+        "score",
+        "vol",
+        "cut",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def q_louvain_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: ONE deterministic down-only Louvain local-move
     phase (K=5 supersteps), mirrored by an unrolled-CTE DuckDB oracle.
@@ -2435,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_cut": q_spectral_cut,
         "spectral_clustering": q_spectral_clustering,
         "personalized_pagerank": q_personalized_pagerank,
+        "local_community_sweep": q_local_community_sweep,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
         "gn_refine": q_gn_refine,
@@ -2966,7 +2992,12 @@ l{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _pagerank_sql(k: int, alpha: float = 0.85, reset_pred: str | None = None) -> str:
+def _pagerank_sql(
+    k: int,
+    alpha: float = 0.85,
+    reset_pred: str | None = None,
+    emit_final: bool = True,
+) -> str:
     """Unrolled-CTE mirror of operators/pagerank.py at exactly ``k``
     power iterations (weighted, networkx semantics: x0 = p, dangling
     mass redistributed proportionally to p, x' = (1-a)*p + a*(M^T x +
@@ -3006,7 +3037,8 @@ x{i} AS MATERIALIZED (
                       + (SELECT mass FROM d{i}) * pv.p) AS rank
   FROM verts v JOIN pvec pv USING (actor) LEFT JOIN m{i} m USING (actor)
 )""")
-    parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
+    if emit_final:
+        parts.append(f"\nSELECT actor, round(rank, 6) AS rank FROM x{k}")
     return "".join(parts)
 
 
@@ -5131,6 +5163,44 @@ GROUP BY 1
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
         "personalized_pagerank_dist": p
         + _pagerank_sql(_PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'"),
+        "local_community_sweep": p
+        + _pagerank_sql(
+            _PR_GATE_ITERS, reset_pred="actor LIKE 'tool:%'", emit_final=False
+        )
+        + f"""
+, swsc AS (
+  SELECT x.actor, round(x.rank / d.degree, 6) AS score,
+         CAST(d.degree AS BIGINT) AS dg
+  FROM x{_PR_GATE_ITERS} x JOIN deg d USING (actor) WHERE d.degree > 0
+),
+swr AS MATERIALIZED (
+  SELECT actor, score, dg,
+         row_number() OVER (ORDER BY score DESC, actor ASC) AS rank
+  FROM swsc QUALIFY rank <= 32
+),
+swi AS (
+  SELECT greatest(a.rank, b.rank) AS rank, count(*) AS new_intra
+  FROM edges e
+  JOIN swr a ON a.actor = e.src_actor JOIN swr b ON b.actor = e.dst_actor
+  GROUP BY 1
+),
+swm AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM edges),
+swp AS (
+  SELECT r.rank, r.actor, r.score,
+         sum(r.dg) OVER w AS vol,
+         sum(COALESCE(i.new_intra, 0)) OVER w AS intra
+  FROM swr r LEFT JOIN swi i USING (rank)
+  WINDOW w AS (ORDER BY r.rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(rank AS BIGINT) AS rank, actor, score,
+       CAST(vol AS BIGINT) AS vol,
+       CAST(vol - 2 * intra AS BIGINT) AS cut,
+       round(CASE WHEN least(vol, (SELECT m2 FROM swm) - vol) > 0
+             THEN (vol - 2 * intra)
+                  / CAST(least(vol, (SELECT m2 FROM swm) - vol) AS DOUBLE)
+             END, 6) AS conductance
+FROM swp
+""",
         # same-oracle twin: green == the distributed shuffle-per-iteration
         # power-iteration kernel matching DuckDB exactly
         "pagerank_fixed_dist": p + _pagerank_sql(_PR_GATE_ITERS),

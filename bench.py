@@ -179,6 +179,9 @@ def main() -> None:
         "hll_tool_reach",
         lambda: entrymod.q_hll_tool_reach(spark, sf_dir).count(),
     )
+    from csd363_sin_spark.operators.bridges import bridge_decomposition
+
+    timed("bridges", lambda: bridge_decomposition(g).bridges.count())
 
     # ---- forced-distributed section (NOT in the headline total, which
     # stays apples-to-apples with earlier rounds): the same iterative
@@ -232,6 +235,10 @@ def main() -> None:
         lambda: eigenvector_centrality(
             g, max_iter=8, tol=0.0, local_edges_threshold=0
         ).count(),
+    )
+    timed_dist(
+        "dist_bridges",
+        lambda: bridge_decomposition(g, local_edges_threshold=0).bridges.count(),
     )
     timings.update(dist)
     dist_louvain_eps = (
