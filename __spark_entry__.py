@@ -1906,6 +1906,33 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K, _WINNOW_W = 5, 8
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: MOSS winnowing fingerprints (k-gram hashes, window
+    min with rightmost tie-break) — the struct-ordered window selection
+    is mirrored verbatim by DuckDB's struct_pack window min."""
+    from csd363_sin_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W)
+
+
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: near-dup pairs by shared winnowing fingerprints
+    (MOSS overlap = shared / min fingerprint-set size); exact mode
+    (no hub guard) so the SQL mirror is the complete computation."""
+    from csd363_sin_spark.functions.dedup import winnow_near_pairs
+
+    return winnow_near_pairs(
+        _docs(spark, sf_dir),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        threshold=0.3,
+        max_fp_freq=None,
+    )
+
+
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dups, oracle-checked end to end: the gate runs the
     md5-portable hash family (functions/dedup.py portable_hash64) so DuckDB
@@ -2528,6 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "resample_mix": q_resample_mix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4639,6 +4668,37 @@ SELECT CAST(pos AS INT) AS pos, round(x, 6) AS loading FROM {prev}
     return sql
 
 
+def _winnow_sql(k: int, w: int) -> str:
+    """Mirror of functions/dedup.py winnow_fingerprints: k-gram md5
+    hashes, window min over w frames via struct_pack(gh, -pos) (DuckDB
+    struct comparison is lexicographic, same as Spark's — rightmost min
+    tie-break), valid window starts only; ``wfp`` = (doc_id, pos, fp),
+    ``wfpd`` = distinct (doc_id, fp) for the pair metric."""
+    return f"""
+, wng AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(toks[i : i + {k - 1}], ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM toksrc, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {k} + 1)) AS i
+  )
+  WHERE len(toks) >= {k}
+),
+wns AS (
+  SELECT doc_id, pos,
+         min(struct_pack(gh := gh, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM wng
+),
+wfp AS (
+  SELECT DISTINCT doc_id, -(sel.np) AS pos, sel.gh AS fp
+  FROM wns WHERE pos <= greatest(1, n_grams - {w - 1})
+),
+wfpd AS (SELECT DISTINCT doc_id, fp FROM wfp)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     p = _ORACLE_PRELUDE
     part = _PART_SQL
@@ -5724,6 +5784,23 @@ FROM mix
         + """
 , keyed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toksrc)
 SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp
+""",
+        "winnow_fingerprints": _DOC_PRELUDE + _winnow_sql(_WINNOW_K, _WINNOW_W)
+        + """
+SELECT doc_id, pos, fp FROM wfp
+""",
+        "winnow_near_dups": _DOC_PRELUDE + _winnow_sql(_WINNOW_K, _WINNOW_W)
+        + """
+, wsz AS (SELECT doc_id, count(*) AS sz FROM wfpd GROUP BY 1),
+wsh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM wfpd a JOIN wfpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / CAST(least(x.sz, y.sz) AS DOUBLE), 6) AS overlap
+FROM wsh JOIN wsz x ON x.doc_id = doc_a JOIN wsz y ON y.doc_id = doc_b
+WHERE round(shared / CAST(least(x.sz, y.sz) AS DOUBLE), 6) >= 0.3
 """,
         "ngram_jaccard_dups": _DOC_PRELUDE
         + """

@@ -137,6 +137,13 @@ t0 = time.time()
 maximal_matching(vnamed, enamed).count()
 t_mm = time.time() - t0
 
+# bridge decomposition end-to-end (CC + BFS forest + subtree-sum DP +
+# confirmation CC); deterministic, identical supersteps at both levels
+from csd363_sin_spark.operators.bridges import bridge_decomposition
+t0 = time.time()
+bridge_decomposition(g, local_edges_threshold=0).bridges.count()
+t_br = time.time() - t0
+
 # embarrassingly parallel workload: brute-force cosine scan (no shuffle)
 from csd363_sin_spark.functions.similarity import cosine_topk
 dim = 64
@@ -178,6 +185,8 @@ print(json.dumps({
     "msf_edges_per_sec": round(n_edges / t_msf),
     "matching_sec": round(t_mm, 2),
     "matching_edges_per_sec": round(n_edges / t_mm),
+    "bridges_sec": round(t_br, 2),
+    "bridges_edges_per_sec": round(n_edges / t_br),
 }))
 spark.stop()
 """
@@ -275,6 +284,11 @@ def main() -> int:
             "matching": round(
                 high["matching_edges_per_sec"]
                 / (factor * low["matching_edges_per_sec"]),
+                3,
+            ),
+            "bridges": round(
+                high["bridges_edges_per_sec"]
+                / (factor * low["bridges_edges_per_sec"]),
                 3,
             ),
         },

@@ -697,3 +697,136 @@ def strip_repeated_spans(
         (n_toks - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """MOSS winnowing document fingerprints (Schleimer-Wilkerson-Aiken
+    SIGMOD'03, "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Hash every k-token gram (shared tokenizer); slide a window of ``w``
+    consecutive gram hashes; in each window select the minimum hash,
+    RIGHTMOST position on ties (the paper's robust-winnowing rule);
+    fingerprints = distinct selected (position, hash).  Guarantees: any
+    shared run of k+w-1 tokens between two documents yields at least one
+    shared fingerprint, with density 2/(w+1) — the matched-coverage
+    property the independent-sampling sketches (MinHash/SimHash) cannot
+    give.
+
+    Returns ``(doc_id, pos, fp)`` with ``pos`` the 1-based token
+    position of the selected gram.  Documents shorter than k tokens
+    yield no fingerprints; documents with fewer than ``w`` grams are one
+    whole window (their global min is selected).
+
+    Scale shape: one tokenize + gram explode (O(total tokens) rows,
+    map-side), one per-document window min over frames of ``w`` rows
+    (partitioned by doc_id, bounded by tokens/doc), one distinct.  The
+    window tie-break rides Spark's lexicographic struct ordering —
+    min(struct(hash, -pos)) — mirrored verbatim by DuckDB's
+    struct_pack window min in the oracle.  ``hash_mode="md5"`` is the
+    engine-portable gate family, ``"xxhash64"`` the production family.
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, "doc_id").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    grams = (
+        base.filter(F.size(toks) >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            _hash64(F.col("gram"), None, hash_mode).alias("gh"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "sel", F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(w_frame)
+        )
+        # valid window starts only (last w-1 frames are partial); a doc
+        # with < w grams is a single whole window at pos 1
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("n_grams") - (w - 1)))
+        .select(
+            "doc_id",
+            (-F.col("sel.np")).alias("pos"),
+            F.col("sel.gh").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_near_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_freq: int | None = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints:
+    ``(doc_a, doc_b, shared, overlap)`` with doc_a < doc_b and
+    ``overlap`` = shared distinct fingerprint hashes / min(|fp_a|,
+    |fp_b|) >= threshold (the MOSS report metric).
+
+    Same inverted-index + hub-guard shape as :func:`ngram_jaccard_pairs`
+    — fingerprints occurring in more than ``max_fp_freq`` docs are
+    dropped before the pair join (None = fully exact oracle mode)."""
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, hash_mode=hash_mode)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_fp_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared") / F.least("sz_a", "sz_b"), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "shared", "overlap")
+    )
