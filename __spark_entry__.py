@@ -1439,6 +1439,52 @@ def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bcc_named(spark: SparkSession, sf_dir: str, local_edges_threshold: int):
+    from csd363_sin_spark.operators.biconnectivity import bcc_decomposition
+
+    g = _graph(spark, sf_dir)
+    return g, bcc_decomposition(g, local_edges_threshold=local_edges_threshold)
+
+
+def _bcc_blocks_named(spark: SparkSession, sf_dir: str, thr: int) -> DataFrame:
+    g, dec = _bcc_named(spark, sf_dir, thr)
+
+    def nm(col, out):
+        return g.vertices.select(
+            F.col("vertex_id").alias(col), F.col("actor").alias(out)
+        )
+
+    return (
+        dec.blocks.join(nm("src", "src_actor"), "src")
+        .join(nm("dst", "dst_actor"), "dst")
+        .join(nm("bcc_src", "bcc_src_actor"), "bcc_src")
+        .join(nm("bcc_dst", "bcc_dst_actor"), "bcc_dst")
+        .select("src_actor", "dst_actor", "bcc_src_actor", "bcc_dst_actor")
+    )
+
+
+def q_biconnected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: every edge labeled with its biconnected
+    component's smallest edge (operators/biconnectivity.py — the block
+    partition is unique, so the driver-Tarjan and aux-graph kernels
+    produce identical labels)."""
+    return _bcc_blocks_named(spark, sf_dir, 100_000)
+
+
+def q_biconnected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed aux-graph kernel (BFS forest +
+    LCA lifting + min-DP + aux CC; driver dispatch off), SAME oracle."""
+    return _bcc_blocks_named(spark, sf_dir, 0)
+
+
+def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: cut vertices = vertices in >= 2 blocks."""
+    g, dec = _bcc_named(spark, sf_dir, 100_000)
+    return (
+        dec.articulation.join(g.vertices, "vertex_id").select("actor")
+    )
+
+
 def q_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: join-dataflow power iteration (numpy dispatch off);
     allclose 1e-9 to q_pagerank via tests/test_dist_gate_parity.py."""
@@ -2505,6 +2551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "bridges_dist": q_bridges_dist,
         "two_edge_components": q_two_edge_components,
+        "biconnected_components": q_biconnected_components,
+        "biconnected_components_dist": q_biconnected_components_dist,
+        "articulation_points": q_articulation_points,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "pagerank_fixed_dist": q_pagerank_fixed_dist,
@@ -2810,16 +2859,14 @@ mind AS (
     return "".join(parts)
 
 
-def _bridges_sql(depth: int = 8) -> str:
-    """Mirror of operators/bridges.py (confirm_rounds=1): dense ids via
+def _forest_sql(depth: int = 8) -> str:
+    """Shared BFS-spanning-forest CTEs (mirror of the forest build in
+    operators/bridges.py and operators/biconnectivity.py): dense ids via
     row_number (== plans/ids key-order ids), recursive reach closure for
-    component roots, ``depth`` unrolled BFS layers (gate forest height is
-    3-4; 8 = 2x margin), parent = min neighbor one layer up, signed
-    60-bit md5 sums scattered onto non-tree edge endpoints, subtree sums
-    via unrolled parent-chain ancestors, candidates = zero-sum tree
-    edges, one confirmation closure over the graph minus candidates.
-    On the fixed gate data every candidate confirms (== nx.bridges), so
-    the confirmation components double as the 2ECC labeling."""
+    component roots, ``depth`` unrolled BFS layers (gate forest height
+    is 3-4; 8 = 2x margin), parent = min neighbor one layer up, tree /
+    non-tree edge split, and the unrolled parent-chain ancestor closure
+    (``ancv``) both subtree DPs aggregate over."""
     bfs = "\n, lv0 AS MATERIALIZED (SELECT vid AS v FROM compv WHERE vid = root)"
     for i in range(1, depth + 1):
         bfs += f"""
@@ -2866,6 +2913,22 @@ def _bridges_sql(depth: int = 8) -> str:
   SELECT e.s, e.d FROM ev e
   LEFT JOIN tre t ON t.s = e.s AND t.d = e.d WHERE t.s IS NULL
 )
+{ancs}
+, ancv AS (
+  {anc_union}
+)
+"""
+
+
+def _bridges_sql(depth: int = 8) -> str:
+    """Mirror of operators/bridges.py (confirm_rounds=1) on top of
+    :func:`_forest_sql`: signed 60-bit md5 sums scattered onto non-tree
+    edge endpoints, subtree sums over the ancestor closure, candidates =
+    zero-sum tree edges, one confirmation closure over the graph minus
+    candidates.  On the fixed gate data every candidate confirms
+    (== nx.bridges), so the confirmation components double as the 2ECC
+    labeling."""
+    return _forest_sql(depth) + """
 , nth AS (
   SELECT s, d,
          CAST(('0x' || substr(md5('bridge:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS rv
@@ -2877,10 +2940,6 @@ def _bridges_sql(depth: int = 8) -> str:
     UNION ALL
     SELECT d AS v, -CAST(rv AS HUGEINT) AS x FROM nth
   ) GROUP BY v
-)
-{ancs}
-, ancv AS (
-  {anc_union}
 )
 , sub AS (
   SELECT ancv.anc AS v, COALESCE(sum(tg.t), 0) AS sv
@@ -2906,6 +2965,81 @@ def _bridges_sql(depth: int = 8) -> str:
   JOIN compv2 x ON x.vid = c.s JOIN compv2 y ON y.vid = c.d
   WHERE x.root2 <> y.root2
 )
+"""
+
+
+def _bcc_sql(depth: int = 8) -> str:
+    """Mirror of operators/biconnectivity.py on top of :func:`_forest_sql`:
+    per-non-tree-edge LCA depth via a recursive synchronized-lifting CTE,
+    min lca-depth subtree DP over the ancestor closure, the
+    Tarjan-Vishkin-style auxiliary graph (rule A: non-tree edge links
+    its cycle's first tree edges; rule B: tree edge links its parent's
+    when a cycle continues above the parent), a recursive closure over
+    the aux graph, and block labels = the min (s, d) edge (encoded
+    order-preservingly as s*2^31+d — gate vids are far below 2^31)."""
+    return _forest_sql(depth) + """
+, lift AS (
+  SELECT s, d, s AS a, d AS b FROM ntr
+  UNION
+  SELECT l.s, l.d,
+         CASE WHEN da.dp >= db.dp THEN pa.parent ELSE l.a END AS a,
+         CASE WHEN db.dp >= da.dp THEN pb.parent ELSE l.b END AS b
+  FROM lift l
+  JOIN dep da ON da.v = l.a
+  JOIN dep db ON db.v = l.b
+  LEFT JOIN par pa ON pa.child = l.a
+  LEFT JOIN par pb ON pb.child = l.b
+  WHERE l.a <> l.b
+)
+, lcad AS (
+  SELECT l.s, l.d, dv.dp AS lca_depth
+  FROM lift l JOIN dep dv ON dv.v = l.a WHERE l.a = l.b
+)
+, tmn AS (
+  SELECT v, min(lca_depth) AS t FROM (
+    SELECT s AS v, lca_depth FROM lcad
+    UNION ALL
+    SELECT d AS v, lca_depth FROM lcad
+  ) GROUP BY v
+)
+, subm AS (
+  SELECT ancv.anc AS v, min(tmn.t) AS m
+  FROM ancv LEFT JOIN tmn ON tmn.v = ancv.v GROUP BY ancv.anc
+)
+, te2 AS (
+  SELECT least(parent, child) AS s, greatest(parent, child) AS d, child, parent
+  FROM par
+)
+, auxa AS (
+  SELECT n.s AS xs, n.d AS xd, t.s AS ys, t.d AS yd
+  FROM lcad n JOIN dep du ON du.v = n.s JOIN te2 t ON t.child = n.s
+  WHERE du.dp > n.lca_depth
+  UNION ALL
+  SELECT n.s AS xs, n.d AS xd, t.s AS ys, t.d AS yd
+  FROM lcad n JOIN dep dv ON dv.v = n.d JOIN te2 t ON t.child = n.d
+  WHERE dv.dp > n.lca_depth
+)
+, auxb AS (
+  SELECT tc.s AS xs, tc.d AS xd, tp.s AS ys, tp.d AS yd
+  FROM te2 tc
+  JOIN subm ON subm.v = tc.child
+  JOIN dep dpp ON dpp.v = tc.parent
+  JOIN te2 tp ON tp.child = tc.parent
+  WHERE subm.m IS NOT NULL AND subm.m < dpp.dp
+)
+, axn AS (SELECT s * 2147483648 + d AS nid, s, d FROM ev)
+, axe AS (
+  SELECT xs * 2147483648 + xd AS x, ys * 2147483648 + yd AS y FROM auxa
+  UNION ALL
+  SELECT xs * 2147483648 + xd AS x, ys * 2147483648 + yd AS y FROM auxb
+)
+, axs AS (SELECT x, y FROM axe UNION ALL SELECT y AS x, x AS y FROM axe)
+, axreach AS (
+  SELECT nid AS a, nid AS b FROM axn
+  UNION
+  SELECT r.a, s.y FROM axreach r JOIN axs s ON r.b = s.x
+)
+, axc AS (SELECT a AS nid, min(b) AS lbl FROM axreach GROUP BY a)
 """
 
 
@@ -5152,6 +5286,41 @@ FROM brg JOIN vids va ON va.vid = brg.s JOIN vids vb ON vb.vid = brg.d
         + """
 SELECT v.actor, rv.actor AS tec_actor
 FROM compv2 c JOIN vids v ON v.vid = c.vid JOIN vids rv ON rv.vid = c.root2
+""",
+        "biconnected_components": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bcc_sql()
+        + """
+SELECT va.actor AS src_actor, vb.actor AS dst_actor,
+       la.actor AS bcc_src_actor, lb.actor AS bcc_dst_actor
+FROM axn JOIN axc USING (nid)
+JOIN vids va ON va.vid = axn.s JOIN vids vb ON vb.vid = axn.d
+JOIN vids la ON la.vid = axc.lbl // 2147483648
+JOIN vids lb ON lb.vid = axc.lbl % 2147483648
+""",
+        # same-oracle twin: green == the distributed aux-graph kernel
+        # (forced CC + BFS + LCA lifting + min-DP) matching DuckDB exactly
+        "biconnected_components_dist": p.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + _bcc_sql()
+        + """
+SELECT va.actor AS src_actor, vb.actor AS dst_actor,
+       la.actor AS bcc_src_actor, lb.actor AS bcc_dst_actor
+FROM axn JOIN axc USING (nid)
+JOIN vids va ON va.vid = axn.s JOIN vids vb ON vb.vid = axn.d
+JOIN vids la ON la.vid = axc.lbl // 2147483648
+JOIN vids lb ON lb.vid = axc.lbl % 2147483648
+""",
+        "articulation_points": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bcc_sql()
+        + """
+SELECT v.actor FROM (
+  SELECT vtx, count(DISTINCT lbl) AS nb FROM (
+    SELECT x.s AS vtx, c.lbl FROM axn x JOIN axc c USING (nid)
+    UNION ALL
+    SELECT x.d AS vtx, c.lbl FROM axn x JOIN axc c USING (nid)
+  ) GROUP BY vtx
+) q JOIN vids v ON v.vid = q.vtx WHERE q.nb >= 2
 """,
         "label_propagation": p + _lpa_sql(_LPA_GATE_ITERS),
         # same-oracle twin: green == the distributed join+argmax superstep
