@@ -746,6 +746,43 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPREAD_GATE_ITERS = 4  # unrolled as CTE layers in the DuckDB oracle
+
+
+def _label_spreading(
+    spark: SparkSession, sf_dir: str, local_edges_threshold: int
+) -> DataFrame:
+    from csd363_sin_spark.operators.lpa import label_spreading
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select(
+        "vertex_id",
+        F.pmod(F.ascii(F.substring(F.col("actor"), -1, 1)), F.lit(3))
+        .cast("long")
+        .alias("label"),
+    )
+    out = label_spreading(
+        g,
+        seeds,
+        max_iterations=_SPREAD_GATE_ITERS,
+        local_edges_threshold=local_edges_threshold,
+    )
+    return out.join(g.vertices, "vertex_id").select("actor", "label")
+
+
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: seeded semi-supervised label spreading (seeds =
+    tool actors with a 3-class deterministic label, hard-clamped; K=4
+    supersteps), mirrored by an unrolled-CTE DuckDB oracle."""
+    return _label_spreading(spark, sf_dir, 100_000)
+
+
+def q_label_spreading_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed nullable-label superstep kernel
+    (driver dispatch off) against the SAME oracle."""
+    return _label_spreading(spark, sf_dir, 0)
+
+
 def q_modularity_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import modularity
 
@@ -2534,6 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_clustering": q_spectral_clustering,
         "personalized_pagerank": q_personalized_pagerank,
         "local_community_sweep": q_local_community_sweep,
+        "label_spreading": q_label_spreading,
+        "label_spreading_dist": q_label_spreading_dist,
         "louvain": q_louvain,
         "louvain_phase": q_louvain_phase,
         "gn_refine": q_gn_refine,
@@ -3152,6 +3191,50 @@ l{i} AS MATERIALIZED (
   FROM l{i - 1} l LEFT JOIN p{i} p USING (actor)
 )""")
     parts.append(f"\nSELECT actor, label AS comm_actor FROM l{k}")
+    return "".join(parts)
+
+
+def _spread_sql(k: int) -> str:
+    """Unrolled-CTE mirror of operators/lpa.py label_spreading: seeds =
+    tool actors with label ascii(last char) % 3 (hard-clamped); every
+    layer recomputes each non-seed vertex's label from scratch as the
+    weighted-majority among currently-labeled neighbors, ties to the
+    smallest label; unlabeled = NULL (absent from the output)."""
+    parts = [
+        """
+, sd AS (
+  SELECT actor,
+         CASE WHEN actor LIKE 'tool:%'
+              THEN CAST(ascii(substr(actor, length(actor), 1)) % 3 AS BIGINT)
+         END AS seed
+  FROM verts
+)
+, s0 AS MATERIALIZED (SELECT actor, seed AS lbl FROM sd)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, sv{i} AS MATERIALIZED (
+  SELECT s.u AS actor, l.lbl, sum(s.weight) AS score
+  FROM sym s JOIN s{i - 1} l ON l.actor = s.v
+  WHERE l.lbl IS NOT NULL
+  GROUP BY 1, 2
+),
+sp{i} AS MATERIALIZED (
+  SELECT actor, lbl FROM (
+    SELECT actor, lbl,
+           row_number() OVER (
+             PARTITION BY actor ORDER BY score DESC, lbl ASC
+           ) AS rn
+    FROM sv{i}
+  ) WHERE rn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT d.actor, COALESCE(d.seed, p.lbl) AS lbl
+  FROM sd d LEFT JOIN sp{i} p USING (actor)
+)""")
+    parts.append(
+        f"\nSELECT actor, lbl AS label FROM s{k} WHERE lbl IS NOT NULL"
+    )
     return "".join(parts)
 
 
@@ -5323,6 +5406,10 @@ SELECT v.actor FROM (
 ) q JOIN vids v ON v.vid = q.vtx WHERE q.nb >= 2
 """,
         "label_propagation": p + _lpa_sql(_LPA_GATE_ITERS),
+        "label_spreading": p + _spread_sql(_SPREAD_GATE_ITERS),
+        # same-oracle twin: green == the distributed nullable-label
+        # superstep kernel matching DuckDB exactly
+        "label_spreading_dist": p + _spread_sql(_SPREAD_GATE_ITERS),
         # same-oracle twin: green == the distributed join+argmax superstep
         # kernel (not the driver dict loop) matching DuckDB exactly
         "label_propagation_dist": p + _lpa_sql(_LPA_GATE_ITERS),

@@ -182,6 +182,13 @@ def main() -> None:
     from csd363_sin_spark.operators.bridges import bridge_decomposition
 
     timed("bridges", lambda: bridge_decomposition(g).bridges.count())
+    from csd363_sin_spark.operators.biconnectivity import bcc_decomposition
+
+    timed(
+        "biconnected",
+        lambda: bcc_decomposition(g).blocks.groupBy("bcc_src", "bcc_dst")
+        .count().count(),
+    )
 
     # ---- forced-distributed section (NOT in the headline total, which
     # stays apples-to-apples with earlier rounds): the same iterative
@@ -239,6 +246,11 @@ def main() -> None:
     timed_dist(
         "dist_bridges",
         lambda: bridge_decomposition(g, local_edges_threshold=0).bridges.count(),
+    )
+    timed_dist(
+        "dist_biconnected",
+        lambda: bcc_decomposition(g, local_edges_threshold=0)
+        .blocks.groupBy("bcc_src", "bcc_dst").count().count(),
     )
     timings.update(dist)
     dist_louvain_eps = (

@@ -149,3 +149,146 @@ def label_propagation(
     finally:
         sym.unpersist()
     return labels
+
+
+def _spreading_driver(
+    graph: Graph, seeds: dict[int, int], max_iterations: int
+) -> DataFrame:
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in graph.vertices.select("vertex_id").collect():
+        adj[int(r["vertex_id"])] = []
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    labels: dict[int, int] = dict(seeds)
+    for _ in range(max_iterations):
+        new = dict(seeds)
+        for v, nbrs in adj.items():
+            if v in seeds:
+                continue
+            scores: dict[int, float] = {}
+            for u, w in nbrs:
+                lu = labels.get(u)
+                if lu is not None:
+                    scores[lu] = scores.get(lu, 0.0) + w
+            if scores:
+                new[v] = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return graph.edges.sparkSession.createDataFrame(
+        sorted(labels.items()), "vertex_id long, label long"
+    )
+
+
+def label_spreading(
+    graph: Graph,
+    seeds: DataFrame,
+    max_iterations: int = 20,
+    use_reliable_checkpoint: bool = False,
+    local_edges_threshold: int = 100_000,
+) -> DataFrame:
+    """Seeded semi-supervised label spreading (hard-clamped seeds) —
+    classify every vertex from a few labeled ones, the transductive SSL
+    primitive (Zhu-Ghahramani '02 label propagation with clamping, here
+    in the deterministic argmax form so all paths agree bit-for-bit).
+
+    ``seeds``: DataFrame ``(vertex_id long, label long)`` — these labels
+    never change.  Each superstep recomputes every non-seed vertex's
+    label from scratch as the weighted-majority label among its
+    currently-labeled neighbors (ties to the SMALLEST label); vertices
+    with no labeled neighbor stay unlabeled.  Stops at a fixpoint or
+    after ``max_iterations`` — the from-scratch recompute is idempotent
+    at a fixpoint, so a fixed-K unrolled mirror (the DuckDB oracle)
+    matches the early-stopped run exactly.
+
+    Returns ``(vertex_id long, label long)`` for LABELED vertices only
+    (unreached vertices are absent — nx/sklearn convention for
+    disconnected transductive classification).
+
+    Scale shape: identical to :func:`label_propagation` — the 2|E| sym
+    view is shuffled once and pinned, each superstep exchanges only the
+    |V|-row nullable-label table (one vote join + one struct-argmax
+    aggregation), lineage truncated per round.
+    """
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+    ):
+        seed_map = {
+            int(r["vertex_id"]): int(r["label"])
+            for r in seeds.select("vertex_id", "label").collect()
+        }
+        return _spreading_driver(graph, seed_map, max_iterations)
+
+    spark = graph.edges.sparkSession
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = graph.edges_sym().repartition(num_part, "dst").persist()
+    sym.count()
+    seed_tbl = (
+        seeds.select("vertex_id", F.col("label").cast("long").alias("seed"))
+        .distinct()
+        .persist()
+    )
+    seed_tbl.count()
+    state = materialize(
+        graph.vertices.select("vertex_id")
+        .join(seed_tbl, "vertex_id", "left")
+        .select("vertex_id", F.col("seed").alias("label")),
+        use_reliable_checkpoint,
+    )
+    try:
+        for _ in range(max_iterations):
+            votes = (
+                sym.join(
+                    state.filter(F.col("label").isNotNull()).select(
+                        F.col("vertex_id").alias("dst"), "label"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex_id"), "label")
+                .agg(F.sum("weight").alias("score"))
+            )
+            picked = (
+                votes.groupBy("vertex_id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("label")).alias("neg"))
+                    ).alias("m")
+                )
+                .select("vertex_id", (-F.col("m.neg")).alias("new_label"))
+            )
+            merged = materialize(
+                graph.vertices.select("vertex_id")
+                .join(seed_tbl, "vertex_id", "left")
+                .join(picked, "vertex_id", "left")
+                .join(
+                    state.select(
+                        "vertex_id", F.col("label").alias("old_label")
+                    ),
+                    "vertex_id",
+                    "left",
+                )
+                .select(
+                    "vertex_id",
+                    F.coalesce("seed", "new_label").alias("label"),
+                    (
+                        ~F.coalesce("seed", "new_label").eqNullSafe(
+                            F.col("old_label")
+                        )
+                    )
+                    .cast("long")
+                    .alias("_chg"),
+                ),
+                use_reliable_checkpoint,
+            )
+            changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+            release(state)
+            state = adopt(merged.select("vertex_id", "label"), merged)
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+        seed_tbl.unpersist()
+    return state.filter(F.col("label").isNotNull())

@@ -110,3 +110,84 @@ def test_lpa_random_graph_parity(spark):
     edges = [(u, v) for u, v in edges if u != v]
     weights = [float(1 + (u * 3 + v) % 4) for u, v in edges]
     _run_both(spark, edges, weights, max_iterations=8)
+
+
+# ---------------------------------------------------------------------------
+# seeded label spreading (semi-supervised, hard-clamped seeds)
+# ---------------------------------------------------------------------------
+
+
+def _spread_py(verts, edges, seeds, iters=20):
+    adj = {v: [] for v in verts}
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    labels = dict(seeds)
+    for _ in range(iters):
+        new = dict(seeds)
+        for v in verts:
+            if v in seeds:
+                continue
+            scores = {}
+            for u, w in adj[v]:
+                lu = labels.get(u)
+                if lu is not None:
+                    scores[lu] = scores.get(lu, 0.0) + w
+            if scores:
+                new[v] = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_spreading_mirror_and_parity(spark):
+    from csd363_sin_spark.operators.lpa import label_spreading
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    # two lobes with a weak link + a detached pair with no seed
+    edges = [
+        (0, 1), (1, 2), (0, 2), (2, 3),
+        (3, 4), (4, 5), (5, 6), (4, 6),
+        (10, 11),
+    ]
+    g = graph_from_edges(spark, edges)
+    seeds = {0: 7, 6: 9}
+    seeds_df = spark.createDataFrame(
+        sorted(seeds.items()), "vertex_id long, label long"
+    )
+    verts = sorted(r["vertex_id"] for r in g.vertices.collect())
+    expected = _spread_py(verts, [(u, v, 1.0) for u, v in edges], seeds)
+
+    for thr in (100_000, 0):
+        got = {
+            r["vertex_id"]: r["label"]
+            for r in label_spreading(
+                g, seeds_df, local_edges_threshold=thr
+            ).collect()
+        }
+        assert got == expected, f"threshold={thr}"
+    # detached pair never labeled; seeds clamped
+    assert 10 not in expected and 11 not in expected
+    assert expected[0] == 7 and expected[6] == 9
+    # the weak-link boundary vertex adopts the majority side
+    assert set(expected.values()) == {7, 9}
+
+
+def test_label_spreading_tie_breaks_to_smallest_label(spark):
+    from csd363_sin_spark.operators.lpa import label_spreading
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    # vertex 1 sees labels 5 and 3 with equal weight -> picks 3
+    g = graph_from_edges(spark, [(0, 1), (1, 2)])
+    seeds_df = spark.createDataFrame(
+        [(0, 5), (2, 3)], "vertex_id long, label long"
+    )
+    for thr in (100_000, 0):
+        got = {
+            r["vertex_id"]: r["label"]
+            for r in label_spreading(
+                g, seeds_df, local_edges_threshold=thr
+            ).collect()
+        }
+        assert got[1] == 3, f"threshold={thr}"
