@@ -1522,6 +1522,27 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_block_cut_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the block-cut tree as (cut vertex, block label)
+    incidence rows (operators/biconnectivity.py block_cut_tree)."""
+    from csd363_sin_spark.operators.biconnectivity import block_cut_tree
+
+    g = _graph(spark, sf_dir)
+    bct = block_cut_tree(g, local_edges_threshold=100_000)
+
+    def nm(col, out):
+        return g.vertices.select(
+            F.col("vertex_id").alias(col), F.col("actor").alias(out)
+        )
+
+    return (
+        bct.join(nm("vertex_id", "actor"), "vertex_id")
+        .join(nm("bcc_src", "bcc_src_actor"), "bcc_src")
+        .join(nm("bcc_dst", "bcc_dst_actor"), "bcc_dst")
+        .select("actor", "bcc_src_actor", "bcc_dst_actor")
+    )
+
+
 def q_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: join-dataflow power iteration (numpy dispatch off);
     allclose 1e-9 to q_pagerank via tests/test_dist_gate_parity.py."""
@@ -2593,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biconnected_components": q_biconnected_components,
         "biconnected_components_dist": q_biconnected_components_dist,
         "articulation_points": q_articulation_points,
+        "block_cut_tree": q_block_cut_tree,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "pagerank_fixed_dist": q_pagerank_fixed_dist,
@@ -5404,6 +5426,23 @@ SELECT v.actor FROM (
     SELECT x.d AS vtx, c.lbl FROM axn x JOIN axc c USING (nid)
   ) GROUP BY vtx
 ) q JOIN vids v ON v.vid = q.vtx WHERE q.nb >= 2
+""",
+        "block_cut_tree": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bcc_sql()
+        + """
+, bct AS (
+  SELECT DISTINCT vtx, lbl FROM (
+    SELECT x.s AS vtx, c.lbl FROM axn x JOIN axc c USING (nid)
+    UNION ALL
+    SELECT x.d AS vtx, c.lbl FROM axn x JOIN axc c USING (nid)
+  )
+)
+, apv AS (SELECT vtx FROM bct GROUP BY vtx HAVING count(*) >= 2)
+SELECT v.actor, la.actor AS bcc_src_actor, lb.actor AS bcc_dst_actor
+FROM bct JOIN apv USING (vtx)
+JOIN vids v ON v.vid = bct.vtx
+JOIN vids la ON la.vid = bct.lbl // 2147483648
+JOIN vids lb ON lb.vid = bct.lbl % 2147483648
 """,
         "label_propagation": p + _lpa_sql(_LPA_GATE_ITERS),
         "label_spreading": p + _spread_sql(_SPREAD_GATE_ITERS),

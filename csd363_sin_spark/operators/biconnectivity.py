@@ -441,3 +441,24 @@ def articulation_points(
 ) -> DataFrame:
     """``(vertex_id long)`` cut vertices (nx.articulation_points)."""
     return bcc_decomposition(graph, local_edges_threshold).articulation
+
+
+def block_cut_tree(
+    graph: Graph, local_edges_threshold: int = 100_000
+) -> DataFrame:
+    """``(vertex_id, bcc_src, bcc_dst)`` — the block-cut tree as the
+    bipartite incidence of articulation points and blocks (one row per
+    (cut vertex, block containing it)).  Classic fact: this graph is a
+    forest; together with the per-edge block labels it fully describes
+    the graph's 2-vertex-connectivity structure.  Derived from
+    :func:`bcc_decomposition` with one endpoint explode + semi-join —
+    no new shuffle shapes."""
+    dec = bcc_decomposition(graph, local_edges_threshold)
+    incident = (
+        dec.blocks.select(F.col("src").alias("vertex_id"), "bcc_src", "bcc_dst")
+        .unionByName(
+            dec.blocks.select(F.col("dst").alias("vertex_id"), "bcc_src", "bcc_dst")
+        )
+        .distinct()
+    )
+    return incident.join(dec.articulation, "vertex_id", "left_semi")

@@ -116,3 +116,30 @@ def test_bcc_random_graphs_vs_networkx(spark):
                 edges.add((min(a, b), max(a, b)))
         g = graph_from_edges(spark, sorted(edges))
         _assert_matches_nx(g)
+
+
+def test_block_cut_tree(spark):
+    from csd363_sin_spark.operators.biconnectivity import block_cut_tree
+    import networkx as nx
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    # bowtie + tail: blocks {tri1, tri2, tail edge}, APs {2, 4}
+    g = graph_from_edges(
+        spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 9)]
+    )
+    nxg = graph_to_networkx(g)
+    expected = set()
+    aps = set(nx.articulation_points(nxg))
+    for block in nx.biconnected_component_edges(nxg):
+        edges = sorted((min(a, b), max(a, b)) for a, b in block)
+        ls, ld = min(edges)
+        verts = {v for e in edges for v in e}
+        expected.update((v, ls, ld) for v in verts & aps)
+    for thr in (100_000, 0):
+        got = {
+            (r["vertex_id"], r["bcc_src"], r["bcc_dst"])
+            for r in block_cut_tree(g, local_edges_threshold=thr).collect()
+        }
+        assert got == expected, f"threshold={thr}"
+    # the block-cut tree here: 2 APs x their incident blocks = 2+2 rows
+    assert len(expected) == 4
