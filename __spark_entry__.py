@@ -2226,6 +2226,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "vec_id", "rank")
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (third ANN scale path: the
+    memory-bound regime — corpus compressed to m codes/vector, queries
+    scored against codebook reconstructions without reading floats),
+    oracle-checked end to end in portable mode: Lloyd means quantized to
+    6 decimals, L2 assignment distances to 9, ADC scores to 6, so DuckDB
+    replays training, encoding, and ranking exactly (_pq_topk_sql)."""
+    from csd363_sin_spark.functions.similarity import pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return pq_topk(
+        emb, probes, dim=64, k=5, m=4, n_codes=8, iters=2, portable=True
+    ).select("probe_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
 def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Structured-Streaming ingest -> edge store -> exact
     community refresh (streaming/communities.py).  The store snapshot
@@ -2681,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -4814,6 +4833,105 @@ SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
     return sql
 
 
+def _pq_topk_sql(
+    dim: int = 64, m: int = 4, n_codes: int = 8, iters: int = 2, k: int = 5
+) -> str:
+    """PQ-ADC top-k oracle: replays functions/similarity.py
+    pq_train(quantize=6, round_to=9) / pq_encode(round_to=9) /
+    pq_topk(score_round=6) construct for construct — per-subspace Lloyd
+    with min-L2 assignment (9-dp distances, ties -> lowest code), 6-dp
+    means, empty codes keep their previous centroid, ADC score = 6-dp
+    rounded sum of per-subspace probe-centroid inner products."""
+    sub = dim // m
+
+    def dist(sv: str, c: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, {sub}),"
+            f" i -> ({sv}[i] - {c}[i]) * ({sv}[i] - {c}[i]))), 9)"
+        )
+
+    slices = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub_j, v[{j * sub + 1}:{(j + 1) * sub}] AS sv FROM e"
+        for j in range(m)
+    )
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+es AS MATERIALIZED (
+  {slices}
+),
+pq0 AS (
+  SELECT sub_j, row_number() OVER (PARTITION BY sub_j ORDER BY vec_id) - 1 AS code,
+         sv AS c
+  FROM es
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_codes})
+)"""
+    prev = "pq0"
+    for i in range(1, iters + 1):
+        sql += f""",
+pa{i} AS MATERIALIZED (
+  SELECT vec_id, sub_j, sv, code FROM (
+    SELECT es.vec_id, es.sub_j, es.sv, cb.code,
+      row_number() OVER (
+        PARTITION BY es.vec_id, es.sub_j
+        ORDER BY {dist("es.sv", "cb.c")} ASC, cb.code ASC
+      ) AS rn
+    FROM es JOIN {prev} cb ON cb.sub_j = es.sub_j
+  ) WHERE rn = 1
+),
+pm{i} AS MATERIALIZED (
+  SELECT sub_j, code, pos, round(avg(x), 6) AS mx FROM (
+    SELECT sub_j, code, unnest(sv) AS x,
+           unnest(range(1, len(sv) + 1)) AS pos
+    FROM pa{i}
+  ) GROUP BY 1, 2, 3
+),
+pq{i} AS (
+  SELECT p.sub_j, p.code, COALESCE(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT sub_j, code, list(mx ORDER BY pos) AS c FROM pm{i} GROUP BY 1, 2
+  ) n USING (sub_j, code)
+)"""
+        prev = f"pq{i}"
+    sql += f""",
+paf AS MATERIALIZED (
+  SELECT vec_id, sub_j, code FROM (
+    SELECT es.vec_id, es.sub_j, cb.code,
+      row_number() OVER (
+        PARTITION BY es.vec_id, es.sub_j
+        ORDER BY {dist("es.sv", "cb.c")} ASC, cb.code ASC
+      ) AS rn
+    FROM es JOIN {prev} cb ON cb.sub_j = es.sub_j
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS probe_id, sub_j, sv FROM es WHERE vec_id < 3),
+contrib AS (
+  SELECT q.probe_id, x.vec_id,
+         list_sum(list_transform(generate_series(1, {sub}),
+                                 i -> q.sv[i] * cb.c[i])) AS ip
+  FROM qs q
+  JOIN paf x ON x.sub_j = q.sub_j
+  JOIN {prev} cb ON cb.sub_j = x.sub_j AND cb.code = x.code
+),
+pscored AS (
+  SELECT probe_id, vec_id, round(sum(ip), 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+pranked AS (
+  SELECT probe_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY score DESC, vec_id ASC
+         ) AS rank
+  FROM pscored
+)
+SELECT probe_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM pranked WHERE rank <= {k}
+"""
+    return sql
+
+
 _SEMDEDUP_AUG = (
     # the perturbation runs in DOUBLE on both engines (float32 + 0.05 can
     # double-round differently engine to engine; double IEEE add cannot)
@@ -6182,6 +6300,7 @@ FROM canon c JOIN csize s USING (cluster_id)
         "simhash_dups": _simhash_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "pq_topk": _pq_topk_sql(),
         "semantic_dedup": _semantic_dedup_sql(0.9),
         "embedding_pca_top": _pca_sql(64, 8),
         # pagerank/louvain/gn/infomap/betweenness/pipeline: intentionally

@@ -725,3 +725,222 @@ def semantic_clusters(
             "cluster_size",
         )
     )
+
+
+def _sub_slice(vec_col, j: int, sub: int):
+    """1-based slice of subspace ``j`` (sub doubles) from an array col."""
+    return F.slice(vec_col, j * sub + 1, sub)
+
+
+def _codebook_lit(codebooks: list[list[list[float]]]):
+    """m x n_codes x sub nested literal (tiny: the whole PQ model)."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _pq_assign_expr(
+    sv_col, book: list[list[float]], round_to: int | None = None
+):
+    """Index of the min-L2 code for a subvector column (codes are plan
+    literals; ties to the FIRST code, deterministic across engines).
+    ``round_to`` rounds each squared distance (portable mode)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                sv_col,
+                F.array(*[F.lit(float(x)) for x in code]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for code in book
+    ]
+    if round_to is not None:
+        dists = [F.round(d, round_to) for d in dists]
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = None,
+    round_to: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subvectors of ``dim/m`` dims and run the deterministic Lloyd
+    quantizer (seeded from the ``n_codes`` lowest-id vectors' subvectors,
+    no RNG — the ivf_flat_index recipe) independently per subspace, all
+    subspaces trained in the SAME jobs.
+
+    Per iteration: one map-side (vec, subspace) explode with a literal-
+    codebook argmin (no shuffle for assignment) + ONE element-wise mean
+    aggregation over (subspace, code, pos) — map-side combined, output
+    m x n_codes x sub rows, collected and re-embedded as plan literals
+    (broadcast-k-means shape; the model is tiny by construction).
+
+    ``quantize``/``round_to`` = portable mode: Lloyd means rounded to
+    ``quantize`` decimals in-plan and assignment distances to
+    ``round_to``, so a SQL engine replaying the unrolled iterations
+    reproduces the codebooks exactly."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    e = e.persist()
+    seeds = e.orderBy("vec_id").limit(n_codes).collect()
+    codebooks = [
+        [[float(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in seeds]
+        for j in range(m)
+    ]
+
+    mean_col = F.avg("x") if quantize is None else F.round(F.avg("x"), quantize)
+    for _ in range(max(iters, 1)):
+        # one row per (vector, subspace); assignment entirely map-side
+        assigned = e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub_j"),
+                            _sub_slice(F.col("v"), j, sub).alias("sv"),
+                            _pq_assign_expr(
+                                _sub_slice(F.col("v"), j, sub),
+                                codebooks[j],
+                                round_to=round_to,
+                            ).alias("code"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        ).select(F.col("s.sub_j"), F.col("s.sv"), F.col("s.code"))
+        means = (
+            assigned.select("sub_j", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub_j", "code", "pos")
+            .agg(mean_col.alias("mn"))
+            .collect()
+        )
+        got: dict = {}
+        for r in means:
+            got.setdefault((int(r["sub_j"]), int(r["code"])), {})[int(r["pos"])] = (
+                float(r["mn"])
+            )
+        codebooks = [
+            [
+                [
+                    got.get((j, c), {}).get(p, codebooks[j][c][p])
+                    for p in range(sub)
+                ]
+                for c in range(n_codes)
+            ]
+            for j in range(m)
+        ]
+    e.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """``(vec_id, codes array<int>)`` — each vector compressed to m
+    codebook indices (m bytes at n_codes <= 256 in a real store; the
+    columnar array keeps the gate portable).  Pure map-side."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    return e.select(
+        "vec_id",
+        F.array(
+            *[
+                _pq_assign_expr(
+                    _sub_slice(F.col("v"), j, sub), codebooks[j], round_to=round_to
+                )
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+    portable: bool = False,
+    score_round: int = 6,
+) -> DataFrame:
+    """Approximate inner-product top-k via asymmetric distance (ADC):
+    score(q, x) ~= sum_j <q_j, codebook_j[code_j(x)]> — the query stays
+    exact, the corpus is compressed to m codes per vector.  The third
+    ANN scale path next to hyperplane-LSH (bucketed) and IVF (probed):
+    PQ is the MEMORY-bound regime — a 100 TB corpus of float32x64
+    vectors shrinks 32x, and the scan is a broadcast probe join over
+    code columns with literal-codebook lookups, no float vectors read.
+
+    Returns ``(probe_id, vec_id, score, rank)``, rank 1..k per probe by
+    (score DESC, vec_id ASC) — deterministic.  ``portable=True``
+    quantizes Lloyd means to 6 dp and rounds distances/scores so the
+    unrolled DuckDB mirror reproduces training, encoding, and ranking
+    exactly."""
+    q = 6 if portable else None
+    r = 9 if portable else None
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, dim, m=m, n_codes=n_codes, iters=iters,
+            quantize=q, round_to=r,
+        )
+    sub = dim // m
+    enc = pq_encode(embeddings, codebooks, round_to=r)
+    cb = _codebook_lit(codebooks)
+    cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    p = probes.select(
+        F.col("probe_id"), cast("probe_vec").alias("qv")
+    )
+    score = None
+    for j in range(m):
+        contrib = F.aggregate(
+            F.zip_with(
+                _sub_slice(F.col("qv"), j, sub),
+                F.element_at(
+                    F.element_at(cb, j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = contrib if score is None else score + contrib
+    scored = enc.join(F.broadcast(p)).select(
+        "probe_id",
+        "vec_id",
+        # _topk ranks by the column named "cosine"; PQ's metric is the
+        # approximate inner product — renamed to "score" on the way out
+        F.round(score, score_round).alias("cosine"),
+    )
+    return _topk(scored, k).withColumnRenamed("cosine", "score")
