@@ -1522,6 +1522,53 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clique_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: CPM k=3 overlapping communities (CC of the
+    triangle graph; operators/percolation.py) — membership rows labeled
+    by the community's smallest member triangle, as actor strings (ids
+    are key-order dense, so id-triple order == actor-triple order)."""
+    from csd363_sin_spark.operators.percolation import clique_percolation
+
+    g = _graph(spark, sf_dir)
+    cpm = clique_percolation(g, local_edges_threshold=100_000)
+
+    def nm(col, out):
+        return g.vertices.select(
+            F.col("vertex_id").alias(col), F.col("actor").alias(out)
+        )
+
+    return (
+        cpm.join(nm("vertex_id", "actor"), "vertex_id")
+        .join(nm("com_a", "com_a_actor"), "com_a")
+        .join(nm("com_b", "com_b_actor"), "com_b")
+        .join(nm("com_c", "com_c_actor"), "com_c")
+        .select("actor", "com_a_actor", "com_b_actor", "com_c_actor")
+    )
+
+
+def q_clique_percolation_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed triangle-graph kernel (dense
+    triangle ids + forced-distributed CC; driver dispatch off), SAME
+    oracle."""
+    from csd363_sin_spark.operators.percolation import clique_percolation
+
+    g = _graph(spark, sf_dir)
+    cpm = clique_percolation(g, local_edges_threshold=0)
+
+    def nm(col, out):
+        return g.vertices.select(
+            F.col("vertex_id").alias(col), F.col("actor").alias(out)
+        )
+
+    return (
+        cpm.join(nm("vertex_id", "actor"), "vertex_id")
+        .join(nm("com_a", "com_a_actor"), "com_a")
+        .join(nm("com_b", "com_b_actor"), "com_b")
+        .join(nm("com_c", "com_c_actor"), "com_c")
+        .select("actor", "com_a_actor", "com_b_actor", "com_c_actor")
+    )
+
+
 def q_block_cut_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: the block-cut tree as (cut vertex, block label)
     incidence rows (operators/biconnectivity.py block_cut_tree)."""
@@ -2633,6 +2680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biconnected_components_dist": q_biconnected_components_dist,
         "articulation_points": q_articulation_points,
         "block_cut_tree": q_block_cut_tree,
+        "clique_percolation": q_clique_percolation,
+        "clique_percolation_dist": q_clique_percolation_dist,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
         "pagerank_fixed_dist": q_pagerank_fixed_dist,
@@ -5490,6 +5539,74 @@ FROM pv JOIN (
         # SAME oracle: a green row here is the large-star/small-star
         # kernel (not the driver union-find) matching DuckDB exactly
         "connected_components_dist": cc_sql,
+        "clique_percolation": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """
+, tri AS MATERIALIZED (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+)
+, trk AS MATERIALIZED (SELECT a, b, c, a || '|' || b || '|' || c AS tk FROM tri)
+, tinc AS (
+  SELECT tk, a AS x, b AS y FROM trk
+  UNION ALL SELECT tk, a AS x, c AS y FROM trk
+  UNION ALL SELECT tk, b AS x, c AS y FROM trk
+)
+, tadj AS (
+  SELECT l.tk AS p, r.tk AS q
+  FROM tinc l JOIN tinc r ON l.x = r.x AND l.y = r.y AND l.tk <> r.tk
+)
+, treach AS (
+  SELECT tk AS p, tk AS q FROM trk
+  UNION
+  SELECT t.p, a.q FROM treach t JOIN tadj a ON t.q = a.p
+)
+, tlab AS (
+  SELECT t.p AS tk, min(struct_pack(la := r.a, lb := r.b, lc := r.c)) AS mn
+  FROM treach t JOIN trk r ON r.tk = t.q GROUP BY t.p
+)
+SELECT DISTINCT u.v AS actor,
+       l.mn.la AS com_a_actor, l.mn.lb AS com_b_actor, l.mn.lc AS com_c_actor
+FROM trk k JOIN tlab l ON l.tk = k.tk,
+LATERAL (SELECT unnest([k.a, k.b, k.c]) AS v) u
+""",
+        # same-oracle twin: green == the distributed triangle-graph CC
+        # kernel matching DuckDB exactly
+        "clique_percolation_dist": p.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + """
+, tri AS MATERIALIZED (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+)
+, trk AS MATERIALIZED (SELECT a, b, c, a || '|' || b || '|' || c AS tk FROM tri)
+, tinc AS (
+  SELECT tk, a AS x, b AS y FROM trk
+  UNION ALL SELECT tk, a AS x, c AS y FROM trk
+  UNION ALL SELECT tk, b AS x, c AS y FROM trk
+)
+, tadj AS (
+  SELECT l.tk AS p, r.tk AS q
+  FROM tinc l JOIN tinc r ON l.x = r.x AND l.y = r.y AND l.tk <> r.tk
+)
+, treach AS (
+  SELECT tk AS p, tk AS q FROM trk
+  UNION
+  SELECT t.p, a.q FROM treach t JOIN tadj a ON t.q = a.p
+)
+, tlab AS (
+  SELECT t.p AS tk, min(struct_pack(la := r.a, lb := r.b, lc := r.c)) AS mn
+  FROM treach t JOIN trk r ON r.tk = t.q GROUP BY t.p
+)
+SELECT DISTINCT u.v AS actor,
+       l.mn.la AS com_a_actor, l.mn.lb AS com_b_actor, l.mn.lc AS com_c_actor
+FROM trk k JOIN tlab l ON l.tk = k.tk,
+LATERAL (SELECT unnest([k.a, k.b, k.c]) AS v) u
+""",
         "bridges": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
         + _bridges_sql()
         + """

@@ -1,0 +1,77 @@
+"""Clique percolation (k=3) vs networkx k_clique_communities, both paths."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from csd363_sin_spark.operators.percolation import clique_percolation
+from csd363_sin_spark.plans.induce import graph_from_edges
+from csd363_sin_spark.sources.synth import synth_transcripts
+from csd363_sin_spark.plans.induce import induce_graph
+
+from tests.conftest import graph_to_networkx
+
+
+def _nx_communities(graph):
+    nxg = graph_to_networkx(graph)
+    return {frozenset(c) for c in nx.community.k_clique_communities(nxg, 3)}
+
+
+def _assert_matches_nx(graph):
+    expected = _nx_communities(graph)
+    results = []
+    for thr in (100_000, 0):  # driver union-find, then triangle-graph CC
+        rows = sorted(
+            map(tuple, clique_percolation(graph, local_edges_threshold=thr).collect())
+        )
+        results.append(rows)
+        by_label: dict = {}
+        for v, a, b, c in rows:
+            by_label.setdefault((a, b, c), set()).add(v)
+        assert {frozenset(s) for s in by_label.values()} == expected, f"thr={thr}"
+        # each label is the lexicographically smallest member triangle
+        for (a, b, c), members in by_label.items():
+            assert {a, b, c} <= members and a < b < c
+    assert results[0] == results[1]  # byte-identical across dispatch paths
+
+
+def test_cpm_two_triangle_chain(spark):
+    # triangles (0,1,2) and (1,2,3) share edge (1,2): ONE community;
+    # triangle (5,6,7) is its own; edge (3,5) joins nothing
+    g = graph_from_edges(
+        spark,
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (5, 6), (6, 7), (5, 7), (3, 5)],
+    )
+    _assert_matches_nx(g)
+
+
+def test_cpm_overlapping_vertex(spark):
+    # bowtie: vertex 2 belongs to BOTH communities (the overlap CPM
+    # exists for — partitioning operators cannot express this)
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)])
+    _assert_matches_nx(g)
+    rows = clique_percolation(g).collect()
+    memberships = [r for r in rows if r["vertex_id"] == 2]
+    assert len(memberships) == 2
+
+
+def test_cpm_vertex_sharing_is_not_enough(spark):
+    # two triangles sharing only vertex 0 (no shared edge): two communities
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)])
+    _assert_matches_nx(g)
+    labels = {
+        (r["com_a"], r["com_b"], r["com_c"])
+        for r in clique_percolation(g).collect()
+    }
+    assert len(labels) == 2
+
+
+def test_cpm_triangle_free_graph_empty(spark):
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(6)])
+    assert clique_percolation(g).count() == 0
+    assert clique_percolation(g, local_edges_threshold=0).count() == 0
+
+
+def test_cpm_on_synth_transcript_graph(spark):
+    g = induce_graph(synth_transcripts(spark, n_convs=40, seed=11))
+    _assert_matches_nx(g)
