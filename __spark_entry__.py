@@ -1522,6 +1522,49 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: effective diameter (q=0.9) + average-distance
+    estimate from the HyperANF neighborhood function.  Both engines
+    summarize the IDENTICAL 6-dp-rounded per-vertex estimates the
+    `neighborhood_function` gate already hash-pins, so the per-radius
+    masses (and everything derived) match exactly."""
+    from pyspark.sql import Window
+    from csd363_sin_spark.operators.neighborhood import neighborhood_function
+
+    g = _graph(spark, sf_dir)
+    labels = g.vertices.select("vertex_id", F.col("actor").alias("label"))
+    nf = neighborhood_function(g, max_t=_NF_GATE_T, labels=labels)
+    totals = (
+        nf.select("t", F.round("ball_est", 6).alias("b"))
+        .groupBy("t")
+        .agg(F.round(F.sum("b"), 6).alias("mass"))
+    )
+    # 4-row table: windows below are bounded by max_t + 1 rows
+    w = Window.orderBy("t")
+    wall = Window.partitionBy()
+    dm = (
+        totals.withColumn("prev", F.lag("mass").over(w))
+        .withColumn("final_mass", F.max("mass").over(wall))
+        .withColumn("m0", F.min(F.when(F.col("t") == 0, F.col("mass"))).over(wall))
+        .withColumn("gain", F.when(F.col("t") > 0, F.col("mass") - F.col("prev")))
+    )
+    return dm.groupBy().agg(
+        F.min(
+            F.when(
+                F.col("mass") >= 0.9 * F.col("final_mass"), F.col("t")
+            )
+        )
+        .cast("int")
+        .alias("effective_diameter"),
+        F.round(F.max("final_mass"), 6).alias("total_mass"),
+        F.round(
+            F.sum(F.col("t") * F.col("gain"))
+            / (F.max("final_mass") - F.max("m0")),
+            6,
+        ).alias("avg_distance"),
+    )
+
+
 def q_clique_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: CPM k=3 overlapping communities (CC of the
     triangle graph; operators/percolation.py) — membership rows labeled
@@ -2681,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": q_articulation_points,
         "block_cut_tree": q_block_cut_tree,
         "clique_percolation": q_clique_percolation,
+        "anf_summary": q_anf_summary,
         "clique_percolation_dist": q_clique_percolation_dist,
         "label_propagation_dist": q_label_propagation_dist,
         "pagerank_dist": q_pagerank_dist,
@@ -3492,7 +3536,7 @@ FROM st JOIN ex USING (tool_actor)
 """
 
 
-def _hyperanf_sql(max_t: int) -> str:
+def _hyperanf_sql(max_t: int, as_cte: bool = False) -> str:
     """Unrolled-CTE mirror of operators/neighborhood.py over the actor
     co-occurrence graph: one register max-merge superstep per radius,
     then the integer-exact HLL estimate per (vertex, t)."""
@@ -3532,7 +3576,11 @@ SELECT v AS actor, CAST({t} AS INT) AS t,
 FROM nst{t}"""
         for t in range(max_t + 1)
     ]
-    parts.append("\nUNION ALL".join(selects))
+    union = "\nUNION ALL".join(selects)
+    if as_cte:
+        parts.append(f"\n, nfall AS (\n{union}\n)")
+    else:
+        parts.append(union)
     return "".join(parts)
 
 
@@ -5737,6 +5785,24 @@ GROUP BY 1
         # portable-HLL sketch layer (functions/sketch.py spec)
         "hll_tool_reach": p + _hll_tool_reach_sql(),
         "neighborhood_function": p + _hyperanf_sql(_NF_GATE_T),
+        "anf_summary": p + _hyperanf_sql(_NF_GATE_T, as_cte=True) + """
+, anft AS (
+  SELECT t, round(sum(round(ball_est, 6)), 6) AS mass FROM nfall GROUP BY t
+),
+anfd AS (
+  SELECT t, mass,
+         lag(mass) OVER (ORDER BY t) AS prev,
+         max(mass) OVER () AS final_mass,
+         min(CASE WHEN t = 0 THEN mass END) OVER () AS m0
+  FROM anft
+)
+SELECT CAST(min(CASE WHEN mass >= 0.9 * final_mass THEN t END) AS INT)
+         AS effective_diameter,
+       round(max(final_mass), 6) AS total_mass,
+       round(sum(CASE WHEN t > 0 THEN t * (mass - prev) END)
+             / (max(final_mass) - max(m0)), 6) AS avg_distance
+FROM anfd
+""",
         "eigencentrality_fixed": p + _eigencentrality_sql(_PR_GATE_ITERS),
         # same-oracle twin: green == the distributed gather kernel (not
         # the numpy driver loop) matching DuckDB exactly
