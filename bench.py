@@ -189,6 +189,45 @@ def main() -> None:
         lambda: bcc_decomposition(g).blocks.groupBy("bcc_src", "bcc_dst")
         .count().count(),
     )
+    from csd363_sin_spark.operators.nibble import pagerank_nibble
+    from csd363_sin_spark.operators.percolation import clique_percolation
+    from csd363_sin_spark.operators.lpa import label_spreading
+    from csd363_sin_spark.functions.dedup import winnow_near_pairs
+    from csd363_sin_spark.functions.similarity import pq_topk
+
+    seeds1 = g.vertices.orderBy("vertex_id").limit(1).select("vertex_id")
+    timed(
+        "pagerank_nibble",
+        lambda: pagerank_nibble(g, seeds1, top_m=64).community.count(),
+    )
+    timed(
+        "clique_percolation",
+        lambda: clique_percolation(g).groupBy("com_a", "com_b", "com_c")
+        .count().count(),
+    )
+    seed_lbl = g.vertices.filter(F.col("kind") == "tool").select(
+        "vertex_id",
+        F.pmod(F.ascii(F.substring(F.col("actor"), -1, 1)), F.lit(3))
+        .cast("long").alias("label"),
+    )
+    timed(
+        "label_spreading",
+        lambda: label_spreading(g, seed_lbl, max_iterations=8).count(),
+    )
+    timed(
+        "winnow_near_dups",
+        # production hash family; md5 is the oracle-portable gate mode
+        lambda: winnow_near_pairs(
+            docs, k=5, w=8, threshold=0.3, hash_mode="xxhash64"
+        ).count(),
+    )
+    timed(
+        "pq_topk",
+        # wall here is dominated by one-time codegen of the m x n_codes
+        # literal-distance expressions — a per-PLAN cost that amortizes
+        # at scale (per-row work is m code lookups)
+        lambda: pq_topk(emb, probes, dim=64, k=10, m=8, n_codes=16, iters=2).count(),
+    )
 
     # ---- forced-distributed section (NOT in the headline total, which
     # stays apples-to-apples with earlier rounds): the same iterative
