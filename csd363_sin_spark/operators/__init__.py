@@ -28,3 +28,23 @@ from csd363_sin_spark.operators.triangles import (  # noqa: F401
     triangles_per_vertex,
     clustering_coefficient,
 )
+from csd363_sin_spark.operators.bridges import (  # noqa: F401
+    bridge_decomposition,
+    bridges,
+    two_edge_components,
+)
+from csd363_sin_spark.operators.biconnectivity import (  # noqa: F401
+    articulation_points,
+    bcc_decomposition,
+    biconnected_components,
+    block_cut_tree,
+)
+from csd363_sin_spark.operators.nibble import (  # noqa: F401
+    conductance_sweep,
+    pagerank_nibble,
+)
+from csd363_sin_spark.operators.percolation import clique_percolation  # noqa: F401
+from csd363_sin_spark.operators.lpa import (  # noqa: F401
+    label_propagation,
+    label_spreading,
+)
