@@ -1465,7 +1465,19 @@ def q_bridges_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: 2-edge-connected components = CC of the graph minus
     its bridges; label = min actor of the component."""
-    g, dec = _bridges_dec(spark, sf_dir, 100_000)
+    return _two_edge_components(spark, sf_dir, 100_000)
+
+
+def q_two_edge_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the distributed kernel's 2ECC byproduct (driver
+    dispatch off), SAME oracle."""
+    return _two_edge_components(spark, sf_dir, 0)
+
+
+def _two_edge_components(
+    spark: SparkSession, sf_dir: str, thr: int
+) -> DataFrame:
+    g, dec = _bridges_dec(spark, sf_dir, thr)
     names = g.vertices.select(
         F.col("vertex_id").alias("tec_id"), F.col("actor").alias("tec_actor")
     )
@@ -2719,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "bridges_dist": q_bridges_dist,
         "two_edge_components": q_two_edge_components,
+        "two_edge_components_dist": q_two_edge_components_dist,
         "biconnected_components": q_biconnected_components,
         "biconnected_components_dist": q_biconnected_components_dist,
         "articulation_points": q_articulation_points,
@@ -5670,6 +5683,15 @@ SELECT va.actor AS src_actor, vb.actor AS dst_actor
 FROM brg JOIN vids va ON va.vid = brg.s JOIN vids vb ON vb.vid = brg.d
 """,
         "two_edge_components": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _bridges_sql()
+        + """
+SELECT v.actor, rv.actor AS tec_actor
+FROM compv2 c JOIN vids v ON v.vid = c.vid JOIN vids rv ON rv.vid = c.root2
+""",
+        # same-oracle twin: green == the distributed kernel's 2ECC
+        "two_edge_components_dist": p.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
         + _bridges_sql()
         + """
 SELECT v.actor, rv.actor AS tec_actor
