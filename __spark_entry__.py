@@ -1534,6 +1534,32 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clique_percolation_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: CPM k=4 (CC of the 4-clique graph, K4s adjacent
+    iff sharing a triangle) — the denser percolation level; labels =
+    smallest member K4, as actor strings."""
+    from csd363_sin_spark.operators.percolation import clique_percolation_k4
+
+    g = _graph(spark, sf_dir)
+    cpm = clique_percolation_k4(g, local_edges_threshold=100_000)
+
+    def nm(col, out):
+        return g.vertices.select(
+            F.col("vertex_id").alias(col), F.col("actor").alias(out)
+        )
+
+    return (
+        cpm.join(nm("vertex_id", "actor"), "vertex_id")
+        .join(nm("com_a", "com_a_actor"), "com_a")
+        .join(nm("com_b", "com_b_actor"), "com_b")
+        .join(nm("com_c", "com_c_actor"), "com_c")
+        .join(nm("com_d", "com_d_actor"), "com_d")
+        .select(
+            "actor", "com_a_actor", "com_b_actor", "com_c_actor", "com_d_actor"
+        )
+    )
+
+
 def q_anf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: effective diameter (q=0.9) + average-distance
     estimate from the HyperANF neighborhood function.  Both engines
@@ -2737,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": q_articulation_points,
         "block_cut_tree": q_block_cut_tree,
         "clique_percolation": q_clique_percolation,
+        "clique_percolation_k4": q_clique_percolation_k4,
         "anf_summary": q_anf_summary,
         "clique_percolation_dist": q_clique_percolation_dist,
         "label_propagation_dist": q_label_propagation_dist,
@@ -5631,6 +5658,100 @@ SELECT DISTINCT u.v AS actor,
        l.mn.la AS com_a_actor, l.mn.lb AS com_b_actor, l.mn.lc AS com_c_actor
 FROM trk k JOIN tlab l ON l.tk = k.tk,
 LATERAL (SELECT unnest([k.a, k.b, k.c]) AS v) u
+""",
+        "clique_percolation_k4": p
+        + """
+, tri4 AS MATERIALIZED (
+  SELECT e1.src_actor AS a, e1.dst_actor AS b, e2.dst_actor AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst_actor = e2.src_actor
+  JOIN edges e3 ON e3.src_actor = e1.src_actor AND e3.dst_actor = e2.dst_actor
+)
+, kq AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, x1.dst_actor AS d
+  FROM tri4 t
+  JOIN edges x1 ON x1.src_actor = t.c
+  JOIN edges x2 ON x2.src_actor = t.b AND x2.dst_actor = x1.dst_actor
+  JOIN edges x3 ON x3.src_actor = t.a AND x3.dst_actor = x1.dst_actor
+)
+, kqk AS MATERIALIZED (
+  SELECT a, b, c, d, struct_pack(la := a, lb := b, lc := c, ld := d) AS lbl0,
+         a || '|' || b || '|' || c || '|' || d AS kk
+  FROM kq
+)
+, kinc AS (
+  SELECT kk, a AS t1, b AS t2, c AS t3 FROM kqk
+  UNION ALL SELECT kk, a, b, d FROM kqk
+  UNION ALL SELECT kk, a, c, d FROM kqk
+  UNION ALL SELECT kk, b, c, d FROM kqk
+)
+, kadj AS MATERIALIZED (
+  SELECT l.kk AS p, r.kk AS q
+  FROM kinc l JOIN kinc r
+    ON l.t1 = r.t1 AND l.t2 = r.t2 AND l.t3 = r.t3 AND l.kk <> r.kk
+)
+, kl0 AS (SELECT kk, lbl0 AS lbl FROM kqk)
+, kl1 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl0
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl0 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl2 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl1
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl1 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl3 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl2
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl2 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl4 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl3
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl3 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl5 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl4
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl4 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl6 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl5
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl5 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl7 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl6
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl6 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+, kl8 AS MATERIALIZED (
+  SELECT kk, min(lbl) AS lbl FROM (
+    SELECT kk, lbl FROM kl7
+    UNION ALL
+    SELECT a.p AS kk, n.lbl FROM kadj a JOIN kl7 n ON n.kk = a.q
+  ) GROUP BY kk
+)
+SELECT DISTINCT u.v AS actor,
+       l.lbl.la AS com_a_actor, l.lbl.lb AS com_b_actor,
+       l.lbl.lc AS com_c_actor, l.lbl.ld AS com_d_actor
+FROM kqk k JOIN kl8 l ON l.kk = k.kk,
+LATERAL (SELECT unnest([k.a, k.b, k.c, k.d]) AS v) u
 """,
         # same-oracle twin: green == the distributed triangle-graph CC
         # kernel matching DuckDB exactly

@@ -166,3 +166,158 @@ def clique_percolation(
     release(tris)
     release(tids)
     return out
+
+
+def _four_cliques(graph: Graph) -> DataFrame:
+    e = graph.edges.select("src", "dst").distinct()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    ad = e.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    bd = e.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    cd = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    return (
+        tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
+        .select("a", "b", "c", "d")
+    )
+
+
+def _cpm4_driver(graph: Graph) -> list[tuple[int, int, int, int, int]]:
+    edges = sorted(
+        {
+            (min(int(r[0]), int(r[1])), max(int(r[0]), int(r[1])))
+            for r in graph.edges.select("src", "dst").collect()
+            if int(r[0]) != int(r[1])
+        }
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k4s = sorted(
+        (a, b, c, d)
+        for a, b in edges
+        for c in sorted(adj[a] & adj[b])
+        if c > b
+        for d in sorted(adj[a] & adj[b] & adj[c])
+        if d > c
+    )
+    parent = list(range(len(k4s)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_tri: dict[tuple[int, int, int], int] = {}
+    for ki, (a, b, c, d) in enumerate(k4s):
+        for t in ((a, b, c), (a, b, d), (a, c, d), (b, c, d)):
+            if t in by_tri:
+                ra, rb = find(by_tri[t]), find(ki)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            else:
+                by_tri[t] = ki
+    comm: dict[int, tuple[int, int, int, int]] = {}
+    for ki in range(len(k4s)):
+        root = find(ki)
+        lbl = comm.get(root)
+        if lbl is None or k4s[ki] < lbl:
+            comm[root] = k4s[ki]
+    rows = set()
+    for ki, (a, b, c, d) in enumerate(k4s):
+        la, lb, lc, ld = comm[find(ki)]
+        rows.update((v, la, lb, lc, ld) for v in (a, b, c, d))
+    return sorted(rows)
+
+
+def clique_percolation_k4(
+    graph: Graph, local_edges_threshold: int = 100_000
+) -> DataFrame:
+    """CPM k=4: overlapping communities = connected components of the
+    4-clique graph, K4s adjacent iff they share a TRIANGLE (3 vertices)
+    — a strictly denser community notion than k=3 (every k=4 community
+    is inside a k=3 one).  Output ``(vertex_id, com_a..com_d)`` rows
+    labeled by the community's lexicographically smallest member K4.
+
+    Same plan shapes as :func:`clique_percolation`: the K4 listing is
+    the ordered triangle-extension join (operators/triangles.py
+    four_clique_total — the degeneracy-reorder note there applies),
+    adjacency is one self-join of the 4-rows-per-K4 (K4, triangle)
+    incidence, components reuse the CC kernel over dense K4 ids."""
+    spark = graph.edges.sparkSession
+    if (
+        local_edges_threshold > 0
+        and graph.edges.count() <= local_edges_threshold
+        and graph.vertices.count() <= 4 * local_edges_threshold
+    ):
+        return spark.createDataFrame(
+            _cpm4_driver(graph) or [],
+            "vertex_id long, com_a long, com_b long, com_c long, com_d long",
+        )
+
+    k4s = materialize(_four_cliques(graph))
+    kkey = F.concat_ws(
+        ":",
+        *[F.col(x).cast("string") for x in ("a", "b", "c", "d")],
+    )
+    kids = materialize(dense_ids(k4s.select(kkey.alias("kk")), "kk", id_col="kid"))
+    kwid = k4s.select("a", "b", "c", "d", kkey.alias("kk")).join(kids, "kk")
+
+    def tri_inc(x, y, z):
+        return kwid.select(
+            "kid",
+            F.col(x).alias("t1"),
+            F.col(y).alias("t2"),
+            F.col(z).alias("t3"),
+        )
+
+    inc = (
+        tri_inc("a", "b", "c")
+        .unionByName(tri_inc("a", "b", "d"))
+        .unionByName(tri_inc("a", "c", "d"))
+        .unionByName(tri_inc("b", "c", "d"))
+    )
+    left = inc.select("t1", "t2", "t3", F.col("kid").alias("ka"))
+    right = inc.select("t1", "t2", "t3", F.col("kid").alias("kb"))
+    kadj = (
+        left.join(right, ["t1", "t2", "t3"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    kcomp = connected_components(
+        Graph(vertices=kids.select(F.col("kid").alias("vertex_id")), edges=kadj),
+        local_edges_threshold=0,
+    )
+    labeled = kwid.join(
+        kcomp.withColumnRenamed("vertex_id", "kid"), "kid"
+    ).select("a", "b", "c", "d", "comp_id")
+    lbl = labeled.groupBy("comp_id").agg(
+        F.min(F.struct("a", "b", "c", "d")).alias("mn")
+    )
+    with_lbl = labeled.join(lbl, "comp_id").select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.col("mn.a").alias("com_a"),
+        F.col("mn.b").alias("com_b"),
+        F.col("mn.c").alias("com_c"),
+        F.col("mn.d").alias("com_d"),
+    )
+    parts = [
+        with_lbl.select(
+            F.col(x).alias("vertex_id"), "com_a", "com_b", "com_c", "com_d"
+        )
+        for x in ("a", "b", "c", "d")
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    out = materialize(out.distinct())
+    release(k4s)
+    release(kids)
+    return out

@@ -75,3 +75,66 @@ def test_cpm_triangle_free_graph_empty(spark):
 def test_cpm_on_synth_transcript_graph(spark):
     g = induce_graph(synth_transcripts(spark, n_convs=40, seed=11))
     _assert_matches_nx(g)
+
+
+# ---------------------------------------------------------------------------
+# CPM k=4
+# ---------------------------------------------------------------------------
+
+
+def _nx_communities_k4(graph):
+    nxg = graph_to_networkx(graph)
+    return {frozenset(c) for c in nx.community.k_clique_communities(nxg, 4)}
+
+
+def _assert_k4_matches_nx(graph):
+    from csd363_sin_spark.operators.percolation import clique_percolation_k4
+
+    expected = _nx_communities_k4(graph)
+    results = []
+    for thr in (100_000, 0):
+        rows = sorted(
+            map(
+                tuple,
+                clique_percolation_k4(graph, local_edges_threshold=thr).collect(),
+            )
+        )
+        results.append(rows)
+        by_label: dict = {}
+        for v, a, b, c, d in rows:
+            by_label.setdefault((a, b, c, d), set()).add(v)
+        assert {frozenset(s) for s in by_label.values()} == expected, f"thr={thr}"
+        for (a, b, c, d), members in by_label.items():
+            assert {a, b, c, d} <= members and a < b < c < d
+    assert results[0] == results[1]
+
+
+def test_cpm4_two_k4s_sharing_triangle(spark):
+    # K4 {0,1,2,3} and K4 {1,2,3,4} share triangle (1,2,3): one community;
+    # K4 {10,11,12,13} is separate; a lone triangle (20,21,22) is ignored
+    k4a = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    k4b = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4c = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    g = graph_from_edges(spark, sorted(set(k4a + k4b + k4c + tri)))
+    _assert_k4_matches_nx(g)
+
+
+def test_cpm4_edge_sharing_is_not_enough(spark):
+    # two K4s sharing only edge (0,1): k=4 adjacency needs a shared
+    # TRIANGLE, so they stay separate communities (k=3 would merge them)
+    k4a = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    k4b = [(a, b) for a in (0, 1, 8, 9) for b in (0, 1, 8, 9) if a < b]
+    g = graph_from_edges(spark, sorted(set(k4a + k4b)))
+    _assert_k4_matches_nx(g)
+    from csd363_sin_spark.operators.percolation import clique_percolation_k4
+
+    labels = {
+        tuple(r[1:]) for r in clique_percolation_k4(g).collect()
+    }
+    assert len(labels) == 2
+
+
+def test_cpm4_on_synth_transcript_graph(spark):
+    g = induce_graph(synth_transcripts(spark, n_convs=40, seed=11))
+    _assert_k4_matches_nx(g)
