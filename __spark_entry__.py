@@ -681,6 +681,14 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_graph(spark, sf_dir))
 
 
+def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Freeman degree centralization (star-normalized
+    degree concentration; one aggregation over the degree relation)."""
+    from csd363_sin_spark.operators.degree import degree_centralization
+
+    return degree_centralization(_graph(spark, sf_dir))
+
+
 def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: per-vertex mean neighbor degree (local
     assortativity profile), 0.0 for isolates."""
@@ -2681,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_double_sweep": q_diameter_double_sweep,
         "community_graph": q_community_graph,
         "degree_histogram": q_degree_histogram,
+        "degree_centralization": q_degree_centralization,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "temporal_edges": q_temporal_edges,
         "temporal_graph_stats": q_temporal_graph_stats,
@@ -5463,6 +5472,12 @@ GROUP BY 1, 2
         + """
 SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_vertices
 FROM deg GROUP BY 1
+""",
+        "degree_centralization": p
+        + """
+SELECT round((count(*) * max(degree) - sum(degree))
+             / ((count(*) - 1) * (count(*) - 2)), 6) AS centralization
+FROM deg
 """,
         "avg_neighbor_degree": p
         + """

@@ -197,3 +197,21 @@ def degree_gini(graph: Graph) -> DataFrame:
         F.round(F.col("sumd") / F.col("n"), 6).alias("mean_degree"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def degree_centralization(graph: Graph) -> DataFrame:
+    """Freeman degree centralization: sum(max_deg - deg_v) normalized by
+    the star graph's value (n-1)(n-2) — 1.0 for a star, 0.0 for any
+    regular graph.  One row ``(centralization double)``; NULL for n < 3.
+    One aggregation over the |V|-row degree relation — scale-trivial."""
+    deg = graph.degrees()
+    return deg.agg(
+        F.round(
+            (F.count(F.lit(1)) * F.max("degree") - F.sum("degree"))
+            / (
+                (F.count(F.lit(1)) - 1)
+                * (F.count(F.lit(1)) - 2)
+            ),
+            6,
+        ).alias("centralization")
+    )

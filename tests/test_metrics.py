@@ -234,3 +234,24 @@ def test_modularity_weighted_vs_networkx(spark):
     ]
     expected = nx.algorithms.community.modularity(nxg, comms, weight="weight")
     assert modularity(g, assign, weighted=True) == pytest.approx(expected, abs=1e-9)
+
+
+def test_degree_centralization_anchors(spark):
+    from csd363_sin_spark.operators.degree import degree_centralization
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    star = graph_from_edges(spark, [(0, i) for i in range(1, 7)])
+    assert degree_centralization(star).collect()[0][0] == 1.0
+    cycle = graph_from_edges(spark, [(i, (i + 1) % 7) for i in range(7)])
+    assert degree_centralization(cycle).collect()[0][0] == 0.0
+    # networkx parity on an irregular graph
+    import networkx as nx
+    from tests.conftest import graph_to_networkx
+
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (0, 3), (2, 3), (3, 4)])
+    nxg = graph_to_networkx(g)
+    n = nxg.number_of_nodes()
+    degs = [d for _, d in nxg.degree()]
+    expected = sum(max(degs) - d for d in degs) / ((n - 1) * (n - 2))
+    got = degree_centralization(g).collect()[0][0]
+    assert abs(got - round(expected, 6)) < 1e-9
