@@ -719,6 +719,16 @@ def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: global efficiency (mean inverse all-pairs
+    distance) over the same depth-bounded all-sources BFS the
+    closeness_exact gate uses."""
+    from csd363_sin_spark.operators.bfs import global_efficiency
+
+    g = _graph(spark, sf_dir)
+    return global_efficiency(g, max_depth=_BET_GATE_DEPTH)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.operators.components import connected_components
 
@@ -2757,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_exact_topk": q_betweenness_exact_topk,
         "vertex_betweenness": q_vertex_betweenness,
         "closeness_exact": q_closeness_exact,
+        "global_efficiency": q_global_efficiency,
         "shortest_path": q_shortest_path,
         "pipeline_final": q_pipeline_final,
         "streaming_refresh": q_streaming_refresh,
@@ -4014,6 +4025,25 @@ SELECT v.actor,
         ELSE 0.0 END, 6) AS closeness,
   round(COALESCE(cl.harm, 0.0), 6) AS harmonic
 FROM verts v LEFT JOIN cl USING (actor)""")
+    return "".join(parts)
+
+
+def _global_efficiency_sql(depth: int) -> str:
+    """Global-efficiency oracle: the same forward BFS layers as
+    _closeness_sql, folded into one scalar (sum 1/dist over ordered
+    reachable pairs / n(n-1))."""
+    parts = _brandes_cte_parts(depth, backward=False)
+    union = " UNION ALL ".join(
+        f"SELECT s, {d} AS dist FROM f{d}" for d in range(1, depth + 1)
+    )
+    parts.append(f"""
+, allf AS ({union}),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
+SELECT round(sum(1.0 / dist)
+             / (CASE WHEN (SELECT n FROM nn) > 1
+                THEN (SELECT n FROM nn) * ((SELECT n FROM nn) - 1)
+                ELSE 1 END), 6) AS efficiency
+FROM allf""")
     return "".join(parts)
 
 
@@ -6031,6 +6061,7 @@ FROM swp
         "betweenness_exact_topk_dist": p + _betweenness_sql(_BET_GATE_DEPTH),
         "vertex_betweenness": p + _vertex_betweenness_sql(_BET_GATE_DEPTH),
         "closeness_exact": p + _closeness_sql(_BET_GATE_DEPTH),
+        "global_efficiency": p + _global_efficiency_sql(_BET_GATE_DEPTH),
         "shortest_path": p + _shortest_path_sql(_BET_GATE_DEPTH),
         # same-oracle twin for the DataFrame-seeded all-sources BFS
         "closeness_exact_dist": p + _closeness_sql(_BET_GATE_DEPTH),

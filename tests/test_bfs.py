@@ -222,3 +222,32 @@ def test_shortest_path_extraction(spark):
         .collect()
     ]
     assert path_dist == path
+
+
+def test_global_efficiency_vs_networkx(spark):
+    import networkx as nx
+    from csd363_sin_spark.operators.bfs import global_efficiency
+    from csd363_sin_spark.plans.induce import Graph, graph_from_edges
+    from tests.conftest import graph_to_networkx
+
+    # connected, disconnected-with-isolate, and complete anchors
+    cases = [
+        [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)],
+        [(0, 1), (1, 2), (5, 6)],
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+    ]
+    for edges in cases:
+        g = graph_from_edges(spark, edges)
+        expected = nx.global_efficiency(graph_to_networkx(g))
+        for thr in (100_000, 0):
+            got = global_efficiency(g, local_edges_threshold=thr).collect()[0][0]
+            assert abs(got - round(expected, 6)) < 1e-6, (edges, thr)
+    # isolate handling: unreachable pairs contribute zero
+    g = graph_from_edges(spark, [(0, 1)])
+    iso = spark.createDataFrame(
+        [(9, "v:9", "v")], "vertex_id long, actor string, kind string"
+    )
+    g = Graph(vertices=g.vertices.unionByName(iso), edges=g.edges)
+    expected = nx.global_efficiency(graph_to_networkx(g))
+    got = global_efficiency(g).collect()[0][0]
+    assert abs(got - round(expected, 6)) < 1e-6
