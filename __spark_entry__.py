@@ -467,9 +467,11 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minimum_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (iterative Borůvka contraction; not ANSI-SQL-
-    expressible).  Exactness vs a Kruskal mirror over the same
-    (weight, src, dst) total edge order is covered by tests/test_mst.py,
+    """Oracle-checked: the (weight, src, dst) total order makes the
+    forest unique, so the DuckDB oracle applies Kruskal's cycle property
+    (edge in MSF iff endpoints not connected by strictly lighter edges)
+    via one recursive closure — no Borůvka unrolling needed.  Exactness
+    vs a Kruskal mirror is additionally covered by tests/test_mst.py,
     including forced-distributed merge parity."""
     from csd363_sin_spark.operators.mst import minimum_spanning_forest
 
@@ -5524,7 +5526,7 @@ SELECT period, src_actor, dst_actor, weight FROM ted
         + """
 SELECT conv_id, count(*) AS n_turns,
        count(DISTINCT tool) AS n_tools,
-       sum(length(text)) AS n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
        CAST(FLOOR(epoch(max(ts))) AS BIGINT)
          - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
 FROM t GROUP BY 1
@@ -5560,6 +5562,33 @@ FROM tagg
 """,
         "mis": p + _luby_sql("mis", _MIS_GATE_ROUNDS, remove_neighbors=True),
         "maximal_matching": p + _matching_sql("match", _MATCH_GATE_ROUNDS),
+        # Kruskal cycle property: under the all-distinct total edge order
+        # (weight, src, dst) the MSF is unique, and an edge belongs to it
+        # iff its endpoints are NOT connected using strictly lighter edges.
+        # Dense vertex ids follow actor sort order (plans/ids.py), so the
+        # id order is isomorphic to (weight, src_actor, dst_actor) — the
+        # oracle never needs the ids.  One recursive closure over
+        # (edge_rank, reachable_vertex) pairs replaces the Borůvka rounds.
+        "minimum_spanning_forest": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """
+, eid AS (
+  SELECT row_number() OVER (ORDER BY weight, src_actor, dst_actor) AS k,
+         src_actor, dst_actor, weight
+  FROM edges
+),
+reach AS (
+  SELECT k, src_actor AS v FROM eid
+  UNION
+  SELECT r.k,
+         CASE WHEN x.src_actor = r.v THEN x.dst_actor ELSE x.src_actor END AS v
+  FROM reach r
+  JOIN eid x ON (x.src_actor = r.v OR x.dst_actor = r.v) AND x.k < r.k
+)
+SELECT e.src_actor, e.dst_actor, round(e.weight, 6) AS weight
+FROM eid e
+LEFT JOIN reach r ON r.k = e.k AND r.v = e.dst_actor
+WHERE r.v IS NULL
+""",
         "weighted_matching": p
         + _matching_sql("wmatch", _MATCH_GATE_ROUNDS, weighted=True),
         "hash_coloring": p

@@ -64,9 +64,22 @@ def main() -> int:
         ok_cols = sorted(got_df.columns) == sorted(exp_df.columns)
         ok_rows = len(got_df) == len(exp_df)
         ok_vals = ok_cols and ok_rows and canon(got_df) == canon(exp_df)
-        status = "OK" if ok_vals else "MISMATCH"
-        if not ok_vals:
+        # the driver hashes TYPED values: an int64 Spark column vs a DuckDB
+        # HUGEINT (-> float64 in pandas) mismatches even when values agree.
+        # Compare dtype *kinds* (int/float/bool/object) per column to catch it.
+        ok_types = ok_cols and all(
+            got_df[c].dtype.kind == exp_df[c].dtype.kind for c in got_df.columns
+        )
+        status = "OK" if ok_vals and ok_types else "MISMATCH"
+        if not (ok_vals and ok_types):
             failures += 1
+        if ok_vals and not ok_types:
+            bad = [
+                (c, str(got_df[c].dtype), str(exp_df[c].dtype))
+                for c in got_df.columns
+                if got_df[c].dtype.kind != exp_df[c].dtype.kind
+            ]
+            print(f"{name:40s} TYPE-MISMATCH {bad}")
         print(
             f"{name:40s} {status}  spark={len(got_df)} oracle={len(exp_df)} "
             f"cols_ok={ok_cols}"
