@@ -12,6 +12,8 @@ the hot path.  Hyperplane coefficients are derived from ``xxhash64`` of
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -243,6 +245,7 @@ def ivf_flat_index(
     vec_col: str = "embedding",
     quantize: int | None = None,
     score_round: int | None = None,
+    engine: str = "arrow",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer: Lloyd iterations with centroids
     seeded from the ``n_clusters`` lowest-id vectors (no RNG state).
@@ -259,6 +262,10 @@ def ivf_flat_index(
     to ``score_round`` decimals, so a SQL engine replaying the same
     unrolled iterations reproduces the quantizer exactly (the same trick
     that makes the LSH family oracle-checkable).
+
+    ``engine="arrow"`` (default) assigns via the Arrow-batched numpy
+    kernel (centroids in the UDF closure — plan size flat in n_clusters
+    x dim); ``engine="expr"`` embeds centroids as plan literals.
     """
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
@@ -266,14 +273,17 @@ def ivf_flat_index(
     seeds = e.orderBy("vec_id").limit(n_clusters).collect()
     centroids = [[float(x) for x in r["v"]] for r in seeds]
 
+    def _assign(vec_col, cents):
+        if engine == "arrow":
+            return _nearest_centroid_arrow(cents, round_to=score_round)(vec_col)
+        return _nearest_centroid_expr(vec_col, cents, round_to=score_round)
+
     mean_col = F.avg("x") if quantize is None else F.round(F.avg("x"), quantize)
     for _ in range(max(iters, 1)):
         assigned = e.select(
             "vec_id",
             "v",
-            _nearest_centroid_expr(
-                F.col("v"), centroids, round_to=score_round
-            ).alias("cluster"),
+            _assign(F.col("v"), centroids).alias("cluster"),
         )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
@@ -293,9 +303,7 @@ def ivf_flat_index(
     # from the penultimate centroids silently degrades n_probe recall)
     final_assigned = e.select(
         "vec_id",
-        _nearest_centroid_expr(F.col("v"), centroids, round_to=score_round).alias(
-            "cluster"
-        ),
+        _assign(F.col("v"), centroids).alias("cluster"),
     )
     e.unpersist()
     return final_assigned, centroids
@@ -314,6 +322,7 @@ def ivf_topk(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
     portable: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF-flat index (the second ANN
     scale path next to :func:`lsh_topk`): corpus vectors are bucketed by
@@ -334,6 +343,7 @@ def ivf_topk(
         embeddings, dim, n_clusters=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col,
         quantize=6 if portable else None, score_round=score_round,
+        engine=engine,
     )
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), cast(vec_col).alias("v")
@@ -650,26 +660,92 @@ def knn_graph(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: str = "exact",
+    dim: int | None = None,
+    num_planes: int = 3,
+    num_tables: int = 12,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
 ) -> DataFrame:
-    """Exact mutual k-NN graph over an embedding column: edge (src, dst)
-    iff each vector is in the other's top-k by (6-dp-rounded cosine
-    DESC, id ASC), self excluded.  Returns canonical ``(src, dst,
-    cosine)`` rows (src < dst) — the similarity graph that bridges the
-    embedding operators into the link-graph layer.
+    """Mutual k-NN graph over an embedding column: edge (src, dst) iff
+    each vector is in the other's top-k by (6-dp-rounded cosine DESC, id
+    ASC), self excluded, top-k taken over the candidate set.  Returns
+    canonical ``(src, dst, cosine)`` rows (src < dst) — the similarity
+    graph that bridges the embedding operators into the link-graph layer.
 
-    Scale note: exact mode is the |V|^2 oracle baseline (the corpus side
-    streams; probes broadcast).  At production scale swap the candidate
-    generator for the LSH buckets of :func:`lsh_topk` / the IVF probes of
-    :func:`ivf_topk` — the rank/mutual/canonicalize tail is identical.
+    ``candidates`` selects the generator; the rank/mutual/canonicalize
+    tail is identical across all three:
+
+    - ``"exact"`` — all pairs (|V|^2; the oracle baseline: corpus side
+      streams, probes broadcast).
+    - ``"lsh"`` — only pairs sharing a hyperplane-LSH bucket in any of
+      ``num_tables`` tables (equi-join on (table, bucket); requires
+      ``dim``).  The production default shape: candidate count ~
+      corpus x expected bucket occupancy, never all-pairs.
+    - ``"ivf"`` — multi-probe: every vector registers in its ``n_probe``
+      nearest coarse k-means cells of the deterministic IVF quantizer; a
+      candidate pair is any shared cell (equi-join on cluster id;
+      requires ``dim``).  Candidate count ~ corpus x n_probe x expected
+      cell occupancy, never all-pairs.
     """
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
     corpus = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
     probes = corpus.select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("p")
     )
+    if candidates == "exact":
+        cand = corpus.crossJoin(F.broadcast(probes))
+    elif candidates in ("lsh", "ivf"):
+        if dim is None:
+            raise ValueError(f"candidates={candidates!r} requires dim")
+        if candidates == "lsh":
+            keyed = corpus.select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                hyperplane_bucket(
+                                    F.col("v"), dim, num_planes, t
+                                ).alias("bkt"),
+                            )
+                            for t in range(num_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(
+                "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+            )
+            join_keys = ["tbl", "bkt"]
+        else:
+            _, centroids = ivf_flat_index(
+                embeddings, dim, n_clusters=n_clusters, iters=iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            keyed = corpus.select(
+                "vec_id",
+                F.explode(
+                    _topk_centroids_arrow(centroids, n_probe)(F.col("v"))
+                ).alias("cluster"),
+            )
+            join_keys = ["cluster"]
+        pairs = (
+            keyed.join(
+                keyed.select(
+                    F.col("vec_id").alias("probe_id"), *join_keys
+                ),
+                join_keys,
+            )
+            .select("probe_id", "vec_id")
+            .distinct()
+        )
+        cand = pairs.join(corpus, "vec_id").join(probes, "probe_id")
+    else:
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     scored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
+        cand.filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
@@ -695,6 +771,8 @@ def semantic_clusters(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: str = "exact",
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic clustering = connected components over the mutual k-NN
     graph (the classic density-free clustering of an embedded corpus).
@@ -706,7 +784,10 @@ def semantic_clusters(
     from csd363_sin_spark.operators.components import connected_components
     from csd363_sin_spark.plans.induce import Graph
 
-    edges = knn_graph(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    edges = knn_graph(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col,
+        candidates=candidates, dim=dim,
+    )
     verts = embeddings.select(F.col(id_col).alias("vertex_id"))
     labels = connected_components(
         Graph(
@@ -744,6 +825,108 @@ def _codebook_lit(codebooks: list[list[list[float]]]):
     )
 
 
+def _pq_assign_arrow(codebooks: list[list[list[float]]], round_to: int | None = None):
+    """Arrow-batched PQ assignment: the codebook travels as a numpy
+    closure serialized WITH the UDF (shipped once per executor — a
+    broadcast, not a plan literal), so expression-tree size and codegen
+    time no longer scale with m x n_codes.  This is the production path:
+    at real codebook sizes (m=16, n_codes=256, d=768) the literal-
+    expression form would put ~3M doubles in the plan.  Same math and
+    the same first-index tie-break as :func:`_pq_assign_expr`."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m, _, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(
+            [np.asarray(row, dtype=np.float64) for row in v]
+        ).reshape(len(v), m, sub)
+        diff = x[:, :, None, :] - cb[None]
+        d = np.einsum("nmcs,nmcs->nmc", diff, diff)
+        if round_to is not None:
+            d = np.round(d, round_to)
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    return assign
+
+
+def _pq_score_arrow(codebooks: list[list[list[float]]], score_round: int = 6):
+    """Arrow-batched ADC scoring (codes + query vector -> approximate
+    inner product); codebook as a numpy closure, see _pq_assign_arrow."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m, _, sub = cb.shape
+    rows = np.arange(m)[None, :]
+
+    @pandas_udf("double")
+    def score(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        c = np.array([np.asarray(row, dtype=np.int64) for row in codes])
+        q = np.array(
+            [np.asarray(row, dtype=np.float64) for row in qv]
+        ).reshape(len(c), m, sub)
+        recon = cb[rows, c]  # (n, m, sub)
+        return pd.Series(np.round(np.einsum("nms,nms->n", q, recon), score_round))
+
+    return score
+
+
+def _nearest_centroid_arrow(
+    centroids: list[list[float]], round_to: int | None = None
+):
+    """Arrow-batched max-cosine centroid assignment (production twin of
+    :func:`_nearest_centroid_expr`: centroids as a numpy closure instead
+    of plan literals; identical formula and first-index tie-break)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.maximum(np.sqrt((c * c).sum(axis=1)), 1e-30)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int32)
+        x = np.array([np.asarray(row, dtype=np.float64) for row in v])
+        s = (x @ c.T) / (cn[None, :] * np.sqrt((x * x).sum(axis=1, keepdims=True)))
+        if round_to is not None:
+            s = np.round(s, round_to)
+        return pd.Series(s.argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def _topk_centroids_arrow(
+    centroids: list[list[float]], p: int, round_to: int | None = None
+):
+    """Arrow-batched multi-probe assignment: the ``p`` max-cosine
+    centroid ids per vector (score DESC, centroid id ASC on ties — numpy
+    stable sort).  Centroids ride in the UDF closure; used by the IVF
+    candidate generator of :func:`knn_graph`."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.maximum(np.sqrt((c * c).sum(axis=1)), 1e-30)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(row, dtype=np.float64) for row in v])
+        s = (x @ c.T) / (cn[None, :] * np.sqrt((x * x).sum(axis=1, keepdims=True)))
+        if round_to is not None:
+            s = np.round(s, round_to)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe
+
+
 def _pq_assign_expr(
     sv_col, book: list[list[float]], round_to: int | None = None
 ):
@@ -778,6 +961,7 @@ def pq_train(
     vec_col: str = "embedding",
     quantize: int | None = None,
     round_to: int | None = None,
+    engine: str = "arrow",
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each vector into
@@ -795,7 +979,13 @@ def pq_train(
     ``quantize``/``round_to`` = portable mode: Lloyd means rounded to
     ``quantize`` decimals in-plan and assignment distances to
     ``round_to``, so a SQL engine replaying the unrolled iterations
-    reproduces the codebooks exactly."""
+    reproduces the codebooks exactly.
+
+    ``engine="arrow"`` (default) assigns via the Arrow-batched numpy
+    kernel — codebooks ship as a UDF closure, so plan size and codegen
+    don't scale with m x n_codes (the production shape at m=16,
+    n_codes=256, d=768).  ``engine="expr"`` embeds them as plan literals
+    (pure-SQL-mirrorable; the oracle gate's mode)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -811,25 +1001,47 @@ def pq_train(
     mean_col = F.avg("x") if quantize is None else F.round(F.avg("x"), quantize)
     for _ in range(max(iters, 1)):
         # one row per (vector, subspace); assignment entirely map-side
-        assigned = e.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("sub_j"),
-                            _sub_slice(F.col("v"), j, sub).alias("sv"),
-                            _pq_assign_expr(
-                                _sub_slice(F.col("v"), j, sub),
-                                codebooks[j],
-                                round_to=round_to,
-                            ).alias("code"),
-                        )
-                        for j in range(m)
-                    ]
-                )
-            ).alias("s"),
-        ).select(F.col("s.sub_j"), F.col("s.sv"), F.col("s.code"))
+        if engine == "arrow":
+            coded = e.select(
+                "v",
+                _pq_assign_arrow(codebooks, round_to=round_to)(F.col("v")).alias(
+                    "codes"
+                ),
+            )
+            assigned = coded.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("sub_j"),
+                                _sub_slice(F.col("v"), j, sub).alias("sv"),
+                                F.element_at(F.col("codes"), j + 1).alias("code"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("s")
+            ).select(F.col("s.sub_j"), F.col("s.sv"), F.col("s.code"))
+        else:
+            assigned = e.select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("sub_j"),
+                                _sub_slice(F.col("v"), j, sub).alias("sv"),
+                                _pq_assign_expr(
+                                    _sub_slice(F.col("v"), j, sub),
+                                    codebooks[j],
+                                    round_to=round_to,
+                                ).alias("code"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("s"),
+            ).select(F.col("s.sub_j"), F.col("s.sv"), F.col("s.code"))
         means = (
             assigned.select("sub_j", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub_j", "code", "pos")
@@ -861,14 +1073,22 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """``(vec_id, codes array<int>)`` — each vector compressed to m
     codebook indices (m bytes at n_codes <= 256 in a real store; the
-    columnar array keeps the gate portable).  Pure map-side."""
+    columnar array keeps the gate portable).  Pure map-side; with
+    ``engine="arrow"`` (default) the codebook rides in the UDF closure
+    instead of the plan, so encode cost is flat in m x n_codes."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     e = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
+    if engine == "arrow":
+        return e.select(
+            "vec_id",
+            _pq_assign_arrow(codebooks, round_to=round_to)(F.col("v")).alias("codes"),
+        )
     return e.select(
         "vec_id",
         F.array(
@@ -893,6 +1113,7 @@ def pq_topk(
     codebooks: list[list[list[float]]] | None = None,
     portable: bool = False,
     score_round: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Approximate inner-product top-k via asymmetric distance (ADC):
     score(q, x) ~= sum_j <q_j, codebook_j[code_j(x)]> — the query stays
@@ -912,15 +1133,26 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(
             embeddings, dim, m=m, n_codes=n_codes, iters=iters,
-            quantize=q, round_to=r,
+            quantize=q, round_to=r, engine=engine,
         )
     sub = dim // m
-    enc = pq_encode(embeddings, codebooks, round_to=r)
-    cb = _codebook_lit(codebooks)
+    enc = pq_encode(embeddings, codebooks, round_to=r, engine=engine)
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     p = probes.select(
         F.col("probe_id"), cast("probe_vec").alias("qv")
     )
+    if engine == "arrow":
+        scored = enc.join(F.broadcast(p)).select(
+            "probe_id",
+            "vec_id",
+            # _topk ranks by the column named "cosine"; PQ's metric is
+            # the approximate inner product — renamed "score" on the way
+            _pq_score_arrow(codebooks, score_round)(
+                F.col("codes"), F.col("qv")
+            ).alias("cosine"),
+        )
+        return _topk(scored, k).withColumnRenamed("cosine", "score")
+    cb = _codebook_lit(codebooks)
     score = None
     for j in range(m):
         contrib = F.aggregate(

@@ -279,6 +279,24 @@ def test_lsh_topk_recall(spark, embeddings):
     assert approx_top1 == exact_top1
 
 
+def test_knn_graph_candidate_generators(spark):
+    """The lsh/ivf candidate generators share the exact mode's
+    rank/mutual/canonicalize tail: recall >= 0.9 vs exact on the gate
+    corpus, and the production plan contains no all-pairs join."""
+    from csd363_sin_spark.functions.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["src"], r["dst"]) for r in knn_graph(emb, k=5).collect()}
+    for mode in ("lsh", "ivf"):
+        g = knn_graph(emb, k=5, candidates=mode, dim=64)
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = {(r["src"], r["dst"]) for r in g.collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, (mode, recall)
+
+
 def test_embedding_near_dups_exact_mode(spark, embeddings):
     pairs = embedding_near_dups(embeddings, threshold=0.999, exact=True).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
