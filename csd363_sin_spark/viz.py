@@ -232,6 +232,83 @@ def top_communities_svg(
     return svg
 
 
+def metrics_comparison_svg(
+    comparison: dict[str, dict],
+    path: str,
+    metrics: tuple[str, ...] = ("modularity", "avg_conductance", "coverage", "nmi"),
+    width: int = 760,
+    height: int = 340,
+) -> str:
+    """Grouped-bar cross-algorithm metric comparison (reference
+    visualization/metrics_visualization.py:9-225 renders the analogous
+    ``metrics_comparison.png``): one group per metric, one bar per
+    algorithm/stage, bars scaled within their group (metrics live on
+    different scales), value labels on every bar.
+
+    ``comparison`` maps algorithm/stage name -> metrics dict — both the
+    ``compare_algorithms(...)["metrics"]`` table and the pipeline's
+    per-stage bundles fit.  Metrics absent from every algorithm are
+    dropped.  Driver-side cost is O(#algorithms x #metrics) floats —
+    already-aggregated scalars, never graph data."""
+    algos = list(comparison)
+    cols = [
+        m
+        for m in metrics
+        if any(isinstance(comparison[a].get(m), (int, float)) for a in algos)
+    ]
+    if not algos or not cols:
+        svg = _svg(width, 40, ['<text x="10" y="25">no comparison data</text>'])
+        with open(path, "w") as f:
+            f.write(svg)
+        return svg
+    margin, legend_h, label_h = 40, 26, 36
+    plot_h = height - margin - legend_h - label_h
+    group_w = (width - 2 * margin) / len(cols)
+    bar_w = min(28.0, (group_w - 16) / max(len(algos), 1))
+    body = []
+    for gi, m in enumerate(cols):
+        vals = [
+            float(comparison[a][m])
+            for a in algos
+            if isinstance(comparison[a].get(m), (int, float))
+        ]
+        vmax = max([abs(v) for v in vals] + [1e-12])
+        gx = margin + gi * group_w
+        for ai, a in enumerate(algos):
+            v = comparison[a].get(m)
+            if not isinstance(v, (int, float)):
+                continue
+            h = abs(float(v)) / vmax * plot_h
+            x = gx + 8 + ai * bar_w
+            y = legend_h + plot_h - h
+            body.append(
+                f'<rect x="{x:.1f}" y="{y:.1f}" width="{bar_w - 3:.1f}" '
+                f'height="{h:.1f}" fill="{_color(ai)}"/>'
+            )
+            body.append(
+                f'<text x="{x + (bar_w - 3) / 2:.1f}" y="{max(y - 3, 10):.1f}" '
+                f'font-size="8" text-anchor="middle" {_FONT}>'
+                f"{float(v):.4g}</text>"
+            )
+        body.append(
+            f'<text x="{gx + group_w / 2:.1f}" y="{legend_h + plot_h + 16}" '
+            f'font-size="11" text-anchor="middle" {_FONT}>{html.escape(m)}</text>'
+        )
+    for ai, a in enumerate(algos):
+        lx = margin + ai * ((width - 2 * margin) / len(algos))
+        body.append(
+            f'<rect x="{lx:.1f}" y="6" width="10" height="10" fill="{_color(ai)}"/>'
+        )
+        body.append(
+            f'<text x="{lx + 14:.1f}" y="15" font-size="11" {_FONT}>'
+            f"{html.escape(a)}</text>"
+        )
+    svg = _svg(width, height, body)
+    with open(path, "w") as f:
+        f.write(svg)
+    return svg
+
+
 def html_report(metrics: dict, svgs: dict[str, str], path: str) -> str:
     """Standalone HTML report embedding the SVG charts + a metrics table
     per pipeline stage (reference visualization.py HTML report role)."""
@@ -285,14 +362,25 @@ def render_pipeline_report(
         sizes, inter_community_edges(graph, assign), paths["community_graph"]
     )
     svg3 = top_communities_svg(graph, assign, paths["top_communities"])
-    html_report(
-        metrics,
-        {
-            "Community sizes": svg1,
-            "Inter-community graph": svg2,
-            "Top communities": svg3,
-        },
-        paths["report"],
-    )
+    svgs = {
+        "Community sizes": svg1,
+        "Inter-community graph": svg2,
+        "Top communities": svg3,
+    }
+    # cross-stage metric comparison (reference metrics_comparison.png):
+    # every pipeline-stage metrics bundle present in the dict
+    comparison = {
+        k: v
+        for k, v in metrics.items()
+        if isinstance(v, dict) and isinstance(v.get("modularity"), (int, float))
+    }
+    if len(comparison) >= 2:
+        paths["metrics_comparison"] = os.path.join(
+            out_dir, "metrics_comparison.svg"
+        )
+        svgs["Metrics comparison"] = metrics_comparison_svg(
+            comparison, paths["metrics_comparison"]
+        )
+    html_report(metrics, svgs, paths["report"])
     sizes.unpersist()
     return paths
