@@ -2296,6 +2296,35 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_embeddings(spark, sf_dir), k=5).select("src", "dst")
 
 
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the IVF multi-probe mutual 5-NN plan — every
+    vector registers in its n_probe nearest coarse Lloyd cells (gate
+    runs the portable quantizer: means 6 dp, probe scores 9 dp, stable
+    lowest-cluster ties), candidate pairs on shared cell, then the exact
+    rank/mutual/canonicalize tail.  Recall >= 0.9 vs exact is pinned by
+    tests/test_datapipeline.py."""
+    from csd363_sin_spark.functions.similarity import knn_graph
+
+    return knn_graph(
+        _embeddings(spark, sf_dir), k=5, candidates="ivf", dim=64,
+        n_clusters=16, n_probe=4, iters=2, portable=True,
+    ).select("src", "dst")
+
+
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the PRODUCTION mutual 5-NN plan — LSH-bucketed
+    candidate generation (equi-join on shared (table, bucket), never
+    all-pairs; md5-portable plane coefficients in gate mode so DuckDB
+    buckets identically) feeding the exact mode's rank/mutual/
+    canonicalize tail.  Recall >= 0.9 vs exact is additionally pinned by
+    tests/test_datapipeline.py."""
+    from csd363_sin_spark.functions.similarity import knn_graph
+
+    return knn_graph(
+        _embeddings(spark, sf_dir), k=5, candidates="lsh", dim=64, portable=True
+    ).select("src", "dst")
+
+
 def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the mutual 5-NN graph — semantic
     clustering of the embedded corpus; mirrored by a recursive-CTE
@@ -2849,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "knn_graph": q_knn_graph,
+        "knn_graph_lsh": q_knn_graph_lsh,
+        "knn_graph_ivf": q_knn_graph_ivf,
         "semantic_clusters": q_semantic_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
@@ -4903,6 +4934,66 @@ SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _knn_lsh_sql(
+    dim: int = 64, k: int = 5, num_planes: int = 3, num_tables: int = 12
+) -> str:
+    """Mutual k-NN over LSH-bucketed candidates: the SAME md5-portable
+    plane literals as the Spark side (functions/similarity.py
+    portable_plane_coeffs), shared-(table, bucket) pair generation, then
+    the exact knn tail (6-dp cosine rank, mutual semi-join, src < dst)."""
+    from csd363_sin_spark.functions.similarity import portable_plane_coeffs
+
+    def bkt_expr(vec: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            lst = "[" + ", ".join(
+                repr(c) for c in portable_plane_coeffs(t, p, dim)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec}, {lst}) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {bkt_expr('embedding', t)} AS bkt"
+        " FROM embeddings"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH cb AS MATERIALIZED (
+{cb}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS vec_id
+  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bkt = b.bkt
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(list_cosine_similarity(ea.embedding, eb.embedding), 6) AS cosine
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored
+),
+knn AS MATERIALIZED (
+  SELECT probe_id AS a, vec_id AS b FROM ranked WHERE rk <= {k}
+),
+mutual AS (
+  SELECT k1.a, k1.b FROM knn k1
+  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+  WHERE k1.a < k1.b
+)
+SELECT a AS src, b AS dst FROM mutual
+"""
+
+
 def _cos9(vec: str, cen: str) -> str:
     return (
         f"round(list_inner_product({vec}, {cen}) / "
@@ -5007,6 +5098,58 @@ ranked AS (
   FROM scored
 )
 SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
+def _knn_ivf_sql(
+    dim: int = 64, k: int = 5, n_clusters: int = 16, n_probe: int = 4,
+    iters: int = 2,
+) -> str:
+    """Mutual k-NN over IVF multi-probe candidates: the shared portable
+    Lloyd quantizer (_lloyd_cte), every vector registered in its
+    ``n_probe`` best cells by (9-dp score DESC, cluster ASC — numpy
+    stable argsort parity), pairs on shared cell, exact knn tail."""
+    cos9 = _cos9
+    sql, prev = _lloyd_cte(n_clusters, iters)
+    sql += f""",
+pc AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, {prev}.cluster,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos9("e.v", f"{prev}.c")} DESC, {prev}.cluster ASC
+      ) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS vec_id
+  FROM pc a JOIN pc b USING (cluster)
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM cands c
+  JOIN e ea ON ea.vec_id = c.vec_id
+  JOIN e eb ON eb.vec_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored
+),
+knn AS MATERIALIZED (
+  SELECT probe_id AS a, vec_id AS b FROM ranked WHERE rk <= {k}
+),
+mutual AS (
+  SELECT k1.a, k1.b FROM knn k1
+  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+  WHERE k1.a < k1.b
+)
+SELECT a AS src, b AS dst FROM mutual
 """
     return sql
 
@@ -6666,6 +6809,8 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
         "knn_graph": _KNN_MUTUAL_SQL + """
 SELECT a AS src, b AS dst FROM mutual
 """,
+        "knn_graph_lsh": _knn_lsh_sql(),
+        "knn_graph_ivf": _knn_ivf_sql(),
         "semantic_clusters": "WITH RECURSIVE "
         + _KNN_MUTUAL_SQL.removeprefix("WITH ")
         + """

@@ -667,6 +667,7 @@ def knn_graph(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Mutual k-NN graph over an embedding column: edge (src, dst) iff
     each vector is in the other's top-k by (6-dp-rounded cosine DESC, id
@@ -688,6 +689,10 @@ def knn_graph(
       candidate pair is any shared cell (equi-join on cluster id;
       requires ``dim``).  Candidate count ~ corpus x n_probe x expected
       cell occupancy, never all-pairs.
+
+    ``portable=True`` makes the approximate modes oracle-mirrorable:
+    lsh uses the md5-derived literal planes, ivf the quantized Lloyd
+    path (means 6 dp, scores 9 dp) with 9-dp-rounded multi-probe scores.
     """
     cast = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
     corpus = embeddings.select(F.col(id_col).alias("vec_id"), cast(vec_col).alias("v"))
@@ -708,7 +713,8 @@ def knn_graph(
                             F.struct(
                                 F.lit(t).alias("tbl"),
                                 hyperplane_bucket(
-                                    F.col("v"), dim, num_planes, t
+                                    F.col("v"), dim, num_planes, t,
+                                    portable=portable,
                                 ).alias("bkt"),
                             )
                             for t in range(num_tables)
@@ -723,11 +729,15 @@ def knn_graph(
             _, centroids = ivf_flat_index(
                 embeddings, dim, n_clusters=n_clusters, iters=iters,
                 id_col=id_col, vec_col=vec_col,
+                quantize=6 if portable else None,
+                score_round=9 if portable else None,
             )
             keyed = corpus.select(
                 "vec_id",
                 F.explode(
-                    _topk_centroids_arrow(centroids, n_probe)(F.col("v"))
+                    _topk_centroids_arrow(
+                        centroids, n_probe, round_to=9 if portable else None
+                    )(F.col("v"))
                 ).alias("cluster"),
             )
             join_keys = ["cluster"]
