@@ -229,6 +229,30 @@ def main() -> int:
         formatted(wl_refinement(verts_named, actor_edges, rounds=3)),
     ))
 
+    # 13. production mutual k-NN: LSH-bucketed candidates (no all-pairs)
+    from csd363_sin_spark.functions.similarity import knn_graph
+
+    sections.append((
+        "Mutual k-NN graph, LSH candidate generator (production mode)",
+        "Candidate pairs come from an equi-join on shared (table, bucket) "
+        "keys — no CartesianProduct/BroadcastNestedLoopJoin anywhere in "
+        "the plan; the rank/mutual tail is the exact mode's.  The same "
+        "holds for candidates='ivf' (equi-join on multi-probe cell ids).",
+        formatted(knn_graph(emb, k=5, candidates="lsh", dim=64)),
+    ))
+
+    # 14. PQ encode via the Arrow kernel (codebook in the UDF closure)
+    from csd363_sin_spark.functions.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, dim=64, m=4, n_codes=8, iters=1)
+    sections.append((
+        "PQ encode (Arrow kernel, production mode)",
+        "One ArrowEvalPython stage over the corpus — the codebook ships "
+        "in the UDF closure, so plan size and codegen are flat in "
+        "m x n_codes (plan literals would scale with the codebook).",
+        formatted(pq_encode(emb, books)),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
