@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csd363_sin_spark.operators.triads import TRIAD_META, TRIAD_TABLE
 from csd363_sin_spark.plans.directed import HANDOFF_EDGES_SQL
 from csd363_sin_spark.plans.induce import Graph, induce_graph
 from csd363_sin_spark.sources.transcripts import (
@@ -648,6 +649,23 @@ def q_handoff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sources",
         "sinks",
     )
+
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Holland-Leinhardt 16-class directed triad census
+    of the handoff graph (Batagelj-Mrvar wedge enumeration + closed-form
+    dyad-only classes) — matches networkx.triadic_census in tests."""
+    from csd363_sin_spark.operators.triads import triad_census
+
+    return triad_census(_digraph(spark, sf_dir))
+
+
+def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: mutual/asymmetric/null dyad counts of the handoff
+    graph — the dyadic reciprocity signature under the triad census."""
+    from csd363_sin_spark.operators.triads import dyad_census
+
+    return dyad_census(_digraph(spark, sf_dir))
 
 
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,6 +2774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         # directed layer (plans/directed.py)
         "handoff_edges": q_handoff_edges,
+        "triad_census": q_triad_census,
+        "dyad_census": q_dyad_census,
         "scc": q_scc,
         "scc_dist": q_scc_dist,
         "pagerank_directed_fixed": q_pagerank_directed_fixed,
@@ -5376,6 +5396,25 @@ wfp AS (
 wfpd AS (SELECT DISTINCT doc_id, fp FROM wfp)
 """
 
+# triad census: linked-dyad CTEs shared by the triad/dyad oracles
+# (mirrors operators/triads.py over actor names — the census is
+# id-invariant, so name-keyed SQL matches the dense-id Spark plan)
+_TRIAD_LOOKUP_SQL = "[" + ",".join(f"'{s}'" for s in TRIAD_TABLE) + "]"
+_TRIAD_META_SQL = ",".join(
+    f"('{t}',{m},{a},{mu})" for t, m, a, mu in TRIAD_META
+)
+_TRIAD_PAIRS_CTE = """
+, tde AS (
+  SELECT DISTINCT src_actor AS s, dst_actor AS d
+  FROM dedges WHERE src_actor <> dst_actor
+),
+tprs AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b,
+         bool_or(s < d) AS ab, bool_or(s > d) AS ba
+  FROM tde GROUP BY 1, 2
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     p = _ORACLE_PRELUDE
@@ -5802,6 +5841,75 @@ SELECT (SELECT count(*) FROM dverts) AS num_vertices,
        (SELECT max(d) FROM douts) AS max_out_degree,
        (SELECT count(*) FROM dverts) - (SELECT count(*) FROM dins) AS sources,
        (SELECT count(*) FROM dverts) - (SELECT count(*) FROM douts) AS sinks
+""",
+        "triad_census": p + "," + HANDOFF_EDGES_SQL + _TRIAD_PAIRS_CTE + f"""
+, thalf AS (
+  SELECT a AS c, b AS o, ab AS outf, ba AS innf FROM tprs
+  UNION ALL
+  SELECT b AS c, a AS o, ba AS outf, ab AS innf FROM tprs
+),
+twdg AS (
+  SELECT h1.o AS x, h2.o AS y, h1.outf AS cx, h1.innf AS xc,
+         h2.outf AS cy, h2.innf AS yc
+  FROM thalf h1 JOIN thalf h2 ON h1.c = h2.c AND h1.o < h2.o
+),
+ttrp AS (
+  SELECT cx, xc, cy, yc,
+         coalesce(pp.ab, false) AS xy, coalesce(pp.ba, false) AS yx
+  FROM twdg LEFT JOIN tprs pp ON pp.a = twdg.x AND pp.b = twdg.y
+),
+tenum AS (
+  SELECT ({_TRIAD_LOOKUP_SQL})[
+      1 + CAST(cx AS INT) + 2 * CAST(xc AS INT) + 4 * CAST(cy AS INT)
+        + 8 * CAST(yc AS INT) + 16 * CAST(xy AS INT) + 32 * CAST(yx AS INT)
+    ] AS triad_type, count(*) AS raw
+  FROM ttrp GROUP BY 1
+),
+tmeta(triad_type, n_m, n_a, mult) AS (VALUES {_TRIAD_META_SQL}),
+tknown AS (
+  SELECT m.triad_type, m.n_m, m.n_a,
+         CAST(coalesce(e.raw, 0) // m.mult AS BIGINT) AS cnt
+  FROM tmeta m LEFT JOIN tenum e USING (triad_type)
+  WHERE m.mult > 0
+),
+tscal AS (
+  SELECT (SELECT count(*) FROM dverts) AS n,
+         (SELECT CAST(coalesce(sum(CASE WHEN ab AND ba THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) FROM tprs) AS mm,
+         (SELECT CAST(coalesce(sum(CASE WHEN NOT (ab AND ba) THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) FROM tprs) AS aa,
+         (SELECT CAST(coalesce(sum(cnt * n_a), 0) AS BIGINT) FROM tknown) AS sum_a,
+         (SELECT CAST(coalesce(sum(cnt * n_m), 0) AS BIGINT) FROM tknown) AS sum_m,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM tknown) AS sum_conn
+),
+tderived AS (
+  SELECT '012' AS triad_type,
+         CAST(aa * (n - 2) - sum_a AS BIGINT) AS cnt FROM tscal
+  UNION ALL
+  SELECT '102', CAST(mm * (n - 2) - sum_m AS BIGINT) FROM tscal
+  UNION ALL
+  SELECT '003', CAST(n * (n - 1) * (n - 2) // 6 - sum_conn
+                     - (aa + mm) * (n - 2) + sum_a + sum_m AS BIGINT)
+  FROM tscal
+)
+SELECT m.triad_type, CAST(coalesce(k.cnt, 0) AS BIGINT) AS "count"
+FROM tmeta m
+LEFT JOIN (
+  SELECT triad_type, cnt FROM tknown
+  UNION ALL SELECT triad_type, cnt FROM tderived
+) k USING (triad_type)
+ORDER BY 1
+""",
+        "dyad_census": p + "," + HANDOFF_EDGES_SQL + _TRIAD_PAIRS_CTE + """
+SELECT
+  CAST(coalesce(sum(CASE WHEN ab AND ba THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS mutual,
+  CAST(coalesce(sum(CASE WHEN NOT (ab AND ba) THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS asymmetric,
+  CAST((SELECT count(*) FROM dverts) * ((SELECT count(*) FROM dverts) - 1) // 2
+       - coalesce(sum(1), 0) AS BIGINT) AS null_dyads,
+  (SELECT count(*) FROM dverts) AS num_vertices
+FROM tprs
 """,
         "temporal_graph_stats": p + _TEMPORAL_CTE + """
 , tconvs AS (SELECT period, count(*) AS n_convs FROM tper GROUP BY 1),
