@@ -437,6 +437,22 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(_transcripts(spark, sf_dir))
 
 
+def q_tool_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: consecutive tool-call bigrams per conversation
+    (workflow mining over the agent-transcript tool subsequence)."""
+    from csd363_sin_spark.plans.temporal import tool_sequence_ngrams
+
+    return tool_sequence_ngrams(_transcripts(spark, sf_dir), n=2)
+
+
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-role inter-turn latency profile (microsecond-
+    exact integer diffs, so the 6 dp round is bit-stable vs SQL)."""
+    from csd363_sin_spark.plans.temporal import response_latency_stats
+
+    return response_latency_stats(_transcripts(spark, sf_dir))
+
+
 def q_tool_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: per-tool adoption profile (calls, conversation
     reach, activity span)."""
@@ -2768,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "handoff_stats": q_handoff_stats,
         "conversation_stats": q_conversation_stats,
         "tool_usage_stats": q_tool_usage_stats,
+        "tool_ngrams": q_tool_ngrams,
+        "response_latency": q_response_latency,
         "truss_number": q_truss_number,
         "truss_number_dist": q_truss_number_dist,
         "connected_components": q_connected_components,
@@ -5712,6 +5730,32 @@ SELECT conv_id, count(*) AS n_turns,
        CAST(FLOOR(epoch(max(ts))) AS BIGINT)
          - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
 FROM t GROUP BY 1
+""",
+        "tool_ngrams": p
+        + """
+, tseq AS (
+  SELECT conv_id, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t1
+  FROM t WHERE tool IS NOT NULL
+)
+SELECT tool || '>' || t1 AS ngram,
+       count(*) AS occurrences,
+       count(DISTINCT conv_id) AS conversations
+FROM tseq WHERE t1 IS NOT NULL GROUP BY 1
+""",
+        "response_latency": p
+        + """
+, tlat AS (
+  SELECT role,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat_us
+  FROM t
+)
+SELECT role, count(*) AS n_responses,
+       round(avg(lat_us) / 1e6, 6) AS avg_latency_s,
+       round(min(lat_us) / 1e6, 6) AS min_latency_s,
+       round(max(lat_us) / 1e6, 6) AS max_latency_s
+FROM tlat WHERE lat_us IS NOT NULL GROUP BY 1
 """,
         "tool_usage_stats": p
         + """

@@ -171,3 +171,82 @@ def role_transition_matrix(transcripts: DataFrame) -> DataFrame:
         "transitions",
         F.round(F.col("transitions") / F.col("total"), 6).alias("frac"),
     )
+
+
+def tool_sequence_ngrams(
+    transcripts: DataFrame, n: int = 2, min_support: int = 1
+) -> DataFrame:
+    """Frequent consecutive tool-call sequences — the workflow-mining
+    view of agent transcripts (which tool chains actually occur, and in
+    how many conversations).
+
+    The sequence is each conversation's TOOL turns in turn order (non-tool
+    turns are transparent: ``search -> [assistant text] -> fetch`` still
+    counts the ``search>fetch`` bigram, matching how process-mining
+    treats activity logs).  Returns ``(ngram, occurrences,
+    conversations)`` for every length-``n`` window with at least
+    ``min_support`` total occurrences, ``>``-joined tool names.
+
+    Plan: one filter, one per-conversation lead() window over the tool
+    subsequence, one hash aggregation — identical shuffle shape to the
+    handoff induction (state per task = one conversation's tool turns,
+    bounded), so the 100 TB story is the same.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    leads = seq.select(
+        "conv_id",
+        F.col("tool").alias("t0"),
+        *[F.lead("tool", i).over(w).alias(f"t{i}") for i in range(1, n)],
+    )
+    grams = leads.filter(F.col(f"t{n - 1}").isNotNull()).select(
+        "conv_id",
+        F.concat_ws(">", *[F.col(f"t{i}") for i in range(n)]).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("conv_id").alias("conversations"),
+        )
+        .filter(F.col("occurrences") >= int(min_support))
+    )
+
+
+def response_latency_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-role response-latency profile: for every turn with a
+    predecessor in its conversation, latency = its ``ts`` minus the
+    previous turn's ``ts``; grouped by the RESPONDING turn's role.
+
+    Returns ``(role, n_responses, avg_latency_s, min_latency_s,
+    max_latency_s)`` — seconds as microsecond-exact doubles (the diff is
+    computed in integer microseconds, so Spark and the SQL oracle agree
+    bit-for-bit after the 6 dp round).  One lag window per conversation
+    plus one map-side-combined aggregation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ts arrives TIMESTAMP_NTZ from parquet; the session pins UTC
+    # (session.py), so the cast is the exact epoch and matches the SQL
+    # oracle's epoch_us over naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            (us - F.lag(us).over(w)).alias("lat_us"),
+        )
+        .filter(F.col("lat_us").isNotNull())
+    )
+    return lat.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.round(F.avg(F.col("lat_us")) / 1e6, 6).alias("avg_latency_s"),
+        F.round(F.min("lat_us") / 1e6, 6).alias("min_latency_s"),
+        F.round(F.max("lat_us") / 1e6, 6).alias("max_latency_s"),
+    )

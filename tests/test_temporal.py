@@ -160,3 +160,65 @@ def test_role_transition_matrix_hand_computed(spark):
         ("user", "assistant"): (2, round(2 / 3, 6)),
         ("assistant", "user"): (1, round(1 / 3, 6)),
     }
+
+
+def test_tool_sequence_ngrams_hand_computed(spark):
+    from datetime import datetime
+
+    from csd363_sin_spark.plans.temporal import tool_sequence_ngrams
+
+    rows = [
+        # c1 tool subsequence: x, y, x  -> bigrams x>y, y>x; trigram x>y>x
+        ("c1", 0, "tool", "t", "x", datetime(2026, 1, 1, 0)),
+        ("c1", 1, "user", "t", None, datetime(2026, 1, 1, 1)),
+        ("c1", 2, "tool", "t", "y", datetime(2026, 1, 1, 2)),
+        ("c1", 3, "tool", "t", "x", datetime(2026, 1, 1, 3)),
+        # c2 tool subsequence: x, y  -> bigram x>y (2nd conv for support)
+        ("c2", 0, "tool", "t", "x", datetime(2026, 1, 2, 0)),
+        ("c2", 1, "tool", "t", "y", datetime(2026, 1, 2, 1)),
+        # c3: single tool turn -> no bigram
+        ("c3", 0, "tool", "t", "z", datetime(2026, 1, 3, 0)),
+    ]
+    t = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        r["ngram"]: (r["occurrences"], r["conversations"])
+        for r in tool_sequence_ngrams(t, n=2).collect()
+    }
+    assert got == {"x>y": (2, 2), "y>x": (1, 1)}
+    tri = {
+        r["ngram"]: (r["occurrences"], r["conversations"])
+        for r in tool_sequence_ngrams(t, n=3).collect()
+    }
+    assert tri == {"x>y>x": (1, 1)}
+    # min_support filters the singleton
+    sup = {r["ngram"] for r in tool_sequence_ngrams(t, n=2, min_support=2).collect()}
+    assert sup == {"x>y"}
+
+
+def test_response_latency_stats_hand_computed(spark):
+    from datetime import datetime
+
+    from csd363_sin_spark.plans.temporal import response_latency_stats
+
+    rows = [
+        ("c1", 0, "user", "t", None, datetime(2026, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "t", None, datetime(2026, 1, 1, 0, 0, 2)),
+        ("c1", 2, "user", "t", None, datetime(2026, 1, 1, 0, 0, 5)),
+        ("c2", 0, "user", "t", None, datetime(2026, 1, 2, 0, 0, 0)),
+        ("c2", 1, "assistant", "t", None, datetime(2026, 1, 2, 0, 0, 4)),
+    ]
+    t = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        r["role"]: (
+            r["n_responses"],
+            r["avg_latency_s"],
+            r["min_latency_s"],
+            r["max_latency_s"],
+        )
+        for r in response_latency_stats(t).collect()
+    }
+    # assistant responds after 2 s and 4 s; user's turn 2 comes 3 s later
+    assert got == {
+        "assistant": (2, 3.0, 2.0, 4.0),
+        "user": (1, 3.0, 3.0, 3.0),
+    }
