@@ -1278,6 +1278,62 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canonical_labels(named)
 
 
+def q_leiden_refine_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: one Louvain local-move phase + one connectivity
+    refinement (the SQL-mirrorable Leiden unit) — unrolled-CTE phase plus
+    a community-restricted recursive closure, exact integer scores."""
+    from csd363_sin_spark.operators.leiden import leiden_refine_phase
+
+    g = _graph(spark, sf_dir)
+    out = leiden_refine_phase(g, max_supersteps=_LOUVAIN_PHASE_GATE_STEPS)
+    comm_names = g.vertices.select(
+        F.col("vertex_id").alias("comm"), F.col("actor").alias("comm_actor")
+    )
+    part_names = g.vertices.select(
+        F.col("vertex_id").alias("part"), F.col("actor").alias("part_actor")
+    )
+    return (
+        out.join(g.vertices, "vertex_id")
+        .join(comm_names, "comm")
+        .join(part_names, "part")
+        .select("actor", "comm_actor", "part_actor")
+    )
+
+
+def q_leiden_refine_phase_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the forced-distributed twin (superstep loop + the
+    large-star/small-star CC kernel) against the SAME oracle."""
+    from csd363_sin_spark.operators.leiden import leiden_refine_phase
+
+    g = _graph(spark, sf_dir)
+    out = leiden_refine_phase(
+        g, max_supersteps=_LOUVAIN_PHASE_GATE_STEPS, local_phase_edges=0
+    )
+    comm_names = g.vertices.select(
+        F.col("vertex_id").alias("comm"), F.col("actor").alias("comm_actor")
+    )
+    part_names = g.vertices.select(
+        F.col("vertex_id").alias("part"), F.col("actor").alias("part_actor")
+    )
+    return (
+        out.join(g.vertices, "vertex_id")
+        .join(comm_names, "comm")
+        .join(part_names, "part")
+        .select("actor", "comm_actor", "part_actor")
+    )
+
+
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative; exactness vs the dispatch-parity + python
+    mirror in tests/test_leiden; every community provably connected)."""
+    from csd363_sin_spark.operators.leiden import leiden
+
+    g = _graph(spark, sf_dir)
+    res = leiden(g, weighted=True)
+    named = res.assign.join(g.vertices, "vertex_id").select("actor", "comm")
+    return _canonical_labels(named)
+
+
 def q_gn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Louvain -> GN refinement of communities > 100 members."""
     from csd363_sin_spark.operators.gn import refine_girvan_newman
@@ -2829,6 +2885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": q_label_spreading,
         "label_spreading_dist": q_label_spreading_dist,
         "louvain": q_louvain,
+        "leiden": q_leiden,
+        "leiden_refine_phase": q_leiden_refine_phase,
+        "leiden_refine_phase_dist": q_leiden_refine_phase_dist,
         "louvain_phase": q_louvain_phase,
         "gn_refine": q_gn_refine,
         "infomap_enhance": q_infomap_enhance,
@@ -3924,7 +3983,7 @@ c{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _louvain_phase_sql(k: int) -> str:
+def _louvain_phase_sql(k: int, final_select: bool = True) -> str:
     """Unrolled-CTE mirror of one down-only synchronous Louvain local-move
     phase (operators/louvain.py spec) over actor strings: per superstep,
     score(v,c) = 2m*k_in(v,c) - k_v*(S(c) - [c==comm(v)]*k_v); move to the
@@ -3984,7 +4043,8 @@ a{i} AS MATERIALIZED (
   LEFT JOIN bt{i} b USING (actor)
   LEFT JOIN cu{i} cu USING (actor)
 )""")
-    parts.append(f"\nSELECT actor, comm AS comm_actor FROM a{k}")
+    if final_select:
+        parts.append(f"\nSELECT actor, comm AS comm_actor FROM a{k}")
     return "".join(parts)
 
 
@@ -6378,6 +6438,50 @@ FROM swp
         # same-oracle twin: green == the distributed k_in gather + argmax
         # decision kernel matching DuckDB exactly, integer-score precise
         "louvain_phase_dist": p + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS),
+        # Leiden unit: the unrolled phase CTEs + a community-restricted
+        # recursive closure (refined part = min reachable actor within
+        # the phase community) — pins both Leiden kernels at value level
+        "leiden_refine_phase": p.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS, final_select=False)
+        + f"""
+, lra AS MATERIALIZED (SELECT actor, comm FROM a{_LOUVAIN_PHASE_GATE_STEPS}),
+lrsymp AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN lra a ON a.actor = s.u JOIN lra b ON b.actor = s.v
+  WHERE a.comm = b.comm
+),
+lreach AS (
+  SELECT actor AS a, actor AS b FROM verts
+  UNION
+  SELECT r.a, s.v AS b FROM lreach r JOIN lrsymp s ON r.b = s.u
+)
+SELECT lra.actor, lra.comm AS comm_actor, m.part_actor
+FROM lra JOIN (
+  SELECT a AS actor, min(b) AS part_actor FROM lreach GROUP BY a
+) m USING (actor)
+""",
+        # same-oracle twin: forced-distributed superstep loop + CC kernel
+        "leiden_refine_phase_dist": p.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + _louvain_phase_sql(_LOUVAIN_PHASE_GATE_STEPS, final_select=False)
+        + f"""
+, lra AS MATERIALIZED (SELECT actor, comm FROM a{_LOUVAIN_PHASE_GATE_STEPS}),
+lrsymp AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN lra a ON a.actor = s.u JOIN lra b ON b.actor = s.v
+  WHERE a.comm = b.comm
+),
+lreach AS (
+  SELECT actor AS a, actor AS b FROM verts
+  UNION
+  SELECT r.a, s.v AS b FROM lreach r JOIN lrsymp s ON r.b = s.u
+)
+SELECT lra.actor, lra.comm AS comm_actor, m.part_actor
+FROM lra JOIN (
+  SELECT a AS actor, min(b) AS part_actor FROM lreach GROUP BY a
+) m USING (actor)
+""",
         "betweenness_exact_topk": p + _betweenness_sql(_BET_GATE_DEPTH),
         # same-oracle twin: green == the batched multi-source Brandes
         # dataflow (forward frontier expansion + deepest-first backward

@@ -87,6 +87,9 @@ def main() -> None:
     res = timed("louvain", lambda: louvain(g))
     louvain_assign = res.assign.persist()
     louvain_assign.count()
+    from csd363_sin_spark.operators.leiden import leiden
+
+    timed("leiden", lambda: leiden(g).assign.count())
     timed(
         "infomap_enhance",
         lambda: enhance_infomap(
@@ -157,6 +160,9 @@ def main() -> None:
     )
     timed("pagerank_directed", lambda: pagerank_directed(dg).count())
     timed("hits", lambda: hits(dg, iterations=8).count())
+    from csd363_sin_spark.operators.triads import triad_census
+
+    timed("triad_census", lambda: triad_census(dg).collect())
     timed("hyperanf_t2", lambda: neighborhood_function(g, max_t=2).count())
     timed("square_total", lambda: square_total(g).collect())
     timed(

@@ -158,11 +158,17 @@ def _local_move_phase(
     on_superstep=None,
     delta_kin: bool = False,
     delta_arm_threshold: int | None = None,
+    init_assign: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Run down-only-gated synchronous local moves on one level graph.
 
     ``edges`` canonical (src <= dst); ``vertices`` single column vertex_id.
     Returns (assign, supersteps_used).
+
+    ``init_assign`` (vertex_id, comm) seeds the starting partition
+    (Leiden's parent-community carryover; labels must satisfy the
+    down-only invariant comm <= vertex_id, which contraction labels —
+    min member ids — always do).  Default: singletons.
 
     ``delta_kin``: after the first superstep, k_in(v, c) changes ONLY for
     vertices with a neighbor among that superstep's movers, so instead of
@@ -213,6 +219,8 @@ def _local_move_phase(
 
     assign = materialize(
         vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
+        if init_assign is None
+        else init_assign.select("vertex_id", "comm")
     )
 
     # delta-k_in bookkeeping: exact only for integral weights (one scalar
@@ -466,10 +474,16 @@ def _phase_local(
     m: float,
     max_supersteps: int,
     on_superstep=None,
+    init: dict | None = None,
 ) -> tuple[dict, int]:
     """Pure-Python core of the synchronous down-only local-move spec,
     over ``edge_list`` = [(src, dst, weight)] canonical.  Returns
-    (vertex -> comm, supersteps)."""
+    (vertex -> comm, supersteps).
+
+    ``init`` seeds the starting partition (Leiden's parent-community
+    carryover); labels must satisfy the down-only invariant
+    ``init[v] <= v`` (contraction labels are min member ids, so the
+    carryover always does).  Default: singletons."""
     from collections import defaultdict
 
     strength: dict = defaultdict(float)
@@ -482,7 +496,7 @@ def _phase_local(
             strength[v] += w
             adj[u][v] = adj[u].get(v, 0.0) + w
             adj[v][u] = adj[v].get(u, 0.0) + w
-    comm = {v: v for v in verts}
+    comm = {v: (init[v] if init is not None else v) for v in verts}
     S: dict = defaultdict(float)
     for v in verts:
         S[comm[v]] += strength.get(v, 0.0)
@@ -530,6 +544,7 @@ def _local_move_phase_driver(
     m: float,
     max_supersteps: int,
     on_superstep=None,
+    init_assign: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Driver-side execution of the SAME synchronous down-only spec for a
     level graph small enough to collect (adaptive dispatch, the mirror
@@ -545,6 +560,11 @@ def _local_move_phase_driver(
         (r["src"], r["dst"], float(r["weight"])) for r in edges.collect()
     ]
     verts = [r["vertex_id"] for r in vertices.collect()]
+    init = (
+        None
+        if init_assign is None
+        else {r["vertex_id"]: r["comm"] for r in init_assign.collect()}
+    )
 
     def _cb(step, n_moves, comm):
         if on_superstep is not None:
@@ -556,6 +576,7 @@ def _local_move_phase_driver(
     comm, steps = _phase_local(
         edge_list, verts, m, max_supersteps,
         on_superstep=_cb if on_superstep is not None else None,
+        init=init,
     )
     assign = materialize(
         spark.createDataFrame(list(comm.items()), "vertex_id long, comm long")

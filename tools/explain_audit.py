@@ -253,6 +253,20 @@ def main() -> int:
         formatted(pq_encode(emb, books)),
     ))
 
+    # 15. Leiden refinement unit (forced distributed)
+    from csd363_sin_spark.operators.leiden import leiden_refine_phase
+
+    sections.append((
+        "Leiden refine phase (local move + connectivity split, distributed)",
+        "The seeded local-move supersteps reuse the Louvain dataflow "
+        "(pre-partitioned persisted sym view, |V|-row assignment "
+        "exchange); the refinement adds ONE intra-community edge filter "
+        "(two hash joins) feeding the large-star/small-star CC kernel — "
+        "no per-community loop, so the level cost is O(E) regardless of "
+        "how many communities the phase produced.",
+        formatted(leiden_refine_phase(g, max_supersteps=2, local_phase_edges=0)),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
