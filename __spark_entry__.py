@@ -883,6 +883,27 @@ def q_conductance_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame
     return per.select("comm", F.round("conductance", 6).alias("conductance"))
 
 
+def q_community_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: per-community report table (size, internal/cut
+    edges, induced density, conductance, modularity contribution) on the
+    fixed SQL-expressible partition."""
+    from csd363_sin_spark.functions.metrics import community_profile
+
+    return community_profile(
+        _graph(spark, sf_dir), _assign(spark, sf_dir, _part_spark())
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: inactivity-gap sessionization of every
+    conversation (30-min gap; integer-microsecond window arithmetic)."""
+    from csd363_sin_spark.plans.temporal import sessionize
+
+    return sessionize(_transcripts(spark, sf_dir), gap_minutes=30).select(
+        "conv_id", "turn_idx", "session_idx", "session_id"
+    )
+
+
 def q_coverage_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import coverage
 
@@ -2864,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_resolution": q_modularity_resolution,
         "modularity_weighted": q_modularity_weighted,
         "conductance_fixed_partition": q_conductance_fixed_partition,
+        "community_profile": q_community_profile,
+        "sessionize": q_sessionize,
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
         "nmi_fixed_partitions": q_nmi_fixed_partitions,
@@ -6542,6 +6565,48 @@ SELECT comm,
          THEN cut / LEAST(vol, 2.0 * (SELECT m FROM m) - vol)
          WHEN cut = 0 THEN 0.0 ELSE 1.0 END)), 6) AS conductance
 FROM stats
+""",
+        "community_profile": p
+        + s
+        + f"""
+, csize AS (
+  SELECT {part} AS comm, CAST(count(*) AS BIGINT) AS size
+  FROM verts GROUP BY 1
+)
+SELECT st.comm, cz.size,
+  round(st.internal / 2.0, 6) AS internal_edges,
+  round(st.cut, 6) AS cut_edges,
+  round(CASE WHEN cz.size > 1
+        THEN (st.internal / 2.0) / (cz.size * (cz.size - 1) / 2.0)
+        ELSE 0.0 END, 6) AS internal_density,
+  round(LEAST(1.0, GREATEST(0.0,
+    CASE WHEN LEAST(st.vol, 2.0 * (SELECT m FROM m) - st.vol) > 0
+         THEN st.cut / LEAST(st.vol, 2.0 * (SELECT m FROM m) - st.vol)
+         WHEN st.cut = 0 THEN 0.0 ELSE 1.0 END)), 6) AS conductance,
+  round((st.internal / 2.0) / (SELECT m FROM m)
+        - (st.vol / (2.0 * (SELECT m FROM m)))
+          * (st.vol / (2.0 * (SELECT m FROM m))), 6)
+    AS modularity_contribution
+FROM stats st JOIN csize cz USING (comm)
+""",
+        "sessionize": p
+        + """
+, sgap AS (
+  SELECT conv_id, turn_idx,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM t
+),
+sidx AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM sgap
+)
+SELECT conv_id, turn_idx, session_idx,
+       conv_id || '#' || CAST(session_idx AS VARCHAR) AS session_id
+FROM sidx
 """,
         "coverage_fixed_partition": p
         + s

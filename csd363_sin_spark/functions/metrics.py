@@ -272,6 +272,58 @@ def adjusted_rand(assign: DataFrame, ground_truth: DataFrame) -> float:
     return (sum_ij - expected) / (max_index - expected)
 
 
+def community_profile(
+    graph: Graph, assign: DataFrame, weighted: bool = False
+) -> DataFrame:
+    """Per-community report table: ``(comm, size, internal_edges,
+    cut_edges, internal_density, conductance, modularity_contribution)``
+    — the community-level breakdown behind the scalar metrics (each
+    community's term of the modularity sum, its own conductance, and its
+    induced density), 6-dp rounded for SQL portability.
+
+    One half-edge shuffle (community_edge_stats) + one size aggregation
+    + one scalar total-weight job; output is |communities| rows, so the
+    report stays broadcast-sized even at 100 TB inputs.
+    """
+    stats = community_edge_stats(graph, assign, weighted)
+    sizes = assign.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
+    m = _total_edge_weight(graph, weighted)
+    joined = sizes.join(stats, "comm", "left").fillna(
+        {"vol": 0.0, "cut": 0.0, "internal": 0.0}
+    )
+    # conventions (community_edge_stats over the symmetric view): vol =
+    # member degree sum, internal = 2 * intra edges, cut = boundary edge
+    # weight seen once from this community's side
+    internal_edges = F.col("internal") / 2.0
+    pairs = F.col("size") * (F.col("size") - 1) / 2.0
+    density = F.when(pairs > 0, internal_edges / pairs).otherwise(F.lit(0.0))
+    m2 = 2.0 * m
+    cond = (
+        F.when(
+            F.least(F.col("vol"), F.lit(m2) - F.col("vol")) > 0,
+            F.col("cut") / F.least(F.col("vol"), F.lit(m2) - F.col("vol")),
+        )
+        .when(F.col("cut") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+    )
+    cond = F.least(F.lit(1.0), F.greatest(F.lit(0.0), cond))
+    # multiplication, not pow(): Math.pow and SQL x*x can differ in the
+    # last ulp, which the 6 dp round would occasionally expose
+    vol_frac = F.col("vol") / F.lit(m2)
+    contrib = (
+        internal_edges / F.lit(m) - vol_frac * vol_frac if m else F.lit(0.0)
+    )
+    return joined.select(
+        "comm",
+        "size",
+        F.round(internal_edges, 6).alias("internal_edges"),
+        F.round(F.col("cut"), 6).alias("cut_edges"),
+        F.round(density, 6).alias("internal_density"),
+        F.round(cond, 6).alias("conductance"),
+        F.round(contrib, 6).alias("modularity_contribution"),
+    )
+
+
 def evaluate_all(
     graph: Graph,
     assign: DataFrame,

@@ -217,6 +217,41 @@ def tool_sequence_ngrams(
     )
 
 
+def sessionize(transcripts: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Split each conversation into sessions at inactivity gaps — the
+    classic web-log sessionization applied to agent transcripts: a new
+    session starts whenever the gap to the previous turn exceeds
+    ``gap_minutes``.
+
+    Returns the transcript columns plus ``session_idx`` (0-based within
+    the conversation) and ``session_id`` (``conv_id#idx``).  Plan: one
+    lag window + one running-sum window, both partitioned by ``conv_id``
+    (state per task = one conversation — bounded at any corpus size),
+    no joins.  Gap arithmetic is integer microseconds under the
+    session's pinned UTC, so the SQL oracle matches exactly.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = int(gap_minutes) * 60_000_000
+    brk = (
+        (us - F.lag(us).over(w)) > F.lit(gap_us)
+    ).cast("int")
+    with_idx = transcripts.select(
+        "*",
+        F.sum(F.coalesce(brk, F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return with_idx.select(
+        "*",
+        F.concat_ws("#", "conv_id", F.col("session_idx").cast("string")).alias(
+            "session_id"
+        ),
+    )
+
+
 def response_latency_stats(transcripts: DataFrame) -> DataFrame:
     """Per-role response-latency profile: for every turn with a
     predecessor in its conversation, latency = its ``ts`` minus the

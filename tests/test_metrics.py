@@ -255,3 +255,34 @@ def test_degree_centralization_anchors(spark):
     expected = sum(max(degs) - d for d in degs) / ((n - 1) * (n - 2))
     got = degree_centralization(g).collect()[0][0]
     assert abs(got - round(expected, 6)) < 1e-9
+
+
+def test_community_profile_hand_computed(spark):
+    from csd363_sin_spark.functions.metrics import community_profile
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    # triangle {0,1,2} + pendant 3 attached to 2; comms {0,1,2} and {3}
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "vertex_id long, comm long"
+    )
+    rows = {r["comm"]: r for r in community_profile(g, assign).collect()}
+    m = 4.0
+    c0 = rows[0]
+    assert (c0["size"], c0["internal_edges"], c0["cut_edges"]) == (3, 3.0, 1.0)
+    assert c0["internal_density"] == 1.0
+    # vol(c0) = 2+2+3 = 7; min(7, 8-7)=1 -> conductance = 1/1 clamped to 1
+    assert c0["conductance"] == 1.0
+    assert c0["modularity_contribution"] == round(3 / 4 - (7 / 8) ** 2, 6)
+    c3 = rows[3]
+    assert (c3["size"], c3["internal_edges"], c3["cut_edges"]) == (1, 0.0, 1.0)
+    assert c3["internal_density"] == 0.0
+    assert c3["conductance"] == 1.0
+    assert c3["modularity_contribution"] == round(0 - (1 / 8) ** 2, 6)
+
+    # sum of contributions == modularity
+    from csd363_sin_spark.functions.metrics import modularity
+
+    q = modularity(g, assign)
+    total = sum(r["modularity_contribution"] for r in rows.values())
+    assert abs(total - q) < 1e-5

@@ -222,3 +222,33 @@ def test_response_latency_stats_hand_computed(spark):
         "assistant": (2, 3.0, 2.0, 4.0),
         "user": (1, 3.0, 3.0, 3.0),
     }
+
+
+def test_sessionize_hand_computed(spark):
+    from datetime import datetime
+
+    from csd363_sin_spark.plans.temporal import sessionize
+
+    rows = [
+        ("c1", 0, "user", "t", None, datetime(2026, 1, 1, 9, 0)),
+        ("c1", 1, "assistant", "t", None, datetime(2026, 1, 1, 9, 10)),
+        # 50-min gap -> new session
+        ("c1", 2, "user", "t", None, datetime(2026, 1, 1, 10, 0)),
+        ("c1", 3, "assistant", "t", None, datetime(2026, 1, 1, 10, 5)),
+        # exactly 30 min is NOT a break (strict >)
+        ("c1", 4, "user", "t", None, datetime(2026, 1, 1, 10, 35)),
+        ("c2", 0, "user", "t", None, datetime(2026, 1, 2, 0, 0)),
+    ]
+    t = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["session_id"])
+        for r in sessionize(t, gap_minutes=30).collect()
+    }
+    assert got == {
+        ("c1", 0): (0, "c1#0"),
+        ("c1", 1): (0, "c1#0"),
+        ("c1", 2): (1, "c1#1"),
+        ("c1", 3): (1, "c1#1"),
+        ("c1", 4): (1, "c1#1"),
+        ("c2", 0): (0, "c2#0"),
+    }
