@@ -233,13 +233,21 @@ def leiden(
     max_levels: int = 10,
     max_supersteps: int = 64,
     local_phase_edges: int = 100_000,
+    store=None,
+    stage: str = "leiden",
 ) -> LouvainResult:
     """Deterministic distributed Leiden; returns the composed assignment
     on the original graph plus final modularity.  Every returned
     community is internally connected (asserted by tests); ties and
     orderings are fixed by the same down-only/min-label conventions as
     louvain(), so runs are bit-reproducible and dispatch paths agree
-    exactly."""
+    exactly.
+
+    ``store`` (a :class:`csd363_sin_spark.checkpoint.CheckpointStore`)
+    enables mid-algorithm resume exactly like louvain(): every level's
+    contracted graph, composed part map, carryover partition, and best
+    assignment are snapshotted, per-superstep lineage rows are recorded,
+    and a relaunched call continues from the newest complete level."""
     from csd363_sin_spark.functions.metrics import modularity
 
     spark = graph.edges.sparkSession
@@ -247,7 +255,7 @@ def leiden(
     edges = materialize(graph.edges.select("src", "dst", w.alias("weight")))
     vertices = materialize(graph.vertices.select("vertex_id"))
 
-    if edges.count() <= local_phase_edges:
+    if store is None and edges.count() <= local_phase_edges:
         return _leiden_driver(
             spark, edges, vertices, min_gain, max_levels, max_supersteps
         )
@@ -258,19 +266,81 @@ def leiden(
     history: list[float] = []
     total_steps = 0
     levels = 0
+    start_level = 0
     final_assign = vertices.select("vertex_id", F.col("vertex_id").alias("comm"))
 
+    meta_key = f"{stage}_state"
+    if store is not None and store.has_meta(meta_key):
+        meta = store.load_meta(meta_key)
+        final_assign = materialize(store.load_df(spark, f"{stage}_assign"))
+        if meta.get("done"):
+            return LouvainResult(
+                assign=final_assign,
+                modularity=meta["history"][-1] if meta["history"] else 0.0,
+                levels=meta["levels"],
+                supersteps=meta["total_steps"],
+                history=meta["history"],
+            )
+        composed = materialize(store.load_df(spark, f"{stage}_composed"))
+        edges = materialize(store.load_df(spark, f"{stage}_edges"))
+        vertices = materialize(store.load_df(spark, f"{stage}_vertices"))
+        if meta.get("has_init"):
+            init = materialize(store.load_df(spark, f"{stage}_init"))
+        start_level = meta["level"]
+        q_prev = meta["q_prev"]
+        history = list(meta["history"])
+        total_steps = meta["total_steps"]
+        levels = meta["levels"]
+
+    def _snapshot(level_next: int, done: bool) -> None:
+        if store is None:
+            return
+        store.save_df(f"{stage}_assign", final_assign)
+        if not done:
+            store.save_df(f"{stage}_composed", composed)
+            store.save_df(f"{stage}_edges", edges)
+            store.save_df(f"{stage}_vertices", vertices)
+            if init is not None:
+                store.save_df(f"{stage}_init", init)
+        store.save_meta(
+            meta_key,
+            {
+                "level": level_next,
+                "q_prev": q_prev,
+                "history": history,
+                "total_steps": total_steps,
+                "levels": levels,
+                "has_init": init is not None,
+                "done": done,
+            },
+        )
+        store.lineage(stage, level_next, final_assign)
+
     m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
-    for level in range(max_levels):
+    for level in range(start_level, max_levels):
         if m == 0.0:
             break
+
+        def _superstep_lineage(step, moves, step_assign, _level=level):
+            if store is not None:
+                store.lineage(
+                    stage,
+                    _level * 1000 + step,
+                    step_assign,
+                    kind="superstep",
+                    level=_level,
+                    moves=moves,
+                )
+
         if edges.count() <= local_phase_edges:
             assign, steps = _local_move_phase_driver(
-                spark, edges, vertices, m, max_supersteps, init_assign=init
+                spark, edges, vertices, m, max_supersteps, init_assign=init,
+                on_superstep=_superstep_lineage,
             )
         else:
             assign, steps = _local_move_phase(
-                edges, vertices, m, max_supersteps, init_assign=init
+                edges, vertices, m, max_supersteps, init_assign=init,
+                on_superstep=_superstep_lineage,
             )
         total_steps += steps
         cand = materialize(
@@ -328,6 +398,7 @@ def leiden(
         release(old_vertices)
         if vertices.count() <= 1:
             break
+        _snapshot(level + 1, done=False)
 
     # final guarantee: split any disconnected output community and
     # relabel by min member id (deterministic, path-independent)
@@ -342,6 +413,7 @@ def leiden(
         split.select("vertex_id", F.col("sub_comm").alias("comm"))
     )
     history.append(modularity(graph, final_assign, weighted=weighted, m=m))
+    _snapshot(levels, done=True)
 
     return LouvainResult(
         assign=final_assign,

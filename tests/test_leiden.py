@@ -114,3 +114,45 @@ def test_leiden_determinism(spark):
     a2 = {r["vertex_id"]: r["comm"] for r in r2.assign.collect()}
     assert a1 == a2
     assert r1.modularity == r2.modularity
+
+
+def test_leiden_checkpoint_resume_identical(spark, tmp_path):
+    """Kill mid-run after the level-1 snapshot; a re-launched leiden()
+    with the same store must resume and produce the storeless result
+    exactly (the deterministic spec makes this checkable)."""
+    from csd363_sin_spark.checkpoint import CheckpointStore
+    from csd363_sin_spark.operators import leiden as ld
+
+    t = synth_transcripts(spark, n_convs=200, n_tools=24, n_clusters=5, seed=9)
+    g = induce_graph(t)
+
+    clean = ld.leiden(g, weighted=True)
+    want = {r["vertex_id"]: r["comm"] for r in clean.assign.collect()}
+
+    store = CheckpointStore(str(tmp_path / "store"))
+    calls = {"n": 0}
+    orig = ld._local_move_phase_driver
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # level 0 snapshotted; die inside level 1
+            raise RuntimeError("simulated executor loss")
+        return orig(*a, **kw)
+
+    ld._local_move_phase_driver = bomb
+    try:
+        with pytest.raises(RuntimeError):
+            ld.leiden(g, weighted=True, store=store)
+    finally:
+        ld._local_move_phase_driver = orig
+
+    meta = store.load_meta("leiden_state")
+    assert not meta.get("done") and meta["level"] >= 1, meta
+
+    res = ld.leiden(g, weighted=True, store=store)
+    got = {r["vertex_id"]: r["comm"] for r in res.assign.collect()}
+    assert got == want
+    assert res.modularity == pytest.approx(clean.modularity, abs=1e-9)
+    # superstep lineage rows were recorded for the crashed levels
+    kinds = {row.get("kind") for row in store.read_lineage()}
+    assert "superstep" in kinds
