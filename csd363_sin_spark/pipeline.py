@@ -52,6 +52,10 @@ class PipelineConfig:
     # route through the distributed GN/Infomap kernels
     dispatch_threshold: int = 10_000
     local_edges_threshold: int = 100_000
+    # base detector for stage 1 (engine addition): "louvain" mirrors the
+    # reference exactly; "leiden" swaps in the connectivity-guaranteed
+    # variant (operators/leiden.py) with the same store/resume contract
+    base_algorithm: str = "louvain"
     # reliable checkpointing: when set (and no explicit store is passed to
     # run_pipeline), a CheckpointStore is created over this directory and
     # threaded through Louvain levels AND each huge-community GN/Infomap
@@ -107,14 +111,19 @@ def run_pipeline(
         graph, baseline_assign, ground_truth, weighted=cfg.weighted
     )
 
-    # --- stage 1: Louvain ----------------------------------------------------
+    # --- stage 1: Louvain (or Leiden, per config) ----------------------------
     t = time.time()
     cached = _stage_assign(store, spark, "louvain")
     if cached is not None:
         louvain_assign = cached
         out["louvain"] = store.load_meta("louvain_metrics")
     else:
-        res = louvain(graph, weighted=cfg.weighted, store=store)
+        if cfg.base_algorithm == "leiden":
+            from csd363_sin_spark.operators.leiden import leiden
+
+            res = leiden(graph, weighted=cfg.weighted, store=store)
+        else:
+            res = louvain(graph, weighted=cfg.weighted, store=store)
         louvain_assign = res.assign.persist()
         m = evaluate_all(graph, louvain_assign, ground_truth, weighted=cfg.weighted)
         m["runtime"] = time.time() - t

@@ -40,6 +40,7 @@ DEFAULTS = {
     "max_iterations": None,
     "time_limit": None,
     "fast_mode": 1,
+    "base_algorithm": "louvain",  # engine addition: "leiden" opt-in
     "viz": 1,
     "visualization_dir": "viz",
     "master": None,
@@ -71,6 +72,11 @@ def resolve_config(argv=None) -> dict:
     ap.add_argument("--modularity-threshold", dest="modularity_threshold", type=float)
     ap.add_argument("--max-iterations", dest="max_iterations", type=int)
     ap.add_argument("--fast-mode", dest="fast_mode", type=int)
+    ap.add_argument(
+        "--base-algorithm",
+        dest="base_algorithm",
+        choices=["louvain", "leiden"],
+    )
     ap.add_argument(
         "--viz", dest="viz", type=int,
         help="render SVG charts + report.html under RUN_DIR/<visualization_dir> (S13 sinks)",
@@ -156,6 +162,7 @@ def main(argv=None) -> int:
         modularity_threshold=cfg["modularity_threshold"],
         max_iterations=cfg["max_iterations"],
         fast_mode=bool(cfg["fast_mode"]),
+        base_algorithm=cfg["base_algorithm"],
     )
     out = run_pipeline(graph, config=pipe_cfg, store=store)
     final = out.pop("final_assign")

@@ -126,3 +126,29 @@ def test_format_metrics_summary_layout():
     assert "{:<20} {:<15} {:<15.4f} {:<15.4f}".format("Louvain", 2, 0.3571, 0.05) in txt
     assert "Louvain vs Baseline (Modularity): +0.3571" in txt
     assert "Total Runtime: 1m 15.50s" in txt
+
+
+def test_pipeline_leiden_base_algorithm(spark, planted):
+    """base_algorithm='leiden' swaps stage 1 for the connectivity-
+    guaranteed variant; downstream stages and metrics flow unchanged."""
+    g, gt = planted
+    cfg = PipelineConfig(
+        size_threshold=30, infomap_min_size=10, fast_mode=True,
+        base_algorithm="leiden",
+    )
+    out = run_pipeline(g, ground_truth=gt, config=cfg)
+    assert out["louvain"]["modularity"] > 0.3
+    assert out["final_assign"].count() == g.vertices.count()
+    # leiden base: every stage-1 community is internally connected
+    import networkx as nx
+
+    from tests.conftest import graph_to_networkx
+
+    nxg = graph_to_networkx(g)
+    comms: dict = {}
+    from csd363_sin_spark.operators.leiden import leiden
+
+    for r in leiden(g).assign.collect():
+        comms.setdefault(r["comm"], set()).add(r["vertex_id"])
+    for members in comms.values():
+        assert nx.is_connected(nxg.subgraph(members))
