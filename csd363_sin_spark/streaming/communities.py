@@ -53,16 +53,22 @@ def refresh_communities(
     store_dir: str,
     out_dir: str,
     version: int,
+    algorithm: str = "louvain",
     **louvain_kwargs,
 ) -> DataFrame:
-    """Exact refresh: edge-store snapshot -> Louvain -> versioned sink.
+    """Exact refresh: edge-store snapshot -> Louvain/Leiden -> versioned
+    sink.
 
     Returns the written ``(actor, comm)`` assignment.  Identical to the
     batch pipeline on the same data (the snapshot reader IS the batch
-    induction plan).  ``louvain_kwargs`` pass through (weighted,
+    induction plan).  ``algorithm='leiden'`` swaps in the connectivity-
+    guaranteed detector; ``louvain_kwargs`` pass through (weighted,
     max_levels, dispatch thresholds, ...).
     """
-    from csd363_sin_spark.operators.louvain import louvain
+    if algorithm == "leiden":
+        from csd363_sin_spark.operators.leiden import leiden as louvain
+    else:
+        from csd363_sin_spark.operators.louvain import louvain
 
     g = graph_from_named_edges(read_edge_store(spark, store_dir))
     res = louvain(g, **louvain_kwargs)
