@@ -904,6 +904,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: Guimerà-Amaral node roles (participation
+    coefficient + within-module degree z-score) on the fixed
+    SQL-expressible partition."""
+    from csd363_sin_spark.functions.metrics import node_roles
+
+    g = _graph(spark, sf_dir)
+    return (
+        node_roles(g, _assign(spark, sf_dir, _part_spark()))
+        .join(g.vertices, "vertex_id")
+        .select("actor", "degree", "within_degree", "participation", "z_score")
+    )
+
+
 def q_coverage_fixed_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csd363_sin_spark.functions.metrics import coverage
 
@@ -2886,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_weighted": q_modularity_weighted,
         "conductance_fixed_partition": q_conductance_fixed_partition,
         "community_profile": q_community_profile,
+        "node_roles": q_node_roles,
         "sessionize": q_sessionize,
         "coverage_fixed_partition": q_coverage_fixed_partition,
         "description_length_fixed_partition": q_description_length_fixed_partition,
@@ -6588,6 +6603,43 @@ SELECT st.comm, cz.size,
           * (st.vol / (2.0 * (SELECT m FROM m))), 6)
     AS modularity_contribution
 FROM stats st JOIN csize cz USING (comm)
+""",
+        "node_roles": p
+        + f"""
+, nra AS (SELECT actor, {part} AS comm FROM verts),
+nrhalf AS (
+  SELECT s.u AS actor, a.comm AS c_u, b.comm AS c_v, 1.0 AS w
+  FROM sym s JOIN nra a ON a.actor = s.u JOIN nra b ON b.actor = s.v
+),
+nrpc AS (
+  SELECT actor, c_u, c_v, sum(w) AS k_ic FROM nrhalf GROUP BY 1, 2, 3
+),
+nrpv AS (
+  SELECT actor, sum(k_ic) AS k,
+         sum(k_ic * k_ic) AS sum_sq,
+         coalesce(sum(CASE WHEN c_v = c_u THEN k_ic END), 0.0) AS kappa
+  FROM nrpc GROUP BY 1
+),
+nrbase AS (
+  SELECT v.actor, a.comm,
+         coalesce(pv.k, 0.0) AS k,
+         coalesce(pv.sum_sq, 0.0) AS sum_sq,
+         coalesce(pv.kappa, 0.0) AS kappa
+  FROM verts v JOIN nra a USING (actor)
+  LEFT JOIN nrpv pv ON pv.actor = v.actor
+),
+nrstats AS (
+  SELECT actor, k, sum_sq, kappa,
+         avg(kappa) OVER (PARTITION BY comm) AS mu,
+         stddev_pop(kappa) OVER (PARTITION BY comm) AS sd
+  FROM nrbase
+)
+SELECT actor, k AS degree, kappa AS within_degree,
+       round(CASE WHEN k > 0 THEN 1.0 - sum_sq / (k * k)
+             ELSE 0.0 END, 6) AS participation,
+       round(CASE WHEN sd > 0 THEN (kappa - mu) / sd
+             ELSE 0.0 END, 6) AS z_score
+FROM nrstats
 """,
         "sessionize": p
         + """

@@ -324,6 +324,79 @@ def community_profile(
     )
 
 
+def node_roles(
+    graph: Graph, assign: DataFrame, weighted: bool = False
+) -> DataFrame:
+    """Guimerà-Amaral node roles (Nature 433, 2005): per-vertex
+    ``(vertex_id, degree, within_degree, participation, z_score)``.
+
+    * participation  P_i = 1 - sum_c (k_ic / k_i)^2 — how evenly i's
+      edges spread over communities (0 = all in one module);
+    * z-score  z_i = (kappa_i - mean_{j in s_i} kappa_j) / std_pop —
+      how strongly i connects inside its OWN module relative to its
+      peers (the hub/non-hub axis of the role taxonomy).
+
+    Conventions: P_i = 0 when k_i = 0; z_i = 0 when the module's
+    population std is 0 (incl. singleton modules).  6-dp rounded for
+    SQL portability.  Plan: one symmetric-edge join against the
+    assignment (the same half-edge shuffle every metric shares), one
+    (vertex, neighbor-community) aggregation, one per-community window
+    over the |V|-row within-degree table — no joins beyond the labeled
+    half-edges, so the 100 TB cost is the metric suite's usual O(E).
+    """
+    from pyspark.sql import Window
+
+    w = F.col("weight") if weighted else F.lit(1.0)
+    a_u = assign.select(F.col("vertex_id").alias("src"), F.col("comm").alias("c_u"))
+    a_v = assign.select(F.col("vertex_id").alias("dst"), F.col("comm").alias("c_v"))
+    half = (
+        graph.edges_sym()
+        .join(a_u, "src")
+        .join(a_v, "dst")
+        .select(F.col("src").alias("vertex_id"), "c_u", "c_v", w.alias("w"))
+    )
+    per_comm = half.groupBy("vertex_id", "c_u", "c_v").agg(
+        F.sum("w").alias("k_ic")
+    )
+    per_vertex = per_comm.groupBy("vertex_id", F.col("c_u").alias("comm")).agg(
+        F.sum("k_ic").alias("k"),
+        F.sum(F.col("k_ic") * F.col("k_ic")).alias("sum_sq"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_v") == F.col("c_u"), F.col("k_ic"))),
+            F.lit(0.0),
+        ).alias("kappa"),
+    )
+    # isolates: degree 0, kappa 0, in their own community
+    base = (
+        assign.join(per_vertex.drop("comm"), "vertex_id", "left")
+        .fillna({"k": 0.0, "sum_sq": 0.0, "kappa": 0.0})
+    )
+    wc = Window.partitionBy("comm")
+    stats = base.select(
+        "vertex_id",
+        "comm",
+        "k",
+        "sum_sq",
+        "kappa",
+        F.avg("kappa").over(wc).alias("mu"),
+        F.stddev_pop("kappa").over(wc).alias("sd"),
+    )
+    participation = F.when(
+        F.col("k") > 0,
+        F.lit(1.0) - F.col("sum_sq") / (F.col("k") * F.col("k")),
+    ).otherwise(F.lit(0.0))
+    z = F.when(
+        F.col("sd") > 0, (F.col("kappa") - F.col("mu")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "vertex_id",
+        F.col("k").alias("degree"),
+        F.col("kappa").alias("within_degree"),
+        F.round(participation, 6).alias("participation"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
 def evaluate_all(
     graph: Graph,
     assign: DataFrame,

@@ -286,3 +286,51 @@ def test_community_profile_hand_computed(spark):
     q = modularity(g, assign)
     total = sum(r["modularity_contribution"] for r in rows.values())
     assert abs(total - q) < 1e-5
+
+
+def test_node_roles_hand_computed(spark):
+    """Guimerà-Amaral roles on a hand-checkable graph + python mirror."""
+    from collections import defaultdict
+
+    from csd363_sin_spark.functions.metrics import node_roles
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    # two triangles bridged by vertex 2-3 edge; comms = the triangles
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    comm = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    g = graph_from_edges(spark, edges)
+    assign = spark.createDataFrame(
+        list(comm.items()), "vertex_id long, comm long"
+    )
+    got = {r["vertex_id"]: r for r in node_roles(g, assign).collect()}
+
+    # python mirror straight from the definitions
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    for v in comm:
+        k_ic = defaultdict(float)
+        for nb in adj[v]:
+            k_ic[comm[nb]] += 1.0
+        k = sum(k_ic.values())
+        p = 1.0 - sum((x / k) ** 2 for x in k_ic.values()) if k else 0.0
+        kappa = k_ic[comm[v]]
+        members = [u for u in comm if comm[u] == comm[v]]
+        kappas = []
+        for u in members:
+            kappas.append(
+                sum(1.0 for nb in adj[u] if comm[nb] == comm[u])
+            )
+        mu = sum(kappas) / len(kappas)
+        var = sum((x - mu) ** 2 for x in kappas) / len(kappas)
+        z = (kappa - mu) / var**0.5 if var > 0 else 0.0
+        row = got[v]
+        assert row["degree"] == k
+        assert row["within_degree"] == kappa
+        assert row["participation"] == round(p, 6), v
+        assert row["z_score"] == round(z, 6), v
+
+    # bridge endpoints (2, 3) are the only ones with participation > 0
+    assert got[2]["participation"] > 0 and got[3]["participation"] > 0
+    assert got[0]["participation"] == 0.0 and got[4]["participation"] == 0.0
