@@ -912,9 +912,12 @@ def q_node_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     return (
-        node_roles(g, _assign(spark, sf_dir, _part_spark()))
+        node_roles(g, _assign(spark, sf_dir, _part_spark()), classify=True)
         .join(g.vertices, "vertex_id")
-        .select("actor", "degree", "within_degree", "participation", "z_score")
+        .select(
+            "actor", "degree", "within_degree", "participation",
+            "z_score", "role",
+        )
     )
 
 
@@ -6634,12 +6637,26 @@ nrstats AS (
          stddev_pop(kappa) OVER (PARTITION BY comm) AS sd
   FROM nrbase
 )
-SELECT actor, k AS degree, kappa AS within_degree,
-       round(CASE WHEN k > 0 THEN 1.0 - sum_sq / (k * k)
-             ELSE 0.0 END, 6) AS participation,
-       round(CASE WHEN sd > 0 THEN (kappa - mu) / sd
-             ELSE 0.0 END, 6) AS z_score
-FROM nrstats
+, nrout AS (
+  SELECT actor, k AS degree, kappa AS within_degree,
+         round(CASE WHEN k > 0 THEN 1.0 - sum_sq / (k * k)
+               ELSE 0.0 END, 6) AS participation,
+         round(CASE WHEN sd > 0 THEN (kappa - mu) / sd
+               ELSE 0.0 END, 6) AS z_score
+  FROM nrstats
+)
+SELECT actor, degree, within_degree, participation, z_score,
+       CASE WHEN z_score < 2.5 AND participation < 0.05
+              THEN 'R1_ultra_peripheral'
+            WHEN z_score < 2.5 AND participation < 0.62
+              THEN 'R2_peripheral'
+            WHEN z_score < 2.5 AND participation < 0.80
+              THEN 'R3_connector'
+            WHEN z_score < 2.5 THEN 'R4_kinless'
+            WHEN participation < 0.30 THEN 'R5_provincial_hub'
+            WHEN participation < 0.75 THEN 'R6_connector_hub'
+            ELSE 'R7_kinless_hub' END AS role
+FROM nrout
 """,
         "sessionize": p
         + """

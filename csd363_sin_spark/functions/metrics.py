@@ -325,7 +325,10 @@ def community_profile(
 
 
 def node_roles(
-    graph: Graph, assign: DataFrame, weighted: bool = False
+    graph: Graph,
+    assign: DataFrame,
+    weighted: bool = False,
+    classify: bool = False,
 ) -> DataFrame:
     """Guimerà-Amaral node roles (Nature 433, 2005): per-vertex
     ``(vertex_id, degree, within_degree, participation, z_score)``.
@@ -388,13 +391,29 @@ def node_roles(
     z = F.when(
         F.col("sd") > 0, (F.col("kappa") - F.col("mu")) / F.col("sd")
     ).otherwise(F.lit(0.0))
-    return stats.select(
+    out = stats.select(
         "vertex_id",
         F.col("k").alias("degree"),
         F.col("kappa").alias("within_degree"),
         F.round(participation, 6).alias("participation"),
         F.round(z, 6).alias("z_score"),
     )
+    if not classify:
+        return out
+    # the paper's R1-R7 cartography cutoffs (Guimerà-Amaral Fig. 2),
+    # applied to the 6-dp-rounded coordinates so the class is identical
+    # in Spark and the SQL oracle
+    p_, z_ = F.col("participation"), F.col("z_score")
+    role = (
+        F.when((z_ < 2.5) & (p_ < 0.05), "R1_ultra_peripheral")
+        .when((z_ < 2.5) & (p_ < 0.62), "R2_peripheral")
+        .when((z_ < 2.5) & (p_ < 0.80), "R3_connector")
+        .when(z_ < 2.5, "R4_kinless")
+        .when(p_ < 0.30, "R5_provincial_hub")
+        .when(p_ < 0.75, "R6_connector_hub")
+        .otherwise("R7_kinless_hub")
+    )
+    return out.select("*", role.alias("role"))
 
 
 def evaluate_all(

@@ -334,3 +334,21 @@ def test_node_roles_hand_computed(spark):
     # bridge endpoints (2, 3) are the only ones with participation > 0
     assert got[2]["participation"] > 0 and got[3]["participation"] > 0
     assert got[0]["participation"] == 0.0 and got[4]["participation"] == 0.0
+
+
+def test_node_roles_classification(spark):
+    from csd363_sin_spark.functions.metrics import node_roles
+    from csd363_sin_spark.plans.induce import graph_from_edges
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = graph_from_edges(spark, edges)
+    assign = spark.createDataFrame(
+        [(v, 0 if v < 3 else 3) for v in range(6)],
+        "vertex_id long, comm long",
+    )
+    got = {r["vertex_id"]: r["role"] for r in
+           node_roles(g, assign, classify=True).collect()}
+    # pure-triangle members: P=0, z<2.5 -> ultra-peripheral
+    assert got[0] == "R1_ultra_peripheral" and got[4] == "R1_ultra_peripheral"
+    # bridge endpoints: P = 1 - (2/3)^2 - (1/3)^2 = 0.4444 -> peripheral
+    assert got[2] == "R2_peripheral" and got[3] == "R2_peripheral"
