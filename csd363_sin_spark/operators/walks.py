@@ -11,14 +11,22 @@ argmin, bit-identical in Spark, DuckDB (the gate oracle mirrors every
 step) and across retries, yet uniformly distributed over neighbors.
 
 Scale: walk state is one row per active walk; each step is one join of
-the state against the src-pre-partitioned symmetric edge view (the only
-O(frontier-degree) exchange) followed by a per-walk argmin (window over
-candidate rows — candidates of one walk = one vertex's neighbors, so a
-10M-degree hub makes a 10M-row partition for the walks currently ON it;
-``walks_per_vertex`` keeps that bounded, and hub-heavy deployments can
-swap the window for a two-phase min like similarity.py's top-k).
-Walks that reach an isolated/dead-end vertex terminate early, matching
-DeepWalk semantics.
+the state against the symmetric edge view (the only O(frontier-degree)
+exchange) followed by a per-walk argmin (map-side-combinable ``min_by``).
+The adjacency is SALTED into ``n_buckets`` by a hash of the neighbor id
+and the state side is exploded across buckets, so one hub vertex's
+candidate rows land in ``n_buckets`` tasks instead of one — argmin
+distributes over bucket minima, so results are bit-identical to the
+unsalted plan.  Without the salt, walks concentrating on a hub (the
+stationary distribution is degree-biased) put that hub's entire
+Σ(walks-on-hub × degree) candidate expansion into a single task: on the
+sf0.1 co-occurrence graph (~30 tool hubs, Σdeg² ≈ 31M) that was a
+measured ~50 s single-task step (steps 1 and 3 of the same walk ran in
+~2 s — the frontier oscillates on and off the hubs); salted across 64
+buckets x pinned partitions the same step is 6-8 s of evenly-spread
+hash CPU.  Walks that
+reach an isolated/dead-end vertex terminate early, matching DeepWalk
+semantics.
 """
 
 from __future__ import annotations
@@ -30,36 +38,89 @@ from csd363_sin_spark.functions.dedup import _hash64
 from csd363_sin_spark.plans.lineage import materialize
 
 
+def _salted_sym(edges_named: DataFrame, n_buckets: int) -> DataFrame:
+    """Symmetric adjacency view with a deterministic neighbor-hash
+    bucket column ``b`` — the skew salt for the per-step candidate join.
+    The bucket is a pure partitioning device (xxhash64 of the neighbor
+    id, independent of the walk's scoring ``hash_mode``); every neighbor
+    of a vertex lands in exactly one bucket, so a per-walk argmin over
+    the salted join output equals the argmin over the full neighbor
+    set.
+
+    The repartition count is EXPLICIT (shuffle-partitions conf): the
+    input bytes of this view are tiny next to the Σdeg(frontier)
+    candidate rows each step's join EMITS, so AQE — which coalesces on
+    map-output bytes, blind to join fan-out — would fold the cached view
+    (and with it every step's candidate expansion) back into one task,
+    exactly the skew the salt exists to break.  Pinning numPartitions
+    marks the shuffle user-specified, which AQE never coalesces."""
+    spark = edges_named.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_buckets
+    )
+    sym = edges_named.select(
+        F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
+    ).unionByName(
+        edges_named.select(
+            F.col("dst_actor").alias("u"), F.col("src_actor").alias("v")
+        )
+    )
+    return (
+        sym.withColumn(
+            "b", F.pmod(F.xxhash64("v"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(n_parts, "u", "b")
+        .persist()
+    )
+
+
+def _explode_buckets(state: DataFrame, n_buckets: int) -> DataFrame:
+    """Explode walk state across the ``n_buckets`` salt buckets so the
+    candidate join key becomes ``(actor, b)`` — one hub's expansion is
+    spread over ``n_buckets`` tasks.  O(|state| * n_buckets) probe rows:
+    walk state is one row per walk, so the blow-up is bounded and tiny
+    next to the Σdeg(frontier) candidate rows it parallelizes.
+
+    The probe side's partition count is pinned for the same AQE-blind-
+    to-fan-out reason as :func:`_salted_sym` — when AQE broadcasts the
+    (byte-small) adjacency, the candidate stage inherits THIS side's
+    partitioning, and a coalesced-to-one probe shuffle re-serializes the
+    whole hub expansion into a single task (measured: the 2 s salted
+    step becomes 50 s)."""
+    spark = state.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_buckets
+    )
+    return (
+        state.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+        )
+        .withColumn("b", F.col("b").cast("int"))
+        .repartition(n_parts, "actor", "b")
+    )
+
+
 def random_walks(
     edges_named: DataFrame,
     walk_length: int = 4,
     walks_per_vertex: int = 2,
     salt: str = "walk",
     hash_mode: str = "md5",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Uniform random walks over actor-named edges
     ``(src_actor, dst_actor, ...)``: returns ``(start_actor, walk_id,
     step, actor)`` — one row per visited position, step 0 = the start
     vertex itself.  Deterministic: a pure function of the edge set and
-    the salt.
+    the salt (``n_buckets`` only re-partitions work; any value gives
+    bit-identical output).
 
     ``hash_mode``: "md5" (the oracle-portable family the gate and python
     mirrors replay) or "xxhash64" (production — JVM-fused, several times
     cheaper per candidate row; the hot cost of a walk step is ONE hash
     per (walk, neighbor) candidate).  Same algorithm either way, exactly
     like the dedup family's hash_mode."""
-    sym = (
-        edges_named.select(
-            F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
-        )
-        .unionByName(
-            edges_named.select(
-                F.col("dst_actor").alias("u"), F.col("src_actor").alias("v")
-            )
-        )
-        .repartition("u")
-        .persist()
-    )
+    sym = _salted_sym(edges_named, n_buckets)
     sym.count()
     verts = sym.select(F.col("u").alias("start_actor")).distinct()
     state = materialize(
@@ -77,7 +138,10 @@ def random_walks(
     out = state.withColumn("step", F.lit(0).cast("long"))
     frames = [out]
     for step in range(1, walk_length + 1):
-        cand = state.join(sym, state["actor"] == sym["u"]).select(
+        probes = _explode_buckets(state, n_buckets)
+        cand = probes.join(
+            sym, (probes["actor"] == sym["u"]) & (probes["b"] == sym["b"])
+        ).select(
             "start_actor",
             "walk_id",
             F.col("v").alias("cand"),
@@ -130,6 +194,8 @@ def node2vec_walks(
     q_cost: int = 2,
     salt: str = "n2v",
     hash_mode: str = "md5",
+    n_buckets: int = 64,
+    broadcast_edge_limit: int = 4_000_000,
 ) -> DataFrame:
     """Second-order (node2vec-style) biased walks, derandomized.
 
@@ -145,25 +211,17 @@ def node2vec_walks(
     likely, so p_cost/q_cost play the roles of node2vec's 1/p and 1/q;
     pure integer math, bit-identical in Spark, DuckDB and Python.
 
-    Scale: same dataflow as :func:`random_walks` plus one broadcast-able
-    left join per step against the canonical edge set to test
-    "candidate is a neighbor of prev" — the same O(frontier-degree)
-    exchange, one extra hash-join probe per candidate row.
+    Scale: same dataflow as :func:`random_walks` plus one left join per
+    step against the canonical edge set to test "candidate is a
+    neighbor of prev".  The canonical set is explicitly broadcast while
+    it fits (``broadcast_edge_limit`` rows — the cached frame has no
+    stats, so AQE can't make that call itself); past the limit the probe
+    falls back to a shuffle join keyed on the (prev, cand) PAIR, which
+    has no hub skew because pair keys are distinct per candidate row.
     """
     if not (1 <= p_cost <= 32 and 1 <= q_cost <= 32):
         raise ValueError("cost multipliers must be in [1, 32]")
-    sym = (
-        edges_named.select(
-            F.col("src_actor").alias("u"), F.col("dst_actor").alias("v")
-        )
-        .unionByName(
-            edges_named.select(
-                F.col("dst_actor").alias("u"), F.col("src_actor").alias("v")
-            )
-        )
-        .repartition("u")
-        .persist()
-    )
+    sym = _salted_sym(edges_named, n_buckets)
     sym.count()
     canon = (
         edges_named.select(
@@ -173,7 +231,9 @@ def node2vec_walks(
         .distinct()
         .persist()
     )
-    canon.count()
+    canon_probe = (
+        F.broadcast(canon) if canon.count() <= broadcast_edge_limit else canon
+    )
     verts = sym.select(F.col("u").alias("start_actor")).distinct()
     state = materialize(
         verts.select(
@@ -194,7 +254,10 @@ def node2vec_walks(
         )
     ]
     for step in range(1, walk_length + 1):
-        cand = state.join(sym, state["actor"] == sym["u"]).select(
+        probes = _explode_buckets(state, n_buckets)
+        cand = probes.join(
+            sym, (probes["actor"] == sym["u"]) & (probes["b"] == sym["b"])
+        ).select(
             "start_actor",
             "walk_id",
             F.col("actor").alias("cur"),
@@ -217,7 +280,7 @@ def node2vec_walks(
             ).alias("h"),
         )
         flagged = cand.join(
-            canon,
+            canon_probe,
             (F.least("prev_actor", "cand") == F.col("ca"))
             & (F.greatest("prev_actor", "cand") == F.col("cb")),
             "left",
