@@ -5136,8 +5136,8 @@ SELECT a AS src, b AS dst FROM mutual
 def _cos9(vec: str, cen: str) -> str:
     return (
         f"round(list_inner_product({vec}, {cen}) / "
-        f"(sqrt(list_inner_product({cen}, {cen})) * "
-        f"sqrt(list_inner_product({vec}, {vec}))), 9)"
+        f"(greatest(sqrt(list_inner_product({cen}, {cen})), 1e-30) * "
+        f"greatest(sqrt(list_inner_product({vec}, {vec})), 1e-30)), 9)"
     )
 
 

@@ -115,8 +115,13 @@ def merge_config(
         raise ValueError(f"Unknown config keys: {sorted(unknown)}")
     out = dict(defaults)
     for k, v in config.items():
-        if v is not None or k in config:
-            out[k] = v
+        if v is None and defaults.get(k) is not None:
+            # an explicit null in a config file does not erase a non-null
+            # engine default (mirrors the reference's ``config.get(k,
+            # default)`` fallback; a null run_dir would otherwise crash
+            # os.makedirs(None) far from the config that caused it)
+            continue
+        out[k] = v
     for k, v in cli.items():
         if v is not None:
             out[k] = v

@@ -225,7 +225,7 @@ def _nearest_centroid_expr(vec_col, centroids: list[list[float]], round_to: int 
     norms = [sum(v * v for v in c) ** 0.5 for c in centroids]
     raw = [
         _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-        / (F.lit(max(n, 1e-30)) * _norm(vec_col))
+        / (F.lit(max(n, 1e-30)) * F.greatest(_norm(vec_col), F.lit(1e-30)))
         for c, n in zip(centroids, norms)
     ]
     if round_to is not None:
@@ -356,7 +356,8 @@ def ivf_topk(
 
     def _pscore(c, n):
         s = _dot(F.col("p"), F.array(*[F.lit(float(x)) for x in c])) / (
-            F.lit(max(n, 1e-30)) * _norm(F.col("p"))
+            F.lit(max(n, 1e-30))
+            * F.greatest(_norm(F.col("p")), F.lit(1e-30))
         )
         return F.round(s, score_round) if score_round is not None else s
 
@@ -903,7 +904,8 @@ def _nearest_centroid_arrow(
         if len(v) == 0:
             return pd.Series([], dtype=np.int32)
         x = np.array([np.asarray(row, dtype=np.float64) for row in v])
-        s = (x @ c.T) / (cn[None, :] * np.sqrt((x * x).sum(axis=1, keepdims=True)))
+        qn = np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-30)
+        s = (x @ c.T) / (cn[None, :] * qn)
         if round_to is not None:
             s = np.round(s, round_to)
         return pd.Series(s.argmax(axis=1).astype(np.int32))
@@ -928,7 +930,8 @@ def _topk_centroids_arrow(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         x = np.array([np.asarray(row, dtype=np.float64) for row in v])
-        s = (x @ c.T) / (cn[None, :] * np.sqrt((x * x).sum(axis=1, keepdims=True)))
+        qn = np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-30)
+        s = (x @ c.T) / (cn[None, :] * qn)
         if round_to is not None:
             s = np.round(s, round_to)
         order = np.argsort(-s, axis=1, kind="stable")[:, :p].astype(np.int32)

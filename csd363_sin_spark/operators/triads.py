@@ -31,10 +31,13 @@ Scale: the only super-linear step is the wedge self-join —
 sum_c deg(c)^2 rows, the exact cost profile of ``square_total``
 (operators/triangles.py) including its hub caveat; everything else is
 bounded single-row aggregates over broadcast-sized frames.  Counts are
-exact BIGINT; the 003/012/102 closed-form rows involve C(n,2)-scale
-products and stay exact up to ~3.8M vertices (int64), past which a
-DECIMAL cast is the documented escape hatch — the 13 connected-class
-rows are exact at any scale the wedge join survives.
+exact BIGINT; the 003/012/102 closed-form rows are computed in
+DECIMAL(38,0) (their n*(n-1)*(n-2)-scale intermediates would overflow
+int64 past ~2.1M vertices), so the only bound left is the BIGINT output
+column itself — the 003 COUNT exceeds int64 past ~3.81M vertices, at
+which point a runtime guard raises instead of wrapping/ANSI-throwing —
+and the 13 connected-class rows are exact at any scale the wedge join
+survives.
 """
 
 from __future__ import annotations
@@ -196,32 +199,54 @@ def triad_census(dg: DiGraph) -> DataFrame:
             )
         )
     )
+    # closed-form rows in DECIMAL(38,0): the intermediates (n*(n-1)*(n-2),
+    # A*(n-2)) overflow int64 past ~2.1M vertices even where the COUNTS
+    # still fit a long, so compute wide and cast down; past the point
+    # where the 003 count itself no longer fits the BIGINT output column
+    # (~3.81M vertices) the guard raises a clear error instead of a
+    # silent wrap (non-ANSI) / bare ArithmeticException (ANSI).
+    def _dec(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    _max_long = F.lit((1 << 63) - 1).cast("decimal(38,0)")
+
+    def _guarded_long(c):
+        return F.when(c <= _max_long, c.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "triad_census: 003/012/102 closed-form count exceeds "
+                    "BIGINT (num_vertices > ~3.81M); re-derive these three "
+                    "rows externally from the 13 enumerated classes in "
+                    "DECIMAL if you need them at this scale"
+                )
+            ).cast("long")
+        )
+
+    c012 = _dec("aa") * (_dec("n") - 2) - _dec("sum_a")
+    c102 = _dec("mm") * (_dec("n") - 2) - _dec("sum_m")
+    c003 = (
+        F.floor(_dec("n") * (_dec("n") - 1) * (_dec("n") - 2) / 6).cast(
+            "decimal(38,0)"
+        )
+        - _dec("sum_conn")
+        - (_dec("aa") + _dec("mm")) * (_dec("n") - 2)
+        + _dec("sum_a")
+        + _dec("sum_m")
+    )
     derived = scal.select(
         F.explode(
             F.array(
                 F.struct(
                     F.lit("012").alias("triad_type"),
-                    (F.col("aa") * (F.col("n") - 2) - F.col("sum_a"))
-                    .cast("long")
-                    .alias("count"),
+                    _guarded_long(c012).alias("count"),
                 ),
                 F.struct(
                     F.lit("102").alias("triad_type"),
-                    (F.col("mm") * (F.col("n") - 2) - F.col("sum_m"))
-                    .cast("long")
-                    .alias("count"),
+                    _guarded_long(c102).alias("count"),
                 ),
                 F.struct(
                     F.lit("003").alias("triad_type"),
-                    (
-                        F.expr("n * (n - 1) * (n - 2) div 6")
-                        - F.col("sum_conn")
-                        - (F.col("aa") + F.col("mm")) * (F.col("n") - 2)
-                        + F.col("sum_a")
-                        + F.col("sum_m")
-                    )
-                    .cast("long")
-                    .alias("count"),
+                    _guarded_long(c003).alias("count"),
                 ),
             )
         ).alias("t")

@@ -58,6 +58,13 @@ def resolve_config(argv=None) -> dict:
         help="whitespace edge-list text file (reference data_io.py loader), "
         "resolved under --data-dir when relative",
     )
+    ap.add_argument(
+        "--ground-truth-file", dest="ground_truth_file",
+        help="ground-truth file for NMI (reference __main__.py:108 / "
+        "load_ground_truth:368-383 semantics: pair format, or an edge "
+        "file labelled by connected component), resolved under --data-dir "
+        "when relative",
+    )
     ap.add_argument("--data-dir", dest="data_dir")
     ap.add_argument(
         "--sample-size", dest="sample_size", type=int,
@@ -122,6 +129,20 @@ def main(argv=None) -> int:
         if not os.path.isabs(path) and cfg["data_dir"]:
             path = os.path.join(cfg["data_dir"], path)
         raw = read_edge_list(spark, path, sample_size=cfg["sample_size"])
+        # Intentional divergence from the reference loader (data_io.py
+        # load_graph keeps nx self-loops): the engine's graph model is
+        # loop-free — every operator (modularity's degree terms, triangle
+        # wedges, the symmetric adjacency views) assumes src != dst — so
+        # self-loop lines are dropped, and LOGGED so the divergence is
+        # visible instead of silent.
+        n_loops = raw.filter(F.col("src") == F.col("dst")).count()
+        if n_loops:
+            print(
+                f"warning: discarded {n_loops} self-loop line(s) from "
+                f"{path} (the reference's nx.Graph keeps self-loops; this "
+                "engine's graph model is loop-free)",
+                file=sys.stderr,
+            )
         edges = (
             raw.filter(F.col("src") != F.col("dst"))
             .select(
@@ -154,6 +175,25 @@ def main(argv=None) -> int:
             )
         graph = induce_graph(transcripts)
 
+    # ground truth for NMI (reference __main__.py:368-383: a configured
+    # ground_truth_file is loaded as pairs-or-edge-file, missing file
+    # warns and falls through to no-NMI)
+    ground_truth = None
+    if cfg["ground_truth_file"]:
+        gt_path = cfg["ground_truth_file"]
+        if not os.path.isabs(gt_path) and cfg["data_dir"]:
+            gt_path = os.path.join(cfg["data_dir"], gt_path)
+        if os.path.exists(gt_path):
+            from csd363_sin_spark.sources.groundtruth import load_ground_truth
+
+            ground_truth = load_ground_truth(spark, graph, edge_path=gt_path)
+        else:
+            print(
+                f"warning: ground_truth_file not found: {gt_path}; "
+                "NMI will not be calculated",
+                file=sys.stderr,
+            )
+
     os.makedirs(cfg["run_dir"], exist_ok=True)
     store = CheckpointStore(cfg["run_dir"])
     pipe_cfg = PipelineConfig(
@@ -164,7 +204,7 @@ def main(argv=None) -> int:
         fast_mode=bool(cfg["fast_mode"]),
         base_algorithm=cfg["base_algorithm"],
     )
-    out = run_pipeline(graph, config=pipe_cfg, store=store)
+    out = run_pipeline(graph, ground_truth=ground_truth, config=pipe_cfg, store=store)
     final = out.pop("final_assign")
     final.write.mode("overwrite").parquet(os.path.join(cfg["run_dir"], "final_assign"))
     if cfg["viz"]:

@@ -143,3 +143,116 @@ def test_run_pipeline_config_file_end_to_end(spark, tmp_path):
     assert len({rows[i] for i in range(0, 4)}) == 1
     assert len({rows[i] for i in range(4, 8)}) == 1
     assert rows[0] != rows[4]
+
+
+def test_merge_null_config_value_keeps_nonnull_default():
+    """An explicit null in a config file must not erase a non-null
+    engine default (a null run_dir would crash os.makedirs(None) far
+    from the config that caused it); keys whose default IS None keep
+    accepting null as a no-op."""
+    defaults = {"run_dir": "./runs/default", "sample_size": None, "viz": 1}
+    cfg = merge_config(
+        {}, {"run_dir": None, "sample_size": None, "viz": 0}, defaults
+    )
+    assert cfg["run_dir"] == "./runs/default"
+    assert cfg["sample_size"] is None
+    assert cfg["viz"] == 0
+
+
+def _two_clique_edge_lines(bridge: bool) -> list[str]:
+    lines = []
+    for block in (range(0, 4), range(4, 8)):
+        block = list(block)
+        for i in block:
+            for j in block:
+                if i < j:
+                    lines.append(f"{i} {j}")
+    if bridge:
+        lines.append("0 4")
+    return lines
+
+
+def test_ground_truth_file_drives_nmi(spark, tmp_path, capsys):
+    """A configured ground_truth_file is actually loaded and evaluated
+    (reference __main__.py:368-383: the file is an edge list labelled by
+    connected component): the two-clique GT makes the final NMI 1.0."""
+    import json as _json
+
+    import run_pipeline as rp
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "edges.txt").write_text(
+        "\n".join(_two_clique_edge_lines(bridge=True)) + "\n"
+    )
+    # ground truth: the same graph WITHOUT the bridge -> two components
+    (data_dir / "gt.txt").write_text(
+        "\n".join(_two_clique_edge_lines(bridge=False)) + "\n"
+    )
+    rc = rp.main(
+        [
+            "--data-dir", str(data_dir),
+            "--input-edge-file", "edges.txt",
+            "--ground-truth-file", "gt.txt",
+            "--run-dir", str(tmp_path / "out"),
+            "--viz", "0",
+        ]
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    metrics = _json.JSONDecoder().raw_decode(stdout[stdout.index("{"):])[0]
+    nmis = [
+        v.get("nmi")
+        for v in metrics.values()
+        if isinstance(v, dict) and "nmi" in v
+    ]
+    assert nmis, "no evaluation bundle carried an nmi key"
+    assert any(v is not None for v in nmis)
+    final_nmi = metrics["final"]["nmi"] if "final" in metrics else max(
+        v for v in nmis if v is not None
+    )
+    assert final_nmi == pytest.approx(1.0)
+
+
+def test_missing_ground_truth_file_warns_not_crashes(tmp_path, capsys):
+    import run_pipeline as rp
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "edges.txt").write_text(
+        "\n".join(_two_clique_edge_lines(bridge=True)) + "\n"
+    )
+    rc = rp.main(
+        [
+            "--data-dir", str(data_dir),
+            "--input-edge-file", "edges.txt",
+            "--ground-truth-file", "nope.txt",
+            "--run-dir", str(tmp_path / "out"),
+            "--viz", "0",
+        ]
+    )
+    assert rc == 0
+    assert "ground_truth_file not found" in capsys.readouterr().err
+
+
+def test_self_loop_lines_are_logged(tmp_path, capsys):
+    """Self-loop edge lines are dropped (the engine's graph model is
+    loop-free, an intentional divergence from the reference's nx.Graph)
+    and the count is reported on stderr rather than silently vanishing."""
+    import run_pipeline as rp
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "edges.txt").write_text(
+        "\n".join(_two_clique_edge_lines(bridge=True) + ["2 2", "5 5"]) + "\n"
+    )
+    rc = rp.main(
+        [
+            "--data-dir", str(data_dir),
+            "--input-edge-file", "edges.txt",
+            "--run-dir", str(tmp_path / "out"),
+            "--viz", "0",
+        ]
+    )
+    assert rc == 0
+    assert "discarded 2 self-loop line(s)" in capsys.readouterr().err

@@ -1228,3 +1228,31 @@ def test_pack_sequences_hand_computed(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["frag_text"])
     for i in range(40):
         assert " ".join(by_doc[i]) == " ".join(f"w{i}t{j}" for j in range(i % 7 + 1))
+
+
+def test_zero_vector_centroid_assign_arrow_expr_parity(spark):
+    """An all-zero embedding must not yield NaN scores (engine-dependent
+    argmax/argsort): the query norm is clamped like the centroid norm in
+    BOTH the arrow kernel and the expr twin, so the zero vector's scores
+    are 0.0 everywhere and the first-index tie-break picks centroid 0 in
+    both engines."""
+    from csd363_sin_spark.functions.similarity import (
+        _nearest_centroid_arrow,
+        _nearest_centroid_expr,
+        _topk_centroids_arrow,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.5, 0.1])], "vec_id long, v array<double>"
+    )
+    got = df.select(
+        "vec_id",
+        _nearest_centroid_arrow(cents)(F.col("v")).alias("a"),
+        _nearest_centroid_expr(F.col("v"), cents).alias("e"),
+        _topk_centroids_arrow(cents, p=2)(F.col("v")).alias("t"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[0]["a"] == by_id[0]["e"] == 0
+    assert list(by_id[0]["t"]) == [0, 1]
+    assert by_id[1]["a"] == by_id[1]["e"]
