@@ -92,7 +92,7 @@ def transitivity(graph: Graph) -> DataFrame:
     )
 
 
-def square_total(graph: Graph) -> DataFrame:
+def square_total(graph: Graph, order: str = "id") -> DataFrame:
     """Exact 4-cycle (square) count: one row ``(squares long)``.
 
     Motif counting beyond triangles.  A 4-cycle a-c-b-d-a is determined
@@ -105,13 +105,65 @@ def square_total(graph: Graph) -> DataFrame:
     Dataflow: one self-join of the symmetric edge view on the wedge
     center (the same expansion the triangle kernel uses) feeding a
     map-side-combined count per (a, b), then one integer aggregation —
-    all exact BIGINT math.  Scale note: the wedge expansion is
-    inherently O(sum deg^2); that is the exact-counting lower bound, and
-    hub-heavy deployments should pre-cap hub wedges (the dedup
-    max_shingle_freq pattern) to trade exactness for a bound — this
-    operator stays exact and documents the cost.
+    all exact BIGINT math.
+
+    ``order``: ``"id"`` (default) runs the unrestricted wedge expansion
+    above — O(sum deg^2), keeping the SQL oracle verbatim.  ``"degree"``
+    is the vertex-priority counting of Wang et al. (VLDB 2019, butterfly
+    counting generalized to C4): under the total priority
+    ``p(v) = (degree, id)``, generate only wedges (start u, middle v,
+    end w) with ``p(u) > p(v)`` and ``p(u) > p(w)``; every 4-cycle has a
+    unique highest-priority vertex and is counted exactly once by the
+    wedge PAIR at (that vertex, its opposite corner), so
+
+        #C4 = sum over (u, w) of C(cnt(u, w), 2)     -- no halving
+
+    with cost O(sum over edges of min-endpoint degree) ~ O(m * sqrt m)
+    worst case and ~0 wedges at hub middles (a pure star generates NO
+    wedges: no neighbor out-ranks the hub).  Same exact count — the
+    order-invariance test pins it — different intermediate size: the
+    right mode for hub-heavy graphs at scale.
     """
     sym = graph.edges_sym().select("src", "dst").distinct()
+    if order == "degree":
+        deg = sym.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        c_lit = int(
+            sym.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+            or 0
+        ) + 1
+        keyed = deg.select(
+            "v", (F.col("deg") * F.lit(c_lit) + F.col("v")).alias("k")
+        )
+        half = (
+            sym.join(keyed.withColumnRenamed("v", "src"), "src")
+            .join(
+                keyed.select(
+                    F.col("v").alias("dst"), F.col("k").alias("kn")
+                ),
+                "dst",
+            )
+            .select(
+                F.col("src").alias("v"), F.col("k").alias("kv"),
+                F.col("dst").alias("n"), F.col("kn"),
+            )
+        )
+        starts = half.where(F.col("kn") > F.col("kv")).select(
+            "v", F.col("n").alias("u"), F.col("kn").alias("ku")
+        )
+        ends = half.select("v", F.col("n").alias("w"), F.col("kn").alias("kw"))
+        cnt = (
+            starts.join(ends, "v")
+            .where(F.col("kw") < F.col("ku"))
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("w_cnt"))
+        )
+        return cnt.select(
+            F.expr("div(w_cnt * (w_cnt - 1), 2)").alias("p")
+        ).agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("squares"))
+    elif order != "id":
+        raise ValueError(f"unknown order: {order!r}")
     a = sym.select(F.col("src").alias("c"), F.col("dst").alias("a"))
     b = sym.select(F.col("src").alias("c"), F.col("dst").alias("b"))
     wedges = (

@@ -354,3 +354,34 @@ def test_rich_club_and_gini(spark):
     # 6-cycle: 2-regular -> gini exactly 0
     cyc = graph_from_edges(spark, [(i, (i + 1) % 6) for i in range(6)])
     assert degree_gini(cyc).collect()[0]["gini"] == 0.0
+
+
+def test_square_total_order_invariance(spark):
+    """order="degree" (vertex-priority wedge counting: every 4-cycle
+    counted exactly once at its highest-priority corner) must equal the
+    default unrestricted expansion, including on the star graph where
+    the degree path generates ZERO wedges."""
+    import random
+
+    from csd363_sin_spark.operators.triangles import square_total
+
+    rng = random.Random(23)
+    n = 15
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if rng.random() < 0.3
+    ]
+    g = graph_from_edges(spark, edges)
+    assert (
+        square_total(g).collect()[0]["squares"]
+        == square_total(g, order="degree").collect()[0]["squares"]
+    )
+    # hand anchors under the degree order
+    assert square_total(
+        graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]),
+        order="degree",
+    ).collect()[0]["squares"] == 1
+    star = graph_from_edges(spark, [(0, i) for i in range(1, 8)])
+    assert square_total(star, order="degree").collect()[0]["squares"] == 0

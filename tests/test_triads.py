@@ -112,3 +112,38 @@ def test_dyad_census_hand_computed(spark):
         row["null_dyads"],
         row["num_vertices"],
     ) == (1, 1, 4, 4)
+
+
+@pytest.mark.parametrize("seed,n,p", [(5, 14, 0.2), (6, 10, 0.45)])
+def test_triad_census_order_invariance(spark, seed, n, p):
+    """order="degree" (closed forms + degree-oriented triangle listing,
+    no sum-deg^2 wedge join) must produce identical 16-class counts to
+    the default wedge enumeration AND to networkx."""
+    rng = random.Random(seed)
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(n)
+        if u != v and rng.random() < p
+    ]
+    dg = digraph_from_edges(spark, edges)
+    by_id = _census_dict(triad_census(dg))
+    by_degree = _census_dict(triad_census(dg, order="degree"))
+    assert by_id == by_degree
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    g = nx.DiGraph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(edges)
+    assert by_degree == {k: int(v) for k, v in nx.triadic_census(g).items()}
+
+
+def test_triad_census_degree_order_star(spark):
+    """A pure out-star (the hub-skew worst case for the wedge join):
+    C(n-1, 2) triples through the hub, all 021D, zero closed triples —
+    the degree path's closed forms carry the whole census."""
+    n = 9
+    dg = digraph_from_edges(spark, [(0, i) for i in range(1, n)])
+    got = _census_dict(triad_census(dg, order="degree"))
+    assert got["021D"] == (n - 1) * (n - 2) // 2
+    assert got["030T"] == got["030C"] == got["300"] == 0
+    assert got == _census_dict(triad_census(dg))
