@@ -144,6 +144,23 @@ t0 = time.time()
 bridge_decomposition(g, local_edges_threshold=0).bridges.count()
 t_br = time.time() - t0
 
+# Leiden refinement unit (r4 kernel): fixed local-move supersteps + one
+# community-restricted connectivity refinement on the original graph;
+# deterministic, identical work at both levels (local_edges_threshold 0
+# forces the distributed path)
+from csd363_sin_spark.operators.leiden import leiden_refine_phase
+t0 = time.time()
+leiden_refine_phase(g, max_supersteps=2, local_phase_edges=0).count()
+t_ld = time.time() - t0
+
+# triad census (r4/r5 kernel), degree-oriented scale path: per-center
+# closed forms + degree-oriented triangle listing over the handoff
+# digraph — deterministic, fan-out bounded by core number
+from csd363_sin_spark.operators.triads import triad_census
+t0 = time.time()
+triad_census(dg, order="degree").count()
+t_tc = time.time() - t0
+
 # embarrassingly parallel workload: brute-force cosine scan (no shuffle)
 from csd363_sin_spark.functions.similarity import cosine_topk
 dim = 64
@@ -187,6 +204,10 @@ print(json.dumps({
     "matching_edges_per_sec": round(n_edges / t_mm),
     "bridges_sec": round(t_br, 2),
     "bridges_edges_per_sec": round(n_edges / t_br),
+    "leiden_sec": round(t_ld, 2),
+    "leiden_edges_per_sec": round(n_edges / t_ld),
+    "triads_sec": round(t_tc, 2),
+    "triads_edges_per_sec": round(n_dedges / t_tc),
 }))
 spark.stop()
 """
@@ -289,6 +310,16 @@ def main() -> int:
             "bridges": round(
                 high["bridges_edges_per_sec"]
                 / (factor * low["bridges_edges_per_sec"]),
+                3,
+            ),
+            "leiden": round(
+                high["leiden_edges_per_sec"]
+                / (factor * low["leiden_edges_per_sec"]),
+                3,
+            ),
+            "triads": round(
+                high["triads_edges_per_sec"]
+                / (factor * low["triads_edges_per_sec"]),
                 3,
             ),
         },
