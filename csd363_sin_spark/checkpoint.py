@@ -104,6 +104,16 @@ class CheckpointStore:
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def read_metrics(self) -> list[dict]:
+        """Reader twin of :meth:`metrics` — the recorded per-stage metric
+        bundles, in append order (feeds the per-step charts in viz.py the
+        same way read_lineage feeds the superstep series)."""
+        p = os.path.join(self.run_dir, "metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
 
 def format_metrics_summary(out: dict, timestamp: str | None = None) -> str:
     """Fixed-width text summary of a ``run_pipeline`` result — output

@@ -211,7 +211,9 @@ def main(argv=None) -> int:
         from csd363_sin_spark.viz import render_pipeline_report
 
         paths = render_pipeline_report(
-            graph, final, out, os.path.join(cfg["run_dir"], cfg["visualization_dir"])
+            graph, final, out,
+            os.path.join(cfg["run_dir"], cfg["visualization_dir"]),
+            store=store,
         )
         out["viz_artifacts"] = paths
     from csd363_sin_spark.checkpoint import format_metrics_summary
