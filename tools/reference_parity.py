@@ -9,6 +9,12 @@ stage metrics side by side with a networkx-Louvain quality anchor on the
 same graph.
 
 Usage: python tools/reference_parity.py [pkl_size: 10000|40000|50000|100000]
+       python tools/reference_parity.py SIZE leiden
+           — stage-level Louvain-vs-Leiden comparison on the same sample:
+             both base algorithms run on the reference graph, Leiden's
+             output is additionally checked for the property Louvain does
+             not guarantee (every community internally connected), and
+             both are reported against the networkx-Louvain anchor.
 """
 
 from __future__ import annotations
@@ -51,6 +57,9 @@ def main() -> int:
         "vertex_id long, actor string, kind string",
     )
     graph = Graph(vertices=vertices, edges=edges)
+
+    if len(sys.argv) > 2 and sys.argv[2] == "leiden":
+        return _leiden_mode(spark, graph, nxg, size)
 
     t0 = time.time()
     out = run_pipeline(
@@ -95,6 +104,59 @@ def main() -> int:
             "runtime_sec": round(nx_t, 1),
         },
         "pipeline_wall_sec": round(wall, 1),
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def _leiden_mode(spark, graph, nxg, size: str) -> int:
+    """Louvain vs Leiden, stage level, on the reference sample
+    (VERDICT r5 item 5): quality + community-connectivity evidence."""
+    import time
+
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    from csd363_sin_spark.functions.metrics import modularity
+    from csd363_sin_spark.operators.leiden import _connected_parts, leiden
+    from csd363_sin_spark.operators.louvain import louvain
+
+    graph.edges.persist().count()
+    graph.vertices.persist().count()
+
+    def _connectivity(assign):
+        parts = _connected_parts(
+            graph.edges.select("src", "dst", F.lit(1.0).alias("weight")),
+            graph.vertices.select("vertex_id"),
+            assign,
+            100_000,
+        )
+        joined = assign.join(parts, "vertex_id")
+        n_comm = joined.select("comm").distinct().count()
+        n_parts = joined.select("comm", "part").distinct().count()
+        return n_comm, n_parts
+
+    report = {"sample": size, "mode": "leiden_vs_louvain"}
+    for name, fn in (("louvain", louvain), ("leiden", leiden)):
+        t0 = time.time()
+        res = fn(graph, weighted=False)
+        assign = res.assign.persist()
+        q = modularity(graph, assign, weighted=False)
+        n_comm, n_parts = _connectivity(assign)
+        report[name] = {
+            "communities": n_comm,
+            "modularity": round(q, 4),
+            "connected_parts": n_parts,
+            "all_communities_connected": n_comm == n_parts,
+            "levels": res.levels,
+            "runtime_sec": round(time.time() - t0, 1),
+        }
+    nx_t0 = time.time()
+    nx_comms = nx.community.louvain_communities(nxg, seed=42)
+    report["networkx_louvain_anchor"] = {
+        "communities": len(nx_comms),
+        "modularity": round(nx.community.modularity(nxg, nx_comms), 4),
+        "runtime_sec": round(time.time() - nx_t0, 1),
     }
     print(json.dumps(report, indent=2))
     return 0
