@@ -165,6 +165,12 @@ def main() -> None:
     timed("triad_census", lambda: triad_census(dg).collect())
     timed("hyperanf_t2", lambda: neighborhood_function(g, max_t=2).count())
     timed("square_total", lambda: square_total(g).collect())
+    # the degree-oriented scale path (order-invariant count; BENCH.md
+    # r5 A/B) measured alongside the oracle-verbatim default
+    timed(
+        "square_total_degree",
+        lambda: square_total(g, order="degree").collect(),
+    )
     timed(
         "node2vec_walks",
         # production hash family: one hash per (walk, neighbor) candidate

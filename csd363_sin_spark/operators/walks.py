@@ -31,7 +31,7 @@ semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csd363_sin_spark.functions.dedup import _hash64
