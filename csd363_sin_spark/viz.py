@@ -461,14 +461,15 @@ def step_series_from_lineage(
     ``best_q``, each round's ``rows``) become the plotted series, so the
     per-step charts come from metrics the run ALREADY persisted instead
     of a re-evaluation pass."""
-    rows = sorted(
-        (
-            r
-            for r in lineage_rows
-            if r.get("stage") == stage and r.get("superstep", -1) >= 0
-        ),
-        key=lambda r: r["superstep"],
-    )
+    picked: dict[int, dict] = {}
+    for r in lineage_rows:
+        if r.get("stage") == stage and r.get("superstep", -1) >= 0:
+            # resumed runs append to the same lineage file; keep the
+            # LATEST row per superstep so replayed steps don't double
+            prev = picked.get(r["superstep"])
+            if prev is None or r.get("ts", 0) >= prev.get("ts", 0):
+                picked[r["superstep"]] = r
+    rows = [picked[k] for k in sorted(picked)]
     skip = {"superstep", "ts", "checksum", "run_id"}
     steps = [
         {

@@ -201,3 +201,21 @@ def test_algorithm_metrics_svg_and_lineage_adapter(spark, tmp_path):
     # the store's metrics reader round-trips too
     store.metrics("gn", {"modularity": 0.31})
     assert store.read_metrics()[0]["metrics"]["modularity"] == 0.31
+
+
+def test_step_series_dedupes_resumed_lineage(tmp_path):
+    """A resumed run appends to the same lineage file; the adapter must
+    keep the LATEST row per superstep, not plot replayed steps twice."""
+    from csd363_sin_spark.checkpoint import CheckpointStore
+    from csd363_sin_spark.viz import step_series_from_lineage
+
+    store = CheckpointStore(str(tmp_path / "run"))
+    for step, q in enumerate([0.1, 0.2, 0.3]):
+        store.lineage("gn", step, None, best_q=q)
+    # "resume": steps 1-2 replayed with updated values
+    store2 = CheckpointStore(str(tmp_path / "run"))
+    for step, q in [(1, 0.25), (2, 0.33)]:
+        store2.lineage("gn", step, None, best_q=q)
+    tracked = step_series_from_lineage(store2.read_lineage(), "gn")
+    assert tracked["num_steps"] == 3
+    assert [s["best_q"] for s in tracked["steps"]] == [0.1, 0.25, 0.33]
