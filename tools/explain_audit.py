@@ -267,6 +267,84 @@ def main() -> int:
         formatted(leiden_refine_phase(g, max_supersteps=2, local_phase_edges=0)),
     ))
 
+    # walk step candidate join (salted) — the r5 headline fix; this
+    # mirrors one loop body of operators/walks.py node2vec_walks so the
+    # pre-materialize plan is visible (materialize() truncates lineage,
+    # so auditing the operator's return frame would show only LogicalRDDs)
+    from csd363_sin_spark.functions.dedup import _hash64
+    from csd363_sin_spark.operators.walks import (
+        N2V_HASH_MOD,
+        _explode_buckets,
+        _salted_sym,
+    )
+    from csd363_sin_spark.plans.induce import induce_actor_edges as _iae
+
+    enamed = materialize(_iae(transcripts_from_events(events)))
+    wsym = _salted_sym(enamed, 64)
+    wsym.count()  # materialize the cache so the plan shows InMemoryTableScan
+    wcanon = F.broadcast(
+        enamed.select(
+            F.least("src_actor", "dst_actor").alias("ca"),
+            F.greatest("src_actor", "dst_actor").alias("cb"),
+        ).distinct()
+    )
+    wstate = materialize(
+        wsym.select(F.col("u").alias("start_actor")).distinct().select(
+            "start_actor",
+            F.lit(0).cast("long").alias("walk_id"),
+            F.col("start_actor").alias("actor"),
+            F.lit(None).cast("string").alias("prev_actor"),
+        )
+    )
+    wprobes = _explode_buckets(wstate, 64)
+    wcand = wprobes.join(
+        wsym, (wprobes["actor"] == wsym["u"]) & (wprobes["b"] == wsym["b"])
+    ).select(
+        "start_actor", "walk_id", F.col("actor").alias("cur"), "prev_actor",
+        F.col("v").alias("cand"),
+        F.pmod(
+            _hash64(
+                F.concat_ws(
+                    ":", F.lit("n2v"), F.col("start_actor"),
+                    F.col("walk_id").cast("string"), F.lit("1"), F.col("v"),
+                ),
+                None, "xxhash64",
+            ),
+            F.lit(N2V_HASH_MOD),
+        ).alias("h"),
+    )
+    wflag = wcand.join(
+        wcanon,
+        (F.least("prev_actor", "cand") == F.col("ca"))
+        & (F.greatest("prev_actor", "cand") == F.col("cb")),
+        "left",
+    )
+    wstep = wflag.select(
+        "start_actor", "walk_id", "cur", "cand",
+        (
+            F.col("h")
+            * F.when(F.col("prev_actor").isNull(), F.lit(1))
+            .when(F.col("cand") == F.col("prev_actor"), F.lit(2))
+            .when(F.col("ca").isNotNull(), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+        ).alias("score"),
+    ).groupBy("start_actor", "walk_id", "cur").agg(
+        F.min_by("cand", F.struct("score", "cand")).alias("actor")
+    )
+    sections.append((
+        "node2vec walk step (salted candidate join + min_by argmin)",
+        "Both sides of the candidate join carry EXPLICIT numPartitions "
+        "(REPARTITION_BY_NUM exchanges) so AQE — which coalesces on "
+        "map-output bytes and is blind to the hub join fan-out — cannot "
+        "fold the Σdeg(frontier) candidate expansion into one task; the "
+        "canonical-edge neighbor probe is an explicit BroadcastExchange; "
+        "the per-walk argmin is a map-side-combined min_by "
+        "(partial_min_by before the exchange), never a windowed sort of "
+        "the candidate rows.",
+        formatted(wstep),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
