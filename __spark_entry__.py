@@ -676,6 +676,17 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_digraph(spark, sf_dir))
 
 
+def q_triad_census_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the hub-proof triad census path (per-center
+    dyad-type closed forms + degree-oriented triangle listing — no
+    sum-deg^2 wedge self-join).  Counts are identical to the default
+    enumeration, so the same DuckDB mirror pins this path at value
+    level."""
+    from csd363_sin_spark.operators.triads import triad_census
+
+    return triad_census(_digraph(spark, sf_dir), order="degree")
+
+
 def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: mutual/asymmetric/null dyad counts of the handoff
     graph — the dyadic reciprocity signature under the triad census."""
@@ -2685,6 +2696,17 @@ def q_square_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return square_total(_graph(spark, sf_dir))
 
 
+def q_square_total_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the PRODUCTION degree-oriented 4-cycle count
+    (vertex-priority wedge counting — every square counted once at its
+    max-(degree,id)-priority corner, ~no wedges at hub middles).  The
+    count is order-invariant, so the same DuckDB mirror as
+    ``square_total`` pins this path at value level."""
+    from csd363_sin_spark.operators.triangles import square_total
+
+    return square_total(_graph(spark, sf_dir), order="degree")
+
+
 def q_handoff_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: directed consecutive-turn handoff edges (one lag
     window + one aggregation; plans/directed.py)."""
@@ -2839,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "triangle_total": q_triangle_total,
         "square_total": q_square_total,
+        "square_total_degree": q_square_total_degree,
         "four_clique_total": q_four_clique_total,
         "clustering_coefficient": q_clustering_coefficient,
         "transitivity": q_transitivity,
@@ -2887,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directed layer (plans/directed.py)
         "handoff_edges": q_handoff_edges,
         "triad_census": q_triad_census,
+        "triad_census_degree": q_triad_census_degree,
         "dyad_census": q_dyad_census,
         "scc": q_scc,
         "scc_dist": q_scc_dist,
@@ -5536,6 +5560,16 @@ tprs AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # the degree-oriented wedge-op paths are count-identical to the
+    # defaults (order-invariance pytests), so the same DuckDB mirrors
+    # value-pin them
+    out["square_total_degree"] = out["square_total"]
+    out["triad_census_degree"] = out["triad_census"]
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     p = _ORACLE_PRELUDE
     part = _PART_SQL
     s = _stats_cte(part)
