@@ -5,16 +5,26 @@ Scope — honest and tested:
 * :func:`decode_jpeg` — baseline sequential DCT JPEG (SOF0), 8-bit,
   grayscale or YCbCr with arbitrary sampling factors (4:4:4, 4:2:0,
   4:2:2, ...), standard or custom DQT/DHT tables, DRI/RSTn restart
-  markers.  Returns the LUMA plane as ``(1, h, w) uint8`` — JPEG's Y
-  channel IS BT.601 luma, so grayscale conversion is exact and the
-  chroma blocks only need to be entropy-decoded to keep the bitstream
-  in sync.  Progressive (SOF2), arithmetic coding, and 12-bit raise
-  ``NotImplementedError`` naming PIL.
+  markers; PLUS single-component progressive DCT (SOF2) with full
+  spectral selection + successive approximation (DC first/refine, AC
+  first/refine, EOB runs — T.81 Annex G, mirroring libjpeg's
+  jdphuff.c scan semantics).  Returns the LUMA plane as ``(1, h, w)
+  uint8`` — JPEG's Y channel IS BT.601 luma, so grayscale conversion
+  is exact and the chroma blocks only need to be entropy-decoded to
+  keep the bitstream in sync.  Multi-component progressive,
+  arithmetic coding, and 12-bit raise ``NotImplementedError`` naming
+  PIL.
 * :func:`encode_jpeg` — baseline grayscale encoder (Annex K quant +
   Huffman tables, IJG quality scaling).  Test-corpus generator: its
   output is spec-conformant (standard tables, standard markers) and
   round-trips through :func:`decode_jpeg` within the quantization
   error bound asserted in tests/test_jpeg.py.
+* :func:`encode_jpeg_progressive` — progressive grayscale encoder
+  (libjpeg-shaped scan script: DC first, two AC first bands, DC
+  refinement, two AC refinement bands).  Its quantized coefficients
+  are identical to :func:`encode_jpeg`'s at the same quality, so
+  tests pin progressive-decode pixels EQUAL to baseline-decode
+  pixels.
 
 Everything is numpy + stdlib; the per-bit Huffman loops are Python
 (fine for the corpus sizes the engine's Arrow kernels batch per task;
@@ -461,7 +471,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
@@ -471,10 +481,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "multi-component progressive JPEG needs PIL "
+                        "(single-component/grayscale SOF2 decodes here)"
+                    )
+                n_blocks = (-(-fh // 8)) * (-(-fw // 8))
+                prog_coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+                prog_pred = [0]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) decodes without PIL"
+                "only DCT JPEG (SOF0/1 baseline, single-component SOF2 "
+                "progressive) decodes without PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -487,11 +508,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
             data_start = pos + seglen
+            if frame["progressive"]:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                # T.81 G.1: a progressive scan is either DC (Ss=Se=0) or
+                # a pure-AC spectral band (0 < Ss <= Se <= 63)
+                if not (
+                    (ss == 0 and se == 0) or (0 < ss <= se <= 63)
+                ):
+                    raise ValueError(
+                        f"invalid progressive scan band Ss={ss} Se={se}"
+                    )
+                pos = _decode_progressive_scan(
+                    payload, data_start, prog_coefs, scan_sel,
+                    huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0x0F,
+                    prog_pred,
+                )
+                continue
             return _decode_scan(
                 payload, data_start, frame, scan_sel, quant, huff_dc, huff_ac,
                 restart_interval,
             )
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _idct_single_component(frame, prog_coefs, quant)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -582,3 +622,355 @@ def _decode_block(
         zz[k] = _extend(reader.read_bits(size), size)
         k += 1
     return zz
+
+
+# ---------------------------------------------------------------------------
+# progressive DCT (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+# Custom AC table for progressive scans: the Annex K sequential table has
+# no EOBn symbols (r<<4 with 0 < r < 15), which progressive AC scans
+# require for EOB runs.  A flat canonical table (all 176 meaningful
+# RRRRSSSS symbols at 9 bits; Kraft sum 176/512 < 1, so the all-ones
+# code stays unused as the spec requires) is valid for any conforming
+# decoder — compression is not the point of the test-corpus encoder.
+AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _dct_blocks(gray: np.ndarray, qmat: np.ndarray) -> list[np.ndarray]:
+    """Quantized zigzag coefficient vector per 8x8 block, raster order —
+    the shared front half of both encoders."""
+    img = _pad_to_mcu(gray.astype(np.float64), 8, 8) - 128.0
+    ph, pw = img.shape
+    blocks = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = _C @ img[by : by + 8, bx : bx + 8] @ _C.T
+            q = np.round(coef / qmat).astype(np.int64)
+            blocks.append(q.reshape(64)[ZIGZAG])
+    return blocks
+
+
+def _emit_eobrun(writer: _BitWriter, ac_tab: dict, eobrun: int) -> int:
+    """Emit a pending EOBn run (T.81 G.1.2.2: huffman symbol n<<4 where
+    2^n <= run < 2^(n+1), then the low n bits of the run)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        length, hcode = ac_tab[nbits << 4]
+        writer.write(hcode, length)
+        if nbits:
+            writer.write(eobrun, nbits)
+    return 0
+
+
+def _encode_ac_first(
+    blocks: list[np.ndarray], ss: int, se: int, al: int, ac_tab: dict
+) -> bytes:
+    """AC first scan (Ah=0): magnitudes point-transformed by Al, zero
+    runs + EOB runs across blocks (mirror of libjpeg jcphuff
+    encode_mcu_AC_first)."""
+    wtr = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            m = abs(v) >> al
+            if m == 0:
+                r += 1
+                continue
+            eobrun = _emit_eobrun(wtr, ac_tab, eobrun)
+            while r > 15:
+                length, hcode = ac_tab[0xF0]
+                wtr.write(hcode, length)
+                r -= 16
+            size, code = _magnitude(m if v > 0 else -m)
+            length, hcode = ac_tab[(r << 4) | size]
+            wtr.write(hcode, length)
+            wtr.write(code, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(wtr, ac_tab, eobrun)
+    _emit_eobrun(wtr, ac_tab, eobrun)
+    return wtr.flush()
+
+
+def _encode_ac_refine(
+    blocks: list[np.ndarray], ss: int, se: int, al: int, ac_tab: dict
+) -> bytes:
+    """AC refinement scan (Ah=Al+1): one new bit of precision — newly
+    significant coefficients as (run<<4)|1 + sign bit, correction bits
+    for already-significant ones interleaved after each symbol, EOB runs
+    carrying deferred correction bits (mirror of libjpeg jcphuff
+    encode_mcu_AC_refine)."""
+    wtr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred inside an EOB run
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            length, hcode = ac_tab[nbits << 4]
+            wtr.write(hcode, length)
+            if nbits:
+                wtr.write(eobrun, nbits)
+            eobrun = 0
+            for b in pending:
+                wtr.write(b, 1)
+            pending.clear()
+
+    for zz in blocks:
+        absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+        eob = ss - 1  # position of the last NEWLY-significant coefficient
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        block_bits: list[int] = []  # correction bits since the last symbol
+        for k in range(ss, se + 1):
+            a = absv[k]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eobrun()
+                length, hcode = ac_tab[0xF0]
+                wtr.write(hcode, length)
+                r -= 16
+                for b in block_bits:
+                    wtr.write(b, 1)
+                block_bits = []
+            if a > 1:
+                block_bits.append(a & 1)
+                continue
+            flush_eobrun()
+            length, hcode = ac_tab[(r << 4) | 1]
+            wtr.write(hcode, length)
+            wtr.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in block_bits:
+                wtr.write(b, 1)
+            block_bits = []
+            r = 0
+        if r > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return wtr.flush()
+
+
+def encode_jpeg_progressive(gray: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w) uint8 grayscale -> progressive (SOF2) JFIF bytes.
+
+    libjpeg-shaped scan script exercising every progressive scan type:
+    DC first (Al=1) -> AC first bands 1-5 and 6-63 (Al=1) -> DC
+    refinement (raw bits) -> AC refinement over both bands.  The
+    quantized coefficients are identical to :func:`encode_jpeg` at the
+    same quality, so a full progressive decode must reproduce the
+    baseline decode EXACTLY — the parity pin tests/test_jpeg.py uses."""
+    h, w = gray.shape
+    quant = _quality_scale(QUANT_LUM, quality)
+    qmat = quant.reshape(8, 8).astype(np.float64)
+    blocks = _dct_blocks(gray, qmat)
+    dc_tab = _encode_huffman(DC_LUM_BITS, DC_LUM_VALS)
+    ac_tab = _encode_huffman(AC_PROG_BITS, AC_PROG_VALS)
+
+    scans: list[tuple[int, int, int, int, bytes]] = []
+    # DC first (point transform Al=1; DC uses the ARITHMETIC shift,
+    # T.81 G.1.2.1 — python's >> on ints is arithmetic)
+    wtr = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        size, code = _magnitude(v - prev)
+        length, hcode = dc_tab[size]
+        wtr.write(hcode, length)
+        wtr.write(code, size)
+        prev = v
+    scans.append((0, 0, 0, 1, wtr.flush()))
+    for ss, se in ((1, 5), (6, 63)):
+        scans.append((ss, se, 0, 1, _encode_ac_first(blocks, ss, se, 1, ac_tab)))
+    # DC refinement: one raw bit per block, no entropy coding
+    wtr = _BitWriter()
+    for zz in blocks:
+        wtr.write(int(zz[0]) & 1, 1)
+    scans.append((0, 0, 1, 0, wtr.flush()))
+    for ss, se in ((1, 5), (6, 63)):
+        scans.append((ss, se, 1, 0, _encode_ac_refine(blocks, ss, se, 0, ac_tab)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(quant[z]) for z in ZIGZAG))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS))
+    for ss, se, ah, al, payload in scans:
+        out += _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_ac_first(
+    reader: _BitReader,
+    zz: np.ndarray,
+    act: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC first scan (mirror of jdphuff
+    decode_mcu_AC_first); returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow in progressive scan")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(
+    reader: _BitReader,
+    zz: np.ndarray,
+    act: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC refinement scan (mirror of jdphuff
+    decode_mcu_AC_refine): newly-significant coefficients appear as
+    ±2^Al; already-significant ones consume one correction bit each as
+    they are passed; EOB runs carry correction bits for the rest of the
+    band.  Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+
+    def correct(idx: int) -> None:
+        if reader.read_bit() and (abs(int(zz[idx])) & p1) == 0:
+            zz[idx] += p1 if zz[idx] >= 0 else m1
+
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, act)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: r = 15 -> skip 16 zero-history coefficients
+            else:
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next non-stuffing, non-RST marker at/after pos."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    start: int,
+    coefs: np.ndarray,
+    scan_sel: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    pred: list[int],
+) -> int:
+    """Decode one progressive scan over the single-component coefficient
+    array ``coefs`` (n_blocks x 64, zigzag order); returns the stream
+    position just past the scan's entropy data."""
+    reader = _BitReader(data, start)
+    eobrun = 0
+    cid = next(iter(scan_sel))
+    dc_tab = huff_dc.get(scan_sel[cid][0])
+    ac_tab = huff_ac.get(scan_sel[cid][1])
+    for zz in coefs:
+        if ss == 0:
+            if ah == 0:  # DC first
+                size = _read_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                pred[0] += diff
+                zz[0] = pred[0] << al
+            else:  # DC refinement: one raw bit
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _decode_ac_first(reader, zz, ac_tab, ss, se, al, eobrun)
+        else:
+            eobrun = _decode_ac_refine(reader, zz, ac_tab, ss, se, al, eobrun)
+    return _next_marker(data, reader.pos)
+
+
+def _idct_single_component(
+    frame: dict, coefs: np.ndarray, quant: dict
+) -> np.ndarray:
+    """Dequantize + inverse-DCT the accumulated progressive coefficient
+    array of a single-component frame — the same math as the baseline
+    scan's per-block tail, run once after the final scan."""
+    fh, fw = frame["h"], frame["w"]
+    qtab = quant[frame["comps"][0]["tq"]]
+    bw = -(-fw // 8)
+    bh = -(-fh // 8)
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for i, zz in enumerate(coefs):
+        deq = np.zeros(64, dtype=np.float64)
+        deq[ZIGZAG] = zz * qtab[ZIGZAG]
+        block = _C.T @ deq.reshape(8, 8) @ _C + 128.0
+        y0 = (i // bw) * 8
+        x0 = (i % bw) * 8
+        plane[y0 : y0 + 8, x0 : x0 + 8] = block
+    out = np.clip(np.round(plane[:fh, :fw]), 0, 255).astype(np.uint8)
+    return out.reshape(1, fh, fw)

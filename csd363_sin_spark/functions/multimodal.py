@@ -20,7 +20,7 @@ the decode step is STUBBED behind ``decoder=`` hooks:
   five scanline filters), baseline sequential JPEG (functions/jpeg.py —
   grayscale or YCbCr with arbitrary subsampling, DRI/RSTn), and
   MJPEG-in-AVI video (functions/avi.py), converted to grayscale.
-  Remaining honest stubs: progressive/arithmetic/12-bit JPEG (needs
+  Remaining honest stubs: multi-component-progressive/arithmetic/12-bit JPEG (needs
   PIL) and inter-frame video codecs like H.264 (needs pyav) — swap in a
   decode(payload)->ndarray with the same contract on a cluster image
   that has the libs.

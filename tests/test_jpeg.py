@@ -72,12 +72,15 @@ def test_color_luma_extraction(subsampling):
         assert np.abs(dec_t[0].astype(float) - y_t).max() <= 8
 
 
-def test_progressive_rejected():
+def test_progressive_invalid_scan_band_rejected():
+    """A baseline stream relabelled SOF2 carries an Ss=0/Se=63 scan —
+    illegal in progressive mode (T.81 G.1: DC scans have Se=0) — and
+    must fail loudly instead of mis-decoding."""
     img = _gray(8, 8)
     payload = bytearray(encode_jpeg(img))
     idx = payload.find(b"\xff\xc0")
     payload[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError, match="progressive scan band"):
         decode_jpeg(bytes(payload))
 
 
@@ -146,3 +149,106 @@ def test_sample_frames_real_avi_e2e(spark):
         for f in kept:
             # JPEG-lossy mean stays within a couple of gray levels
             assert abs(by_id[i][f] - float(frames[f].mean())) < 2.5
+
+
+def test_progressive_equals_baseline_pixels():
+    """Progressive (SOF2) decode must reproduce the baseline decode
+    EXACTLY: encode_jpeg_progressive quantizes the same coefficients as
+    encode_jpeg, and a completed progressive decode reconstructs them
+    losslessly (DC first+refine, AC first+refine over two bands)."""
+    import numpy as np
+
+    from csd363_sin_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(42)
+    images = [
+        rng.randint(0, 256, (24, 31)).astype(np.uint8),
+        (np.add.outer(np.arange(40), np.arange(40)) * 3 % 256).astype(np.uint8),
+        np.full((16, 16), 200, np.uint8),  # all-AC-zero: EOB runs > 1
+        (np.add.outer(np.arange(9), np.arange(13)) % 2 * 255).astype(np.uint8),
+    ]
+    for img in images:
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_scan_codecs_roundtrip_crafted():
+    """Scan-codec level roundtrip on crafted coefficient blocks that
+    force the rare paths: ZRL inside a refinement scan (>=16
+    zero-history positions before a newly-significant coefficient),
+    long EOB runs with deferred correction bits, and ZRL in AC-first."""
+    import numpy as np
+
+    from csd363_sin_spark.functions.jpeg import (
+        AC_PROG_BITS,
+        AC_PROG_VALS,
+        _BitReader,
+        _build_huffman,
+        _decode_ac_first,
+        _decode_ac_refine,
+        _encode_ac_first,
+        _encode_ac_refine,
+        _encode_huffman,
+    )
+
+    enc_tab = _encode_huffman(AC_PROG_BITS, AC_PROG_VALS)
+    dec_tab = _build_huffman(AC_PROG_BITS, AC_PROG_VALS)
+    rng = np.random.RandomState(7)
+
+    blocks = []
+    # crafted: refine-ZRL (zz[20] = -1 newly significant behind 19 zeros)
+    b = np.zeros(64, dtype=np.int64); b[20] = -1; b[40] = 1
+    blocks.append(b)
+    # crafted: correction bits inside an EOB run (|v|>1 then nothing new)
+    b = np.zeros(64, dtype=np.int64); b[2] = 5; b[3] = -7
+    blocks.append(b)
+    # crafted: AC-first ZRL (big value behind >16 zeros at Al=1)
+    b = np.zeros(64, dtype=np.int64); b[30] = 9
+    blocks.append(b)
+    # a run of all-zero blocks (EOB run crossing blocks)
+    blocks += [np.zeros(64, dtype=np.int64) for _ in range(5)]
+    # randomized small-magnitude blocks (many +-1s => dense refine work)
+    for _ in range(12):
+        b = rng.randint(-3, 4, 64).astype(np.int64)
+        b[rng.rand(64) < 0.6] = 0
+        blocks.append(b)
+
+    ss, se, al = 1, 63, 1
+    first = _encode_ac_first(blocks, ss, se, al, enc_tab)
+    refine = _encode_ac_refine(blocks, ss, se, 0, enc_tab)
+
+    got = [np.zeros(64, dtype=np.int64) for _ in blocks]
+    reader = _BitReader(first + b"\xff\xd9", 0)
+    eobrun = 0
+    for zz in got:
+        eobrun = _decode_ac_first(reader, zz, dec_tab, ss, se, al, eobrun)
+    # after the first scan every coefficient equals (|v|>>1 with sign)<<1
+    for zz, want in zip(got, blocks):
+        for k in range(ss, se + 1):
+            v = int(want[k])
+            expect = ((abs(v) >> al) << al) * (1 if v >= 0 else -1)
+            assert int(zz[k]) == expect
+    reader = _BitReader(refine + b"\xff\xd9", 0)
+    eobrun = 0
+    for zz in got:
+        eobrun = _decode_ac_refine(reader, zz, dec_tab, ss, se, 0, eobrun)
+    for zz, want in zip(got, blocks):
+        assert np.array_equal(zz[ss : se + 1], want[ss : se + 1])
+
+
+def test_progressive_multicomponent_raises():
+    import pytest as _pytest
+
+    # a color (3-component) SOF2 header must raise the documented
+    # PIL-naming boundary, not mis-decode
+    import struct
+
+    payload = bytearray(b"\xff\xd8")
+    sof2 = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    payload += struct.pack(">HH", 0xFFC2, len(sof2) + 2) + sof2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
